@@ -1,0 +1,225 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+Beyond-reference surface (SURVEY.md §7 step 10) over the ``embeddings`` table
+(``vec_id bigint, embedding array<float>, label int``).
+
+Scale design:
+- **Brute force** is the correctness baseline: an O(n·m) join. For a bounded
+  query set vs. a huge corpus the query side is broadcast, so the corpus is
+  scanned once with no shuffle; top-k per query via window ranking with
+  partial aggregation.
+- **Random-hyperplane LSH (SRP)** is the scale path: each vector maps to a
+  B-bit signature; candidate pairs share a signature prefix bucket, turning
+  the quadratic pair space into Σ bucket². Hyperplanes are derived
+  deterministically from md5 of (plane, dim) so signatures are reproducible
+  without shipping a random matrix.
+- All dot products run as ``zip_with``/``aggregate`` over ``double`` arrays —
+  JVM expressions, no Python. float→double upcast is exact, and a fixed
+  left-to-right fold order makes results bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order ⇒ bit-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk_pairs(
+    emb: DataFrame,
+    k: int = 5,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k nearest neighbors per query vector by cosine similarity.
+
+    Scale shape: the *corpus* (the smaller / bounded side) is collected into a
+    dense float64 matrix and broadcast to executors; query partitions stream
+    past it with one vectorized BLAS matmul per Arrow batch, emitting exactly
+    k rows per query. No pair-space shuffle exists at all — the only shuffle
+    in the plan is the query-side scan. At 100 TB of queries this is a single
+    map stage; when the corpus is also huge, block it and union the per-block
+    top-k (associative), or switch to ``ann_lsh_topk``.
+
+    ``queries`` defaults to the corpus itself (all-pairs kNN, self excluded).
+    Returns (query_id, neighbor_id, cos_sim, rk), rk 1-based with
+    neighbor_id tiebreak.
+    """
+    import numpy as np
+    import pandas as pd
+
+    corpus_pdf = (
+        emb.select(
+            F.col(vec_id).alias("neighbor_id"),
+            as_double_array(F.col(embedding)).alias("v"),
+        )
+        .toPandas()
+    )
+    c_ids = corpus_pdf["neighbor_id"].to_numpy(dtype="int64")
+    c_mat = np.stack(corpus_pdf["v"].to_numpy())  # (n, d) float64
+    c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+    kk = k
+
+    qside = (queries if queries is not None else emb).select(
+        F.col(vec_id).alias("query_id"),
+        as_double_array(F.col(embedding)).alias("qv"),
+    )
+
+    def topk_blocks(batches):
+        ids_b, mat_b, norm_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf["query_id"].to_numpy(dtype="int64")
+            q_mat = np.stack(pdf["qv"].to_numpy())
+            q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+            sims = (q_mat @ mat_b.T) / np.outer(q_norm, norm_b)
+            out_q, out_n, out_s, out_r = [], [], [], []
+            for i in range(len(q_ids)):
+                row = sims[i]
+                mask = ids_b != q_ids[i]
+                cand_ids = ids_b[mask]
+                cand_sims = row[mask]
+                # primary: cos desc; tiebreak: neighbor_id asc
+                order = np.lexsort((cand_ids, -cand_sims))[:kk]
+                out_q.extend([q_ids[i]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_s.extend(cand_sims[order])
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype="int64"),
+                    "neighbor_id": np.asarray(out_n, dtype="int64"),
+                    "cos_sim": np.asarray(out_s, dtype="float64"),
+                    "rk": np.asarray(out_r, dtype="int32"),
+                }
+            )
+
+    return qside.mapInPandas(
+        topk_blocks,
+        schema="query_id long, neighbor_id long, cos_sim double, rk int",
+    )
+
+
+def cosine_topk_pairs_hof(
+    emb: DataFrame,
+    k: int = 5,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+) -> DataFrame:
+    """Expression-only variant of :func:`cosine_topk_pairs` (no Python).
+
+    Bit-stable sequential fold — used to cross-check the vectorized path.
+    O(n·m) pair join; correct but not the scale path.
+    """
+    corpus = emb.select(
+        F.col(vec_id).alias("neighbor_id"),
+        as_double_array(F.col(embedding)).alias("__emb_b"),
+    )
+    qside = emb.select(
+        F.col(vec_id).alias("query_id"),
+        as_double_array(F.col(embedding)).alias("__emb_a"),
+    )
+    pairs = corpus.join(F.broadcast(qside), F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__emb_a"), F.col("__emb_b")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane coefficient in [-1, 1).
+
+    Derived from md5(plane:dim) — reproducible everywhere, no RNG state.
+    """
+    import hashlib
+
+    h = hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()
+    return (int(h[:8], 16) / float(0xFFFFFFFF)) * 2.0 - 1.0
+
+
+def srp_signature(embedding: Column, dims: int, planes: int = 16) -> Column:
+    """Signed-random-projection bit signature as a bigint.
+
+    bit_p = 1 iff ⟨v, h_p⟩ ≥ 0 with h_p a fixed pseudo-random hyperplane.
+    The plane matrix is generated as literals (constant-folded; no shuffle,
+    no broadcast variable needed at this size).
+    """
+    acc = F.lit(0).cast("long")
+    for p in range(planes):
+        plane = F.array(*[F.lit(_hyperplane(p, d)) for d in range(dims)])
+        proj = dot(embedding, plane)
+        acc = acc + F.when(proj >= 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    dims: int,
+    k: int = 5,
+    planes: int = 16,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN: exact cosine ranking within SRP-LSH buckets.
+
+    Vectors whose signatures share a bucket are compared exactly; everything
+    else is pruned. Equi-join on the signature replaces the cross join — the
+    100 TB-safe shape. Recall is tuned by ``planes`` (fewer planes → bigger
+    buckets → higher recall, more work).
+
+    Returns (query_id, neighbor_id, cos_sim, rk) — rk within-bucket.
+    """
+    sig = emb.select(
+        F.col(vec_id).alias("vid"),
+        as_double_array(F.col(embedding)).alias("v"),
+    ).withColumn("sig", srp_signature(F.col("v"), dims, planes))
+    a = sig.select(
+        F.col("vid").alias("query_id"), F.col("v").alias("va"), "sig"
+    )
+    b = sig.select(
+        F.col("vid").alias("neighbor_id"), F.col("v").alias("vb"), "sig"
+    )
+    pairs = a.join(b, on="sig").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )

@@ -1,0 +1,110 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (SURVEY.md §7 step 10): tokenization stats, quality
+scoring, n-gram language ID, and document fingerprinting over the
+``documents`` table. Everything is built-in Column expressions (codegen'd,
+no Python in the hot path); the only state is small literal stopword lists,
+constant-folded by Catalyst.
+
+Cross-engine determinism: fingerprints use ``md5`` (identical hex output in
+Spark and DuckDB), ratios use integer counts divided once as double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "es": ["el", "la", "de", "que", "y", "en", "un"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu"],
+    "fr": ["le", "la", "et", "de", "un", "est", "que"],
+}
+
+TOKEN_SPLIT = r"\s+"
+NON_ALNUM = r"[^A-Za-z0-9\s]"
+
+
+def _alternation(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase, collapse whitespace, trim — the canonical dedup key input."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, TOKEN_SPLIT))
+    )
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_count(text: Column) -> Column:
+    """Number of non-alphanumeric, non-whitespace characters."""
+    return F.length(text) - F.length(F.regexp_replace(text, NON_ALNUM, ""))
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    """Occurrences of the language's stopwords (word-boundary matched)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(_alternation(STOPWORDS[lang]))))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """stopwords / tokens as double; 0.0 for empty docs."""
+    n = token_count(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        stopword_count(text, lang).cast("double") / n.cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length, punctuation, stopwords.
+
+    score = 0.4·min(1, tokens/100) + 0.3·(1 − min(1, punct/chars·5))
+          + 0.3·min(1, stopword_ratio·5)
+    Deterministic double arithmetic (fixed operand order, integer inputs).
+    """
+    toks = token_count(text).cast("double")
+    chars = F.greatest(F.length(text), F.lit(1)).cast("double")
+    punct = punct_count(text).cast("double")
+    swr = stopword_ratio(text)
+    len_term = F.least(F.lit(1.0), toks / F.lit(100.0))
+    punct_term = F.lit(1.0) - F.least(F.lit(1.0), punct / chars * F.lit(5.0))
+    sw_term = F.least(F.lit(1.0), swr * F.lit(5.0))
+    return (
+        F.lit(0.4) * len_term + F.lit(0.3) * punct_term + F.lit(0.3) * sw_term
+    )
+
+
+def predict_lang(text: Column) -> Column:
+    """Stopword-vote language ID over the literal lists; 'unk' on no votes.
+
+    A real pipeline would use a trained n-gram model via a pandas UDF; the
+    heuristic keeps the operator fully expression-based and oracle-checkable.
+    Ties break by fixed language order (en, es, de, fr).
+    """
+    counts = {lang: stopword_count(text, lang) for lang in STOPWORDS}
+    best = F.greatest(*counts.values())
+    expr = F.when(best == 0, F.lit("unk"))
+    for lang in ["en", "es", "de", "fr"]:
+        expr = expr.when(counts[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("unk"))
+
+
+def fingerprint(text: Column, length: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text, truncated.
+
+    Stands in for the reference-era rolling hash; md5 is available and
+    byte-identical in Spark, DuckDB, and most warehouse engines, which makes
+    fingerprints portable across systems.
+    """
+    return F.substring(F.md5(normalize_text(text)), 1, length)

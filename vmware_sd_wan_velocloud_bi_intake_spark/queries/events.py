@@ -1,0 +1,358 @@
+"""Event / time-series query catalog: window & sequence analytics (W1–W5),
+temporal keys (F10–F13), top-k (A11), dedup-on-append (T4), and the A9
+order-dependent score fold (intended + quirk-compat modes).
+
+Fixture mapping (FIXTURES.md §2): the reference's per-link QoE sample arrays
+map to ``events`` ordered by ``ts`` per ``user_id``; ``value`` is discretized
+onto the QoE state codes {0,2,3,4}.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec
+from ..functions.temporal import month_key
+from ..operators.sequences import (
+    discretize_state,
+    transition_counts,
+    run_lengths,
+    tumbling_min_score,
+)
+from ..sources.tables import load_table
+from .base import Q
+
+# Shared: deterministic per-user ordering (ts then event_id tiebreak).
+ORDER = ["ts", "event_id"]
+
+
+def _with_state(events: DataFrame) -> DataFrame:
+    return events.withColumn("state", discretize_state(F.col("value")))
+
+
+# --------------------------------------------------------------------------
+# W1/W2: brownout + blackout transition detection via lag.
+# Reference: CalculateBrownouts/Blackouts powerbi_main_fun.py:1709-1775.
+# --------------------------------------------------------------------------
+def w01_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _with_state(load_table(spark, sf_dir, "events"))
+    return transition_counts(ev, "user_id", ORDER)
+
+
+W01_ORACLE = """
+WITH staged AS (
+  SELECT
+    user_id,
+    CASE WHEN value < 50.0 THEN 0
+         WHEN value < 100.0 THEN 2
+         WHEN value < 150.0 THEN 3
+         ELSE 4 END AS state,
+    LAG(CASE WHEN value < 50.0 THEN 0
+             WHEN value < 100.0 THEN 2
+             WHEN value < 150.0 THEN 3
+             ELSE 4 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+  FROM events
+)
+SELECT
+  user_id,
+  CAST(SUM(CASE WHEN state = 2 AND prev_state = 4 THEN 1 ELSE 0 END) AS BIGINT) AS brownouts,
+  CAST(SUM(CASE WHEN state = 0 AND prev_state IS NOT NULL AND prev_state <> 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS blackouts
+FROM staged
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# W3/F15: gaps-and-islands run lengths of the degraded (red) state.
+# Reference: run extension loops powerbi_main_fun.py:1727-1735; 7.12-min
+# sample duration :1875-1882.
+# --------------------------------------------------------------------------
+def w03_runlengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _with_state(load_table(spark, sf_dir, "events"))
+    runs = run_lengths(ev, "user_id", ORDER).filter(F.col("state") == 2)
+    return runs.groupBy("user_id").agg(
+        F.count("*").alias("n_red_runs"),
+        F.max("run_len").alias("max_run_len"),
+        F.sum("run_len").cast("long").alias("total_red_samples"),
+        # duration in minutes at 7.12 min/sample, exact: n*712 then one division
+        (
+            (F.max("run_len") * F.lit(712)).cast("double") / F.lit(100.0)
+        ).alias("max_run_minutes"),
+    )
+
+
+W03_ORACLE = """
+WITH staged AS (
+  SELECT
+    user_id, ts, event_id,
+    CASE WHEN value < 50.0 THEN 0
+         WHEN value < 100.0 THEN 2
+         WHEN value < 150.0 THEN 3
+         ELSE 4 END AS state
+  FROM events
+), islands AS (
+  SELECT
+    user_id, state,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      - ROW_NUMBER() OVER (PARTITION BY user_id, state ORDER BY ts, event_id) AS island_id
+  FROM staged
+), runs AS (
+  SELECT user_id, state, island_id, COUNT(*) AS run_len
+  FROM islands GROUP BY user_id, state, island_id
+)
+SELECT
+  user_id,
+  COUNT(*) AS n_red_runs,
+  MAX(run_len) AS max_run_len,
+  CAST(SUM(run_len) AS BIGINT) AS total_red_samples,
+  CAST(MAX(run_len) * 712 AS DOUBLE) / 100.0 AS max_run_minutes
+FROM runs
+WHERE state = 2
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# W4/A12: tumbling-hour mean score, daily minimum.
+# Reference: lowest_qoe powerbi_main_fun.py:1778-1804.
+# --------------------------------------------------------------------------
+def w04_hourly_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = tumbling_min_score(ev, "user_id", "ts", "value")
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "min_hour_score",
+        "n_hours",
+    )
+
+
+W04_ORACLE = """
+WITH hourly AS (
+  SELECT
+    user_id,
+    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+    date_trunc('hour', ts) AS hour,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS hour_score
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT user_id, day, MIN(hour_score) AS min_hour_score, COUNT(*) AS n_hours
+FROM hourly
+GROUP BY user_id, day
+"""
+
+
+# --------------------------------------------------------------------------
+# T4/F10: month-truncated idempotent dedup of the event stream.
+# Reference: events unique (Date, EdgeID, Name) + INSERT IGNORE
+# powerbi_main_fun.py:886-887, customer.sql:354-355.
+# --------------------------------------------------------------------------
+def t04_month_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(month_key("ts"), "yyyy-MM-dd").alias("month"),
+            F.col("user_id"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_raw_events"),
+            F.min("event_id").alias("first_event_id"),
+        )
+    )
+
+
+T04_ORACLE = """
+SELECT
+  strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+  user_id,
+  event_type,
+  COUNT(*) AS n_raw_events,
+  MIN(event_id) AS first_event_id
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# A11/O1: top-k per key by ordered rank.
+# Reference: top-1/5/10 throughput samples powerbi_main_fun.py:1970-1978.
+# --------------------------------------------------------------------------
+def a11_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", "value", "rk")
+    )
+
+
+A11_ORACLE = """
+SELECT user_id, event_id, value, rk
+FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+  FROM events
+)
+WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# W5/T3: idempotent backfill — expected (user, day) grid anti-join existing.
+# Reference: update_edge_qoe 30-day backfill powerbi_main_fun.py:1890-1921,
+# missing-day probe fun_mysql_query.py:63-77.
+# --------------------------------------------------------------------------
+def w05_backfill_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    grid = users.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"), F.lit("2024-01-31").cast("date")
+            )
+        ),
+    )
+    existing = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    missing = grid.join(existing, ["user_id", "day"], "left_anti")
+    return missing.select(
+        "user_id", F.date_format("day", "yyyy-MM-dd").alias("day")
+    )
+
+
+W05_ORACLE = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+days AS (
+  SELECT CAST(d AS DATE) AS day
+  FROM generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY) AS t(d)
+),
+grid AS (SELECT user_id, day FROM users CROSS JOIN days),
+existing AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+)
+SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day
+FROM grid g
+WHERE NOT EXISTS (
+  SELECT 1 FROM existing e WHERE e.user_id = g.user_id AND e.day = g.day
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# A9 (intended semantics): the reference's Score metric as documented intent —
+# avg(value) * 12.5 (see SURVEY.md §2.4 A9; reference powerbi_main_fun.py:2048).
+# --------------------------------------------------------------------------
+def a09_score_intended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        (
+            F.sum(dec("value")).cast("double")
+            / F.count("value")
+            * F.lit(12.5)
+        ).alias("score"),
+        F.count("*").alias("n_samples"),
+    )
+
+
+A09_ORACLE = """
+SELECT
+  user_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) * 12.5 AS score,
+  COUNT(*) AS n_samples
+FROM events
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# A9 (quirk-compat): the literal order-dependent fold
+#   score_{k} = ((score_{k-1} * (k-1)) + v_k) * 12.5 / k
+# reproduced with an ordered collect + ``aggregate`` fold. Exercised as a
+# rows-only check (no SQL oracle): the fold is numerically ill-conditioned by
+# design (12.5× per step), exactly why SURVEY.md flags it.
+# --------------------------------------------------------------------------
+def a09_score_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+        ).alias("samples")
+    )
+    folded = F.aggregate(
+        F.col("samples"),
+        F.struct(
+            F.lit(0.0).alias("score"), F.lit(0).cast("long").alias("n")
+        ),
+        lambda acc, s: F.struct(
+            (
+                ((acc["score"] * acc["n"].cast("double")) + s["value"])
+                * F.lit(12.5)
+                / (acc["n"] + 1).cast("double")
+            ).alias("score"),
+            (acc["n"] + 1).alias("n"),
+        ),
+    )
+    return seq.select(
+        "user_id",
+        folded["score"].alias("score_quirk"),
+        folded["n"].alias("n_samples"),
+    )
+
+
+QUERIES: dict[str, Q] = {
+    "w01_transitions": Q(
+        w01_transitions,
+        W01_ORACLE,
+        ("W1", "W2"),
+        "brownout/blackout state-transition detection via lag",
+    ),
+    "w03_runlengths": Q(
+        w03_runlengths,
+        W03_ORACLE,
+        ("W3", "F15"),
+        "gaps-and-islands degraded-state run lengths",
+    ),
+    "w04_hourly_min": Q(
+        w04_hourly_min,
+        W04_ORACLE,
+        ("W4", "A12", "F11"),
+        "tumbling-hour score, daily minimum",
+    ),
+    "t04_month_dedup": Q(
+        t04_month_dedup,
+        T04_ORACLE,
+        ("T4", "F10", "S10"),
+        "month-key idempotent event dedup",
+    ),
+    "a11_topk_per_user": Q(
+        a11_topk_per_user, A11_ORACLE, ("A11", "O1", "O2"), "top-k per key by rank"
+    ),
+    "w05_backfill_missing": Q(
+        w05_backfill_missing,
+        W05_ORACLE,
+        ("W5", "T3", "J7"),
+        "idempotent daily-backfill key grid via anti-join",
+    ),
+    "a09_score_intended": Q(
+        a09_score_intended,
+        A09_ORACLE,
+        ("A9",),
+        "Score metric, intended semantics (avg*12.5)",
+    ),
+    "a09_score_quirk": Q(
+        a09_score_quirk,
+        None,  # order-dependent fold: rows-only check by design
+        ("A9", "U3"),
+        "Score metric, quirk-compat ordered fold",
+    ),
+}

@@ -1,0 +1,328 @@
+"""Text-analysis, dedup, and vector-similarity query catalog (SURVEY.md §7
+step 10 — the beyond-reference training-data-pipeline surface), plus the
+reference's string-function operators (F1–F3) exercised on real text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, text
+from ..sources.tables import load_table
+from .base import Q
+
+
+# --------------------------------------------------------------------------
+# Text token/length statistics (beyond-ref; F8-style parsing discipline).
+# --------------------------------------------------------------------------
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        text.token_count(t).alias("n_tokens"),
+        text.char_count(t).alias("n_chars_txt"),
+        text.punct_count(t).alias("n_punct"),
+        (
+            (F.length(F.regexp_replace(t, r"\s+", "")).cast("double"))
+            / F.greatest(text.token_count(t), F.lit(1)).cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+TXT_TOKEN_ORACLE = r"""
+SELECT
+  doc_id,
+  lang,
+  source,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+  length(text) AS n_chars_txt,
+  length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
+  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+    / GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS avg_token_len
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Quality scoring + language ID (beyond-ref).
+# --------------------------------------------------------------------------
+def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.stopword_count(t, "en").alias("n_stopwords"),
+        text.quality_score(t).alias("quality"),
+        text.predict_lang(t).alias("lang_pred"),
+    )
+
+
+_SW = {
+    "en": r"\b(the|and|of|to|in|is|a)\b",
+    "es": r"\b(el|la|de|que|y|en|un)\b",
+    "de": r"\b(der|die|und|das|ist|ein|zu)\b",
+    "fr": r"\b(le|la|et|de|un|est|que)\b",
+}
+
+TXT_QUALITY_ORACLE = rf"""
+WITH base AS (
+  SELECT
+    doc_id,
+    text,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+    GREATEST(length(text), 1) AS n_chars,
+    length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
+    len(regexp_extract_all(lower(text), '{_SW["en"]}')) AS sw_en,
+    len(regexp_extract_all(lower(text), '{_SW["es"]}')) AS sw_es,
+    len(regexp_extract_all(lower(text), '{_SW["de"]}')) AS sw_de,
+    len(regexp_extract_all(lower(text), '{_SW["fr"]}')) AS sw_fr
+  FROM documents
+), scored AS (
+  SELECT *,
+    CASE WHEN n_tokens = 0 THEN 0.0
+         ELSE CAST(sw_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS swr,
+    GREATEST(sw_en, sw_es, sw_de, sw_fr) AS sw_best
+  FROM base
+)
+SELECT
+  doc_id,
+  sw_en AS n_stopwords,
+  0.4 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+    + 0.3 * (1.0 - LEAST(1.0, CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 5.0))
+    + 0.3 * LEAST(1.0, swr * 5.0) AS quality,
+  CASE WHEN sw_best = 0 THEN 'unk'
+       WHEN sw_en = sw_best THEN 'en'
+       WHEN sw_es = sw_best THEN 'es'
+       WHEN sw_de = sw_best THEN 'de'
+       WHEN sw_fr = sw_best THEN 'fr'
+       ELSE 'unk' END AS lang_pred
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup via normalized-content digest (beyond-ref; md5 cross-engine).
+# --------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_keys(docs, "doc_id", "text")
+
+
+DEDUP_EXACT_ORACLE = r"""
+SELECT
+  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS dedup_key,
+  MIN(doc_id) AS keep_id,
+  COUNT(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (beyond-ref F-series analog).
+# --------------------------------------------------------------------------
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.fingerprint(F.col("text")).alias("fp16"),
+        text.normalize_text(F.col("text")).alias("norm_text"),
+    ).select(
+        "doc_id", "fp16", F.length("norm_text").alias("n_norm_chars")
+    )
+
+
+TXT_FP_ORACLE = r"""
+SELECT
+  doc_id,
+  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp16,
+  length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_norm_chars
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures (beyond-ref): md5-derived min-wise family — fully
+# oracle-checkable because the hash family is engine-portable.
+# --------------------------------------------------------------------------
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(docs, "doc_id", "text", num_hashes=4, shingle_n=3)
+    return sig.select(
+        "doc_id",
+        F.element_at("sig", 1).alias("h0"),
+        F.element_at("sig", 2).alias("h1"),
+        F.element_at("sig", 3).alias("h2"),
+        F.element_at("sig", 4).alias("h3"),
+    )
+
+
+DEDUP_MINHASH_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split_regex(t, '\s+') AS w FROM norm
+), sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT
+      doc_id,
+      array_to_string(w[i : i + 2], ' ') AS shingle
+    FROM toks,
+         LATERAL (SELECT unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i)
+  )
+)
+SELECT
+  doc_id,
+  MIN(md5('0:' || shingle)) AS h0,
+  MIN(md5('1:' || shingle)) AS h1,
+  MIN(md5('2:' || shingle)) AS h2,
+  MIN(md5('3:' || shingle)) AS h3
+FROM sh
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints (beyond-ref) — md5-bit majority, oracle-checkable.
+# --------------------------------------------------------------------------
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_table(docs, "doc_id", "text", bits=16, shingle_n=2)
+
+
+DEDUP_SIMHASH_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split_regex(t, '\s+') AS w FROM norm
+), sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id, array_to_string(w[i : i + 1], ' ') AS shingle
+    FROM toks,
+         LATERAL (SELECT unnest(generate_series(1, GREATEST(len(w) - 1, 1))) AS i)
+  )
+), bits AS (
+  SELECT
+    doc_id, shingle,
+    CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS hx
+  FROM sh
+), votes AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (hx >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM bits, LATERAL (SELECT unnest(generate_series(0, 15)) AS bit) b
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM votes
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k (beyond-ref similarity baseline).
+# --------------------------------------------------------------------------
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk_pairs(emb, k=3)
+    # round for cross-engine float-accumulation tolerance; rank computed on
+    # the unrounded value with neighbor_id tiebreak
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cos_sim"), 6).alias("cos_sim_r6"), "rk"
+    )
+
+
+SIM_COSINE_ORACLE = """
+WITH pairs AS (
+  SELECT
+    a.vec_id AS query_id,
+    b.vec_id AS neighbor_id,
+    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos_sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim_r6, rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed approximate NN (scale path) — rows-only check: bucket
+# membership depends on the engine-side hyperplane literals.
+# --------------------------------------------------------------------------
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ann_lsh_topk(emb, dims=64, k=3, planes=8)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cos_sim"), 6).alias("cos_sim_r6"), "rk"
+    )
+
+
+QUERIES: dict[str, Q] = {
+    "txt_token_stats": Q(
+        txt_token_stats,
+        TXT_TOKEN_ORACLE,
+        ("F8", "beyond:text"),
+        "token/char/punct statistics per document",
+    ),
+    "txt_quality": Q(
+        txt_quality,
+        TXT_QUALITY_ORACLE,
+        ("beyond:text", "F23"),
+        "quality scoring + stopword-vote language ID",
+    ),
+    "txt_fingerprint": Q(
+        txt_fingerprint,
+        TXT_FP_ORACLE,
+        ("beyond:text", "F1", "F3"),
+        "normalized-content md5 fingerprint",
+    ),
+    "dedup_exact": Q(
+        dedup_exact,
+        DEDUP_EXACT_ORACLE,
+        ("beyond:dedup", "S9"),
+        "exact dedup via content-digest hash groupBy",
+    ),
+    "dedup_minhash": Q(
+        dedup_minhash,
+        DEDUP_MINHASH_ORACLE,
+        ("beyond:dedup",),
+        "MinHash signatures over word shingles (md5 min-wise family)",
+    ),
+    "dedup_simhash": Q(
+        dedup_simhash,
+        DEDUP_SIMHASH_ORACLE,
+        ("beyond:dedup",),
+        "SimHash bit-majority fingerprints",
+    ),
+    "sim_cosine_topk": Q(
+        sim_cosine_topk,
+        SIM_COSINE_ORACLE,
+        ("beyond:similarity",),
+        "brute-force cosine top-k neighbors",
+    ),
+    "sim_ann_lsh": Q(
+        sim_ann_lsh,
+        None,  # hyperplane literals live engine-side → rows-only check
+        ("beyond:similarity",),
+        "SRP-LSH bucketed approximate top-k",
+    ),
+}
