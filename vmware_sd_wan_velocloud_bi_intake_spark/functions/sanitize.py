@@ -28,15 +28,20 @@ def _c(col: Column | str) -> Column:
 
 
 def sanitize_text(col: Column | str) -> Column:
-    """Drop latin1-incompatible characters; '' → 'Invalid'; NULL → NULL."""
+    """Drop latin1-incompatible characters; '' → 'Invalid'; NULL → NULL.
+
+    latin1 (ISO-8859-1) maps exactly the codepoints ≤ 0xFF, so the
+    reference's ``encode('latin1', errors='ignore')`` is precisely "drop
+    codepoints above U+00FF" — expressed as a single regexp (codegen'd),
+    no encode/decode round-trip.
+    """
     c = _c(col)
-    cleaned = F.decode(F.encode(c, "ISO-8859-1"), "ISO-8859-1")
-    # encode substitutes unmappable chars with '?'; strip those to mirror the
-    # reference's errors='ignore' drop semantics.
-    cleaned = F.regexp_replace(cleaned, r"\?", "")
-    return F.when(c.isNull(), F.lit(None).cast("string")).when(
-        F.length(F.trim(cleaned)) == 0, F.lit(INVALID)
-    ).otherwise(cleaned)
+    cleaned = F.regexp_replace(c, r"[^\x00-\xff]", "")
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(F.length(F.trim(cleaned)) == 0, F.lit(INVALID))
+        .otherwise(cleaned)
+    )
 
 
 def valid_name(col: Column | str, max_len: int = 60) -> Column:

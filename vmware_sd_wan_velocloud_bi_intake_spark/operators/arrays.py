@@ -38,7 +38,13 @@ def fold_elementwise_sum(arrays: Column, length: int) -> Column:
         arrays,
         zero_arr,
         lambda acc, arr: F.zip_with(
-            acc, arr, lambda x, y: x + F.coalesce(y.cast("decimal(28,2)"), F.lit(0).cast("decimal(28,2)"))
+            acc,
+            arr,
+            # re-cast each step: decimal addition widens precision by 1 and
+            # would otherwise break the fold's accumulator-type contract
+            lambda x, y: (
+                x + F.coalesce(y.cast("decimal(28,2)"), F.lit(0).cast("decimal(28,2)"))
+            ).cast("decimal(28,2)"),
         ),
     )
 
