@@ -17,11 +17,47 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
+# Python workers unpickle UDF closures referencing the package; make it
+# importable for worker processes spawned after this import.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_REPO_ROOT] + [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep) if p]
+)
 
 from vmware_sd_wan_velocloud_bi_intake_spark.queries import all_queries  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+_PYFILES_SENT: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Distribute the package to executors of an externally-created session.
+
+    Covers the case where the driver built the SparkSession before importing
+    this module (workers then never saw our PYTHONPATH): a zip of the package
+    goes out via addPyFile once per session.
+    """
+    key = id(spark)
+    if key in _PYFILES_SENT:
+        return
+    try:
+        import shutil
+        import tempfile
+
+        zip_base = os.path.join(
+            tempfile.gettempdir(), "vmware_sd_wan_velocloud_bi_intake_spark_pkg"
+        )
+        zip_path = shutil.make_archive(
+            zip_base,
+            "zip",
+            root_dir=_REPO_ROOT,
+            base_dir="vmware_sd_wan_velocloud_bi_intake_spark",
+        )
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # local-mode sessions created after import already inherit PYTHONPATH
+    _PYFILES_SENT.add(key)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,12 +66,21 @@ def entry(spark: SparkSession) -> DataFrame:
     Uses the pricing-summary aggregation (A8 family) — the engine's
     minimum end-to-end slice per SURVEY.md §7 step 2.
     """
+    _ship_package(spark)
     return all_queries()["a08_pricing_summary"].fn(spark, SMOKE_SF_DIR)
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in all_queries().items()}
+    return {name: _wrap(q.fn) for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

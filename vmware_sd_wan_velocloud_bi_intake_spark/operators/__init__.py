@@ -1,3 +1,21 @@
-from . import arrays, dedup, rollups, sequences, similarity, text
+from . import (
+    arrays,
+    dedup,
+    enrichment,
+    multimodal,
+    rollups,
+    sequences,
+    similarity,
+    text,
+)
 
-__all__ = ["arrays", "dedup", "rollups", "sequences", "similarity", "text"]
+__all__ = [
+    "arrays",
+    "dedup",
+    "enrichment",
+    "multimodal",
+    "rollups",
+    "sequences",
+    "similarity",
+    "text",
+]

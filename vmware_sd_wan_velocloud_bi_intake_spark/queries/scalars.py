@@ -291,6 +291,39 @@ FROM customer
 
 
 # --------------------------------------------------------------------------
+# U1/U2: external-enrichment UDF (offline deterministic client) + rollup.
+# Reference: Nominatim/MaxMind lookups powerbi_main_fun.py:624-653, :736-745.
+# The md5-derived fake client is replicated in SQL, proving the mapInPandas
+# plumbing (batching, caching, rate limiting) preserves per-row semantics.
+# --------------------------------------------------------------------------
+def u01_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.enrichment import enrich_region
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = enrich_region(cust, "c_custkey")
+    return enriched.groupBy("region").agg(
+        F.count("*").alias("n_customers"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+U01_ORACLE = """
+WITH enriched AS (
+  SELECT
+    c_custkey,
+    c_mktsegment,
+    ['AMER','EMEA','APAC','LATAM'][
+      (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2)) AS INT) % 4) + 1
+    ] AS region
+  FROM customer
+)
+SELECT region, COUNT(*) AS n_customers, COUNT(DISTINCT c_mktsegment) AS n_segments
+FROM enriched
+GROUP BY region
+"""
+
+
+# --------------------------------------------------------------------------
 # A15: distinct-entity census (the reference's SLA audit).
 # Reference: inventory_sla.py:110-140.
 # --------------------------------------------------------------------------
@@ -404,6 +437,12 @@ QUERIES: dict[str, Q] = {
         EAV_PIVOT_ORACLE,
         ("S8",),
         "EAV long form → wide via map_from_entries",
+    ),
+    "u01_geo_enrich": Q(
+        u01_geo_enrich,
+        U01_ORACLE,
+        ("U1", "U2", "J9", "T7"),
+        "external-enrichment mapInPandas with cache + rate limiter",
     ),
     "a15_census": Q(a15_census, A15_ORACLE, ("A15",), "distinct-entity census audit"),
     "o02_ordered_limit": Q(

@@ -18,6 +18,19 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Repo root (parent of this package): Python workers unpickle UDF closures
+# that reference package symbols, so the package must be importable on every
+# worker regardless of the driver's cwd.
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _export_pythonpath() -> str:
+    current = os.environ.get("PYTHONPATH", "")
+    parts = [p for p in current.split(os.pathsep) if p]
+    if _PKG_ROOT not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join([_PKG_ROOT, *parts])
+    return os.environ["PYTHONPATH"]
+
 
 def get_spark(
     app_name: str = "vmware_sd_wan_velocloud_bi_intake_spark",
@@ -31,6 +44,7 @@ def get_spark(
     ``local[$SPARK_GRAFT_CPUS]``.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    pythonpath = _export_pythonpath()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
@@ -49,6 +63,7 @@ def get_spark(
         # the fixture events table stores TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert in the loader (tables.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.executorEnv.PYTHONPATH", pythonpath)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
