@@ -35,11 +35,14 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     catalog = all_queries()
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session spin-up
+    # warm the JVM + parquet footers + Python worker pool once so per-query
+    # numbers measure the queries, not session/pool spin-up
     catalog["a08_pricing_summary"].fn(spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, q in sorted(catalog.items()):

@@ -1,0 +1,98 @@
+"""Property tests: the engine's islands-based outage analytics must agree
+with a direct single-pass model of the reference's loop semantics
+(SURVEY.md §7 risk register — W1–W3 are the 'hard part').
+
+The model below implements the DERIVED SPEC (not the reference code): for
+each occurrence of a start state s at position i, if seq[i+1] == target the
+counter increments and the duration accumulates the full consecutive run of
+``target`` starting at i+1. Brownouts use (s=4 → target=2); blackouts sum
+(s∈{3,2,4} → target=0). Reference behavior documented at
+powerbi_main_fun.py:1709-1775 and :1855-1879.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from vmware_sd_wan_velocloud_bi_intake_spark.operators.sequences import (
+    qoe_outage_summary,
+)
+
+
+def model_transition_runs(seq: list[int], start_state: int, target: int):
+    """(count, duration_samples) per the derived reference spec."""
+    count = 0
+    duration = 0
+    n = len(seq)
+    for i, s in enumerate(seq):
+        if s != start_state:
+            continue
+        if i + 1 < n and seq[i + 1] == target:
+            count += 1
+            j = i + 1
+            while j < n and seq[j] == target:
+                duration += 1
+                j += 1
+    return count, duration
+
+
+def model_outages(seq: list[int]):
+    brownouts, brown_dur = model_transition_runs(seq, 4, 2)
+    blackouts = black_dur = 0
+    for s in (3, 2, 4):
+        c, d = model_transition_runs(seq, s, 0)
+        blackouts += c
+        black_dur += d
+    return {
+        "brownouts": brownouts,
+        "brownout_samples": brown_dur,
+        "blackouts": blackouts,
+        "blackout_samples": black_dur,
+    }
+
+
+STATE_SEQ = st.lists(st.sampled_from([0, 2, 3, 4]), min_size=1, max_size=60)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seq=STATE_SEQ)
+def test_outage_summary_matches_reference_model(spark, seq):
+    rows = [(1, i, s) for i, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, "user_id int, pos int, state int")
+    got = qoe_outage_summary(df, "user_id", ["pos"]).collect()[0]
+    expected = model_outages(seq)
+    for k, v in expected.items():
+        assert got[k] == v, f"{k}: spark={got[k]} model={v} seq={seq}"
+
+
+@pytest.mark.parametrize(
+    "seq,brownouts,brown_dur,blackouts,black_dur",
+    [
+        # hand-computed goldens
+        ([4, 2, 2, 4, 2], 2, 3, 0, 0),
+        ([2, 4, 2, 2, 4], 1, 2, 0, 0),
+        ([3, 0, 0, 2, 0], 0, 0, 2, 3),
+        ([4, 0, 0, 0], 0, 0, 1, 3),
+        ([0, 0, 0], 0, 0, 0, 0),  # opening black run: no transition into it
+        ([4], 0, 0, 0, 0),
+        ([4, 2], 1, 1, 0, 0),
+        ([2, 2, 4, 4, 2, 0, 2, 0], 1, 1, 2, 2),
+    ],
+)
+def test_outage_goldens(spark, seq, brownouts, brown_dur, blackouts, black_dur):
+    rows = [(1, i, s) for i, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, "user_id int, pos int, state int")
+    got = qoe_outage_summary(df, "user_id", ["pos"]).collect()[0]
+    assert (
+        got["brownouts"],
+        got["brownout_samples"],
+        got["blackouts"],
+        got["blackout_samples"],
+    ) == (brownouts, brown_dur, blackouts, black_dur)

@@ -50,8 +50,9 @@ def fold_elementwise_sum(arrays: Column, length: int) -> Column:
 
 
 def kth_highest(arr: Column, k: int) -> Column:
-    """A11: k-th highest element of a numeric array (1-based)."""
-    return F.element_at(F.reverse(F.array_sort(arr)), k)
+    """A11: k-th highest element of a numeric array (1-based); NULL if the
+    array has fewer than k elements."""
+    return F.try_element_at(F.reverse(F.array_sort(arr)), F.lit(k))
 
 
 def count_equal(arr: Column, value) -> Column:

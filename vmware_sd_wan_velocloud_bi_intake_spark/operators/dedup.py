@@ -23,6 +23,16 @@ from pyspark.sql import functions as F
 from .text import normalize_text
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition on the doc key before CPU-heavy per-row expressions.
+
+    Small inputs arrive as one file split (one task); the shingle/hash work
+    is compute-bound, so spread it across the cluster. At 100 TB the scan
+    already yields thousands of splits and AQE coalesces this no-op away.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
 def exact_dedup_keys(df: DataFrame, doc_id: str, text: str) -> DataFrame:
     """Group exact duplicates by normalized-text digest.
 
@@ -62,7 +72,7 @@ def minhash_signature(df: DataFrame, doc_id: str, text: str, num_hashes: int = 8
     Computed by exploding shingles once and aggregating K mins in one pass
     (map-side combine; shuffle keyed by doc_id).
     """
-    sh = df.select(
+    sh = _spread(df, doc_id).select(
         F.col(doc_id).alias("doc_id"),
         F.explode(shingles(F.col(text), shingle_n)).alias("shingle"),
     )
@@ -160,7 +170,7 @@ def simhash_table(df: DataFrame, doc_id: str, text: str, bits: int = 32, shingle
     and takes the per-bit majority with one groupBy — the scalable formulation
     (shuffle keyed by doc_id, map-side partial sums).
     """
-    sh = df.select(
+    sh = _spread(df, doc_id).select(
         F.col(doc_id).alias("doc_id"),
         F.explode(shingles(F.col(text), shingle_n)).alias("shingle"),
     )

@@ -128,6 +128,88 @@ def degraded_run_summary(
     )
 
 
+def island_table(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    state: str = "state",
+) -> DataFrame:
+    """One row per (key, island): state, run_len, and the state immediately
+    before the island started (``island_prev``, NULL for the first island).
+
+    The predecessor state is what the reference's loop semantics hinge on:
+    a brownout is a red island whose predecessor is green
+    (CalculateBrownouts, powerbi_main_fun.py:1709-1741 — Brownout++ on
+    qoe[i]==4 ∧ qoe[i+1]==2, Timer += the consecutive-2 run from i+1), and a
+    blackout is a black island whose predecessor is any non-black state
+    (CalculateBlackouts called with start states 3, 2, 4 and summed,
+    :1855-1879).
+    """
+    staged = with_prev_state(df, key, order, state)
+    w_all = Window.partitionBy(key).orderBy(*order)
+    w_state = Window.partitionBy(key, state).orderBy(*order)
+    islands = staged.withColumn(
+        "island_id", F.row_number().over(w_all) - F.row_number().over(w_state)
+    )
+    s, p = F.col(state), F.col("prev_state")
+    return islands.groupBy(key, state, "island_id").agg(
+        F.count("*").alias("run_len"),
+        # only the island's first row has prev != state (or NULL prev)
+        F.max(F.when(p.isNull() | (p != s), p)).alias("island_prev"),
+        F.min(F.when(p.isNull(), 1).otherwise(0)).alias("__starts_sequence"),
+    )
+
+
+def qoe_outage_summary(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    state: str = "state",
+) -> DataFrame:
+    """Per-key brownout/blackout counts and durations — the reference's QoE
+    loop semantics (W1+W2+W3) as one islands pass.
+
+    - brownouts          := # islands(state=2, island_prev=4)
+    - brownout_samples   := Σ run_len over those islands
+    - blackouts          := # islands(state=0, island_prev ∈ {2,3,4})
+    - blackout_samples   := Σ run_len over those islands
+    - *_minutes          := samples × 7.12 (exact: n·712/60 as one division;
+      the reference rounds to 3 and coerces 0.0→0, powerbi_main_fun.py:1875-1882)
+    """
+    islands = island_table(df, key, order, state)
+    is_brown = (F.col(state) == STATE_RED) & (F.col("island_prev") == STATE_GREEN)
+    is_black = (F.col(state) == STATE_BLACK) & F.col("island_prev").isNotNull() & (
+        F.col("island_prev") != STATE_BLACK
+    )
+    out = islands.groupBy(key).agg(
+        F.sum(F.when(is_brown, 1).otherwise(0)).cast("long").alias("brownouts"),
+        F.sum(F.when(is_brown, F.col("run_len")).otherwise(0))
+        .cast("long")
+        .alias("brownout_samples"),
+        F.sum(F.when(is_black, 1).otherwise(0)).cast("long").alias("blackouts"),
+        F.sum(F.when(is_black, F.col("run_len")).otherwise(0))
+        .cast("long")
+        .alias("blackout_samples"),
+    )
+    return out.select(
+        key,
+        "brownouts",
+        "brownout_samples",
+        (F.col("brownout_samples") * F.lit(712)).cast("double").alias("__bm"),
+        "blackouts",
+        "blackout_samples",
+        (F.col("blackout_samples") * F.lit(712)).cast("double").alias("__bk"),
+    ).select(
+        key,
+        "brownouts",
+        "brownout_samples",
+        (F.col("__bm") / F.lit(6000.0)).alias("brownout_minutes"),
+        "blackouts",
+        "blackout_samples",
+        (F.col("__bk") / F.lit(6000.0)).alias("blackout_minutes"),
+    )
+
+
 def tumbling_min_score(
     df: DataFrame,
     key: str,

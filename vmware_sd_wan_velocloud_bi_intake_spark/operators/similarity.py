@@ -86,6 +86,11 @@ def cosine_topk_pairs(
         F.col(vec_id).alias("query_id"),
         as_double_array(F.col(embedding)).alias("qv"),
     )
+    # spread the query stream: small fixtures arrive as one split, and the
+    # matmul is compute-bound (at scale the scan is already many splits)
+    qside = qside.repartition(
+        qside.sparkSession.sparkContext.defaultParallelism, "query_id"
+    )
 
     def topk_blocks(batches):
         ids_b, mat_b, norm_b = bc.value
@@ -201,10 +206,14 @@ def ann_lsh_topk(
 
     Returns (query_id, neighbor_id, cos_sim, rk) — rk within-bucket.
     """
-    sig = emb.select(
-        F.col(vec_id).alias("vid"),
-        as_double_array(F.col(embedding)).alias("v"),
-    ).withColumn("sig", srp_signature(F.col("v"), dims, planes))
+    sig = (
+        emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, vec_id)
+        .select(
+            F.col(vec_id).alias("vid"),
+            as_double_array(F.col(embedding)).alias("v"),
+        )
+        .withColumn("sig", srp_signature(F.col("v"), dims, planes))
+    )
     a = sig.select(
         F.col("vid").alias("query_id"), F.col("v").alias("va"), "sig"
     )

@@ -16,6 +16,7 @@ from ..functions.exact import dec
 from ..functions.temporal import month_key
 from ..operators.sequences import (
     discretize_state,
+    qoe_outage_summary,
     transition_counts,
     run_lengths,
     tumbling_min_score,
@@ -111,6 +112,58 @@ SELECT
   CAST(MAX(run_len) * 712 AS DOUBLE) / 100.0 AS max_run_minutes
 FROM runs
 WHERE state = 2
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# W1+W2+W3 faithful composite: brownout/blackout counts AND durations with
+# the reference's island-predecessor semantics (duration = full run length
+# of the degraded island that a qualifying transition opens).
+# Reference: CalculateBrownouts/Blackouts powerbi_main_fun.py:1709-1775,
+# summation over start-states :1855-1879, 7.12-min samples :1875-1882.
+# --------------------------------------------------------------------------
+def w02_outage_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _with_state(load_table(spark, sf_dir, "events"))
+    return qoe_outage_summary(ev, "user_id", ORDER)
+
+
+W02_ORACLE = """
+WITH staged0 AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value < 50.0 THEN 0
+              WHEN value < 100.0 THEN 2
+              WHEN value < 150.0 THEN 3
+              ELSE 4 END AS state
+  FROM events
+), staged AS (
+  SELECT user_id, state,
+         LAG(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, state ORDER BY ts, event_id)
+           AS island_id
+  FROM staged0
+), islands AS (
+  SELECT user_id, state, island_id, COUNT(*) AS run_len,
+         MAX(CASE WHEN prev_state IS NULL OR prev_state <> state
+                  THEN prev_state END) AS island_prev
+  FROM staged GROUP BY 1, 2, 3
+)
+SELECT
+  user_id,
+  CAST(SUM(CASE WHEN state = 2 AND island_prev = 4 THEN 1 ELSE 0 END) AS BIGINT)
+    AS brownouts,
+  CAST(SUM(CASE WHEN state = 2 AND island_prev = 4 THEN run_len ELSE 0 END) AS BIGINT)
+    AS brownout_samples,
+  CAST(SUM(CASE WHEN state = 2 AND island_prev = 4 THEN run_len ELSE 0 END) * 712
+       AS DOUBLE) / 6000.0 AS brownout_minutes,
+  CAST(SUM(CASE WHEN state = 0 AND island_prev IS NOT NULL AND island_prev <> 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS blackouts,
+  CAST(SUM(CASE WHEN state = 0 AND island_prev IS NOT NULL AND island_prev <> 0
+                THEN run_len ELSE 0 END) AS BIGINT) AS blackout_samples,
+  CAST(SUM(CASE WHEN state = 0 AND island_prev IS NOT NULL AND island_prev <> 0
+                THEN run_len ELSE 0 END) * 712 AS DOUBLE) / 6000.0 AS blackout_minutes
+FROM islands
 GROUP BY user_id
 """
 
@@ -315,6 +368,12 @@ QUERIES: dict[str, Q] = {
         W01_ORACLE,
         ("W1", "W2"),
         "brownout/blackout state-transition detection via lag",
+    ),
+    "w02_outage_summary": Q(
+        w02_outage_summary,
+        W02_ORACLE,
+        ("W1", "W2", "W3", "F15"),
+        "brownout/blackout counts + island-length durations (faithful spec)",
     ),
     "w03_runlengths": Q(
         w03_runlengths,
