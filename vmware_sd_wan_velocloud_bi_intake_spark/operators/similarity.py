@@ -163,6 +163,54 @@ def cosine_topk_pairs_hof(
     )
 
 
+def sign_block_key(embedding: Column, block_dims: int = 6) -> Column:
+    """Deterministic ANN blocking key: md5 of the sign pattern of the first
+    ``block_dims`` dimensions.
+
+    Unlike SRP (whose hyperplanes are engine-side literals), the sign pattern
+    is a pure function of the data — any engine reproduces the same buckets,
+    which makes the blocked near-dup join fully oracle-checkable. Vectors
+    with high cosine similarity agree on the sign of every high-magnitude
+    coordinate, so recall loss concentrates on near-zero coordinates (the
+    standard LSH trade-off; more dims → smaller buckets → lower recall).
+    """
+    bits = [
+        F.when(F.element_at(embedding, d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in range(block_dims)
+    ]
+    return F.md5(F.concat_ws("|", *bits))
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    block_dims: int = 6,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via deterministic sign-blocking.
+
+    The 100 TB shape: an equi-join on the block key (never a cross join) —
+    pair space is Σ bucket², tuned by ``block_dims``. Candidates get the
+    exact sequential-fold cosine; pairs at or above ``threshold`` survive.
+    Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b, each pair once.
+    """
+    v = emb.select(
+        F.col(vec_id).alias("vid"),
+        as_double_array(F.col(embedding)).alias("v"),
+    ).withColumn("blk", sign_block_key(F.col("v"), block_dims))
+    a = v.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), "blk")
+    b = v.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), "blk")
+    return (
+        a.join(b, on="blk")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+        )
+        .where(F.round(F.col("cos_sim"), 6) >= F.lit(threshold))
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane coefficient in [-1, 1).
 

@@ -169,6 +169,78 @@ GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# A14: max-aggregates over a metric time-series per entity — the gateway
+# status-metrics shape (getGatewayStatusMetrics takes server-side max of
+# cpuPct/memoryPct/flowCount over 24 h; gateway_script.py:252-262). Here
+# the raw series is ingested and the max/min/count computed engine-side,
+# grouped per (user, metric) — one shuffle, map-side partial aggregates.
+# --------------------------------------------------------------------------
+def a14_series_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+        F.count("*").cast("long").alias("n_samples"),
+    )
+
+
+A14_ORACLE = """
+SELECT user_id, event_type,
+       MAX(value) AS max_value,
+       MIN(value) AS min_value,
+       COUNT(*) AS n_samples
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# P1/P3–P6/P10: the reference's row-gate family in one pass —
+#   P3 null-key skip          (powerbi_main_fun.py:447-449)
+#   P4 state gate             (CONNECTED filter, :456-460)
+#   P5 skip-list              (events_to_skip, :845-851)
+#   P6 flag-list membership   (outdatedversion/eoslversion, :944-1014)
+#   P10 sentinel-value class  (lat==37.402866 ⇒ 'private', :1548-1551)
+#   P1 single-entity debug    (data_sanitization.py:51-53; off by default)
+# All land below the parquet scan as PushedFilters; the flag columns are
+# literal-set membership (broadcast-free, constant-folded).
+# --------------------------------------------------------------------------
+def p03_event_gates(
+    spark: SparkSession, sf_dir: str, debug_user: int | None = None
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    if debug_user is not None:  # P1 debug gate
+        ev = ev.filter(F.col("user_id") == F.lit(debug_user))
+    skip_list = ["view"]  # P5 analog of events_to_skip
+    flag_list = ["error", "signup"]  # P6 analog of outdated-version lists
+    return (
+        ev.filter(F.col("user_id").isNotNull())  # P3
+        .filter(F.col("event_type") != "click")  # P4 state gate
+        .filter(~F.col("event_type").isin(skip_list))  # P5
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("event_type").isin(flag_list).alias("is_flagged"),  # P6
+            F.when(F.col("value") < F.lit(50.0), F.lit("degraded"))  # P10
+            .otherwise(F.lit("normal"))
+            .alias("value_class"),
+        )
+    )
+
+
+P03_ORACLE = """
+SELECT event_id, user_id, event_type,
+       event_type IN ('error', 'signup') AS is_flagged,
+       CASE WHEN value < 50.0 THEN 'degraded' ELSE 'normal' END AS value_class
+FROM events
+WHERE user_id IS NOT NULL
+  AND event_type <> 'click'
+  AND event_type NOT IN ('view')
+"""
+
+
+# --------------------------------------------------------------------------
 # W4/A12: tumbling-hour mean score, daily minimum.
 # Reference: lowest_qoe powerbi_main_fun.py:1778-1804.
 # --------------------------------------------------------------------------
@@ -374,6 +446,18 @@ QUERIES: dict[str, Q] = {
         W02_ORACLE,
         ("W1", "W2", "W3", "F15"),
         "brownout/blackout counts + island-length durations (faithful spec)",
+    ),
+    "a14_series_max": Q(
+        a14_series_max,
+        A14_ORACLE,
+        ("A14",),
+        "max/min aggregates over metric time-series per entity",
+    ),
+    "p03_event_gates": Q(
+        p03_event_gates,
+        P03_ORACLE,
+        ("P1", "P3", "P4", "P5", "P6", "P10"),
+        "row-gate family: null-key, state, skip-list, flag-list, sentinel",
     ),
     "w03_runlengths": Q(
         w03_runlengths,

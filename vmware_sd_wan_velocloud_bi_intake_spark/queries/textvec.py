@@ -232,6 +232,136 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# MinHash-LSH → exact n-gram Jaccard near-dup pipeline (beyond-ref): the
+# full two-phase dedup — md5 min-wise signatures, 2-band buckets, candidate
+# self-join within buckets only, exact shingle-set Jaccard ≥ threshold.
+# Every stage is md5/integer-deterministic, so the whole pipeline is
+# oracle-checkable end to end.
+# --------------------------------------------------------------------------
+def dedup_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.4, num_hashes=4, bands=2, shingle_n=3
+    )
+    return out.select(
+        "doc_a", "doc_b", F.round(F.col("jaccard"), 6).alias("jaccard_r6")
+    )
+
+
+DEDUP_NEARDUP_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split_regex(t, '\s+') AS w FROM norm
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(w[i : i + 2], ' ') AS shingle
+    FROM toks,
+         LATERAL (SELECT unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i))
+), sig AS (
+  SELECT doc_id,
+         MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
+         MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3
+  FROM sh GROUP BY doc_id
+), buckets AS (
+  SELECT doc_id, md5('0|' || h0 || '|' || h1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, md5('1|' || h2 || '|' || h3) FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+), shl AS (
+  SELECT doc_id, list(shingle) AS sl FROM sh GROUP BY doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.sl, y.sl))), 6) AS jaccard_r6
+FROM cand
+JOIN shl x ON x.doc_id = cand.doc_a
+JOIN shl y ON y.doc_id = cand.doc_b
+WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
+      / len(list_distinct(list_concat(x.sl, y.sl))) >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (beyond-ref): deterministic sign-pattern
+# blocking (data-derived, so both engines build identical buckets) + exact
+# sequential-fold cosine ≥ threshold. The equi-join-on-block shape is the
+# 100 TB path; contrast sim_ann_lsh whose hyperplanes live engine-side.
+# --------------------------------------------------------------------------
+def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_neardup_pairs(emb, threshold=0.4, block_dims=6)
+    return out.select(
+        "vec_a", "vec_b", F.round(F.col("cos_sim"), 6).alias("cos_sim_r6")
+    )
+
+
+SIM_NEARDUP_ORACLE = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         md5(concat_ws('|',
+           CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END)) AS blk
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e))
+              * sqrt(list_dot_product(b.e, b.e))) AS cos_sim
+  FROM v a JOIN v b ON a.blk = b.blk AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, ROUND(cos_sim, 6) AS cos_sim_r6
+FROM p WHERE ROUND(cos_sim, 6) >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal byte-feature extraction (beyond-ref): binary payload + typed
+# metadata through the Arrow-batched mapInPandas decode path, with the
+# deterministic fake decoder (codecs absent in this environment). The
+# documents fixture is pure ASCII, so the oracle recomputes the byte
+# statistics character-wise in SQL — the UDF plumbing is value-checked,
+# not just smoke-checked.
+# --------------------------------------------------------------------------
+def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    feats = multimodal.extract_features(media, decoder=multimodal.fake_decoder)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.col("byte_mean"), 6).alias("byte_mean_r6"),
+        F.element_at("byte_hist", 1).alias("hist_b0"),
+        F.element_at("byte_hist", 9).alias("hist_b8"),
+    )
+
+
+MM_BYTE_ORACLE = """
+WITH chars AS (
+  SELECT doc_id AS media_id,
+         ord(substr(text, i, 1)) AS byte
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)
+)
+SELECT media_id,
+       COUNT(*) AS n_bytes,
+       ROUND(CAST(SUM(byte) AS DOUBLE) / COUNT(*), 6) AS byte_mean_r6,
+       CAST(SUM(CASE WHEN byte % 16 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hist_b0,
+       CAST(SUM(CASE WHEN byte % 16 = 8 THEN 1 ELSE 0 END) AS BIGINT) AS hist_b8
+FROM chars GROUP BY media_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Brute-force cosine top-k (beyond-ref similarity baseline).
 # --------------------------------------------------------------------------
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,6 +442,24 @@ QUERIES: dict[str, Q] = {
         DEDUP_SIMHASH_ORACLE,
         ("beyond:dedup",),
         "SimHash bit-majority fingerprints",
+    ),
+    "dedup_neardup_jaccard": Q(
+        dedup_neardup_jaccard,
+        DEDUP_NEARDUP_ORACLE,
+        ("beyond:dedup",),
+        "MinHash-LSH candidates verified by exact n-gram Jaccard",
+    ),
+    "sim_cosine_neardup": Q(
+        sim_cosine_neardup,
+        SIM_NEARDUP_ORACLE,
+        ("beyond:similarity", "beyond:dedup"),
+        "embedding-cosine near-dup via deterministic sign-blocking",
+    ),
+    "mm_byte_features": Q(
+        mm_byte_features,
+        MM_BYTE_ORACLE,
+        ("beyond:multimodal",),
+        "binary-payload feature extraction through Arrow-batched decode",
     ),
     "sim_cosine_topk": Q(
         sim_cosine_topk,
