@@ -86,11 +86,6 @@ def cosine_topk_pairs(
         F.col(vec_id).alias("query_id"),
         as_double_array(F.col(embedding)).alias("qv"),
     )
-    # spread the query stream: small fixtures arrive as one split, and the
-    # matmul is compute-bound (at scale the scan is already many splits)
-    qside = qside.repartition(
-        qside.sparkSession.sparkContext.defaultParallelism, "query_id"
-    )
 
     def topk_blocks(batches):
         ids_b, mat_b, norm_b = bc.value
@@ -195,17 +190,34 @@ def cosine_neardup_pairs(
     exact sequential-fold cosine; pairs at or above ``threshold`` survive.
     Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b, each pair once.
     """
-    v = emb.select(
-        F.col(vec_id).alias("vid"),
-        as_double_array(F.col(embedding)).alias("v"),
-    ).withColumn("blk", sign_block_key(F.col("v"), block_dims))
-    a = v.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), "blk")
-    b = v.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), "blk")
+    v = (
+        emb.select(
+            F.col(vec_id).alias("vid"),
+            as_double_array(F.col(embedding)).alias("v"),
+        )
+        # hoist the norm: computed once per vector (n folds), not once per
+        # pair side (Σ bucket² folds); the cosine keeps the oracle's exact
+        # operand order dot/(norm_a·norm_b) so doubles stay bit-identical
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .withColumn("blk", sign_block_key(F.col("v"), block_dims))
+    )
+    a = v.select(
+        F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "blk",
+    )
+    b = v.select(
+        F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "blk",
+    )
     return (
         a.join(b, on="blk")
         .where(F.col("vec_a") < F.col("vec_b"))
         .select(
-            "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+            "vec_a",
+            "vec_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos_sim"
+            ),
         )
         .where(F.round(F.col("cos_sim"), 6) >= F.lit(threshold))
     )
@@ -248,29 +260,60 @@ def ann_lsh_topk(
     """Approximate kNN: exact cosine ranking within SRP-LSH buckets.
 
     Vectors whose signatures share a bucket are compared exactly; everything
-    else is pruned. Equi-join on the signature replaces the cross join — the
-    100 TB-safe shape. Recall is tuned by ``planes`` (fewer planes → bigger
-    buckets → higher recall, more work).
+    else is pruned. Buckets are materialized once (groupBy sig + in-array
+    pair expansion) rather than via a self-join, which would re-execute the
+    ``planes × dims`` projection subplan for both join branches; the plain
+    vectors are then joined back for exact scoring — the 100 TB-safe shape.
+    Recall is tuned by ``planes`` (fewer planes → bigger buckets → higher
+    recall, more work).
 
     Returns (query_id, neighbor_id, cos_sim, rk) — rk within-bucket.
     """
-    sig = (
-        emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, vec_id)
-        .select(
-            F.col(vec_id).alias("vid"),
-            as_double_array(F.col(embedding)).alias("v"),
+    base = emb.select(
+        F.col(vec_id).alias("vid"),
+        as_double_array(F.col(embedding)).alias("v"),
+    )
+    sig = base.withColumn("sig", srp_signature(F.col("v"), dims, planes))
+    groups = (
+        sig.groupBy("sig")
+        .agg(F.sort_array(F.collect_set("vid")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    # all ordered pairs (a ≠ b) within the bucket — each is its own query
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x: F.filter(
+                F.transform(ids, lambda y: F.struct(x.alias("q"), y.alias("n"))),
+                lambda p: p["q"] != p["n"],
+            ),
         )
-        .withColumn("sig", srp_signature(F.col("v"), dims, planes))
     )
-    a = sig.select(
-        F.col("vid").alias("query_id"), F.col("v").alias("va"), "sig"
+    pairs = (
+        groups.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.q").alias("query_id"), F.col("p.n").alias("neighbor_id"))
+        .distinct()
     )
-    b = sig.select(
-        F.col("vid").alias("neighbor_id"), F.col("v").alias("vb"), "sig"
+    vec = base.withColumn("nrm", l2_norm(F.col("v")))
+    qa = vec.select(
+        F.col("vid").alias("query_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
-    pairs = a.join(b, on="sig").where(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "query_id", "neighbor_id", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+    nb = vec.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    scored = (
+        pairs.join(qa, "query_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos_sim"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

@@ -153,7 +153,7 @@ FROM documents
 # oracle-checkable because the hash family is engine-portable.
 # --------------------------------------------------------------------------
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     sig = dedup.minhash_signature(docs, "doc_id", "text", num_hashes=4, shingle_n=3)
     return sig.select(
         "doc_id",
@@ -195,7 +195,7 @@ GROUP BY doc_id
 # SimHash fingerprints (beyond-ref) — md5-bit majority, oracle-checkable.
 # --------------------------------------------------------------------------
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return dedup.simhash_table(docs, "doc_id", "text", bits=16, shingle_n=2)
 
 
@@ -239,7 +239,7 @@ GROUP BY doc_id
 # oracle-checkable end to end.
 # --------------------------------------------------------------------------
 def dedup_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     out = dedup.near_dup_pairs(
         docs, "doc_id", "text", threshold=0.4, num_hashes=4, bands=2, shingle_n=3
     )
@@ -292,7 +292,7 @@ WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
 # 100 TB path; contrast sim_ann_lsh whose hyperplanes live engine-side.
 # --------------------------------------------------------------------------
 def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     out = similarity.cosine_neardup_pairs(emb, threshold=0.4, block_dims=6)
     return out.select(
         "vec_a", "vec_b", F.round(F.col("cos_sim"), 6).alias("cos_sim_r6")
@@ -365,7 +365,7 @@ FROM chars GROUP BY media_id
 # Brute-force cosine top-k (beyond-ref similarity baseline).
 # --------------------------------------------------------------------------
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     out = similarity.cosine_topk_pairs(emb, k=3)
     # round for cross-engine float-accumulation tolerance; rank computed on
     # the unrounded value with neighbor_id tiebreak
@@ -399,7 +399,7 @@ FROM ranked WHERE rk <= 3
 # membership depends on the engine-side hyperplane literals.
 # --------------------------------------------------------------------------
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     out = similarity.ann_lsh_topk(emb, dims=64, k=3, planes=8)
     return out.select(
         "query_id", "neighbor_id", F.round(F.col("cos_sim"), 6).alias("cos_sim_r6"), "rk"

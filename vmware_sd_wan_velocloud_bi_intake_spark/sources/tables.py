@@ -30,8 +30,22 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Parquet scans parallelize at row-group granularity, and the fixture files
+# are written as a SINGLE row group each — so everything Catalyst fuses into
+# the scan stage (shingling, per-row hashing, array folds) serializes into
+# one task. ``spread=True`` inserts one round-robin repartition after the
+# scan for exactly those compute-before-first-shuffle operators, and ONLY
+# when the file is small; above the threshold it never fires, so a 100 TB
+# corpus (thousands of row groups, natural scan parallelism) is never
+# reshuffled just to gain parallelism. Queries whose first operation is
+# already a shuffle (groupBy/window) must NOT spread — they gain nothing
+# and pay an extra sort + exchange (measured 2-8× slowdowns).
+SPREAD_MAX_BYTES = 256 * 1024 * 1024
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Read one fixture table. Columnar scan; filters/projections push down.
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
@@ -39,9 +53,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and is normalized here to a microsecond timestamp (exact — fixture
     timestamps carry at most microsecond precision).
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spread:
+        try:
+            small = os.path.getsize(path) <= SPREAD_MAX_BYTES
+        except OSError:
+            small = False
+        if small:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
