@@ -95,3 +95,23 @@ def test_interval_pushdown_limits_transport_rows():
         },
     )
     assert len(narrow["data"]) < len(full["data"])
+
+
+def test_naming_conformance(spark):
+    from vmware_sd_wan_velocloud_bi_intake_spark.functions.naming import (
+        camel_to_snake,
+        conform_columns,
+        snake_to_camel,
+    )
+
+    assert camel_to_snake("edgeState") == "edge_state"
+    assert camel_to_snake("linkUUIDValue") == "link_uuid_value"
+    assert camel_to_snake("already_snake") == "already_snake"
+    assert snake_to_camel("edge_state") == "edgeState"
+    assert snake_to_camel("a") == "a"
+    df = spark.createDataFrame([(1, "x")], "edgeId int, edgeState string")
+    assert conform_columns(df).columns == ["edge_id", "edge_state"]
+    assert conform_columns(conform_columns(df), "camel").columns == [
+        "edgeId",
+        "edgeState",
+    ]

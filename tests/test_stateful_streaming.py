@@ -1,0 +1,106 @@
+"""The applyInPandasWithState outage machine must (a) agree with the batch
+gaps-and-islands operator on a fully consumed stream and (b) carry open
+runs ACROSS micro-batch boundaries — the property that makes it a genuinely
+stateful operator rather than a per-batch aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vmware_sd_wan_velocloud_bi_intake_spark.operators.sequences import (
+    qoe_outage_summary,
+)
+from vmware_sd_wan_velocloud_bi_intake_spark.streaming.stateful import (
+    _fold_outages,
+    streaming_outage_summary,
+)
+
+# Sequences chosen so outage runs SPAN the batch-1/batch-2 boundary:
+# user 1: [4,2,2 | 2,0,0,4,2] → one brownout (island 2,2,2 spanning the
+#         split), one blackout (0,0 from 2), one more brownout at the end.
+# user 2: [0,4,4 | 2,2,2,2,0] → brownout spanning nothing (starts batch 2),
+#         blackout from 2 at the end; leading 0 has no predecessor → not
+#         counted (island_prev IS NULL semantics).
+SEQS = {1: [4, 2, 2, 2, 0, 0, 4, 2], 2: [0, 4, 4, 2, 2, 2, 2, 0]}
+SPLIT = 3  # first 3 samples per user → micro-batch 1, rest → micro-batch 2
+
+
+def _rows(which: slice):
+    import datetime
+
+    out = []
+    for uid, seq in SEQS.items():
+        for i, s in list(enumerate(seq))[which]:
+            ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i)
+            out.append((uid, ts, i, s))
+    return out
+
+
+def test_pure_fold_matches_island_model():
+    st = (None, False, False, 0, 0, 0, 0, 0)
+    st = _fold_outages(st, SEQS[1])
+    assert (st[3], st[4], st[5], st[6]) == (2, 4, 1, 2)
+    st2 = _fold_outages((None, False, False, 0, 0, 0, 0, 0), SEQS[2])
+    assert (st2[3], st2[4], st2[5], st2[6]) == (1, 4, 1, 1)
+
+
+def test_fold_is_split_invariant():
+    # cutting the sequence anywhere must not change the result
+    for cut in range(len(SEQS[1]) + 1):
+        st = (None, False, False, 0, 0, 0, 0, 0)
+        st = _fold_outages(st, SEQS[1][:cut])
+        st = _fold_outages(st, SEQS[1][cut:])
+        assert (st[3], st[4], st[5], st[6]) == (2, 4, 1, 2), cut
+
+
+@pytest.mark.parametrize("n_batches", [1, 2])
+def test_streaming_state_spans_microbatches(spark, tmp_path, n_batches):
+    schema = "user_id long, ts timestamp, event_id long, state int"
+    stream_dir = tmp_path / f"qoe_stream_{n_batches}"
+    stream_dir.mkdir()
+    if n_batches == 1:
+        batches = [_rows(slice(None))]
+    else:
+        batches = [_rows(slice(None, SPLIT)), _rows(slice(SPLIT, None))]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stream_dir / f"b{i:03d}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir / "*.parquet"))
+    )
+    name = f"outage_state_{n_batches}"
+    q = (
+        streaming_outage_summary(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # latest emission per key = the cumulative summary
+    final = (
+        spark.sql(f"SELECT * FROM {name}")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+            ),
+        )
+        .where("rn = 1")
+        .drop("rn")
+    )
+    batch_df = spark.createDataFrame(_rows(slice(None)), schema)
+    expected = qoe_outage_summary(batch_df, "user_id", ["ts", "event_id"]).select(
+        "user_id", "brownouts", "brownout_samples", "blackouts", "blackout_samples"
+    )
+    got = final.select(
+        "user_id", "brownouts", "brownout_samples", "blackouts", "blackout_samples"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))

@@ -1,0 +1,134 @@
+"""Custom stateful streaming operator: the QoE outage state machine as
+``applyInPandasWithState`` (SURVEY.md §2.5 W1–W3, streaming form).
+
+The batch engine computes brownouts/blackouts with a gaps-and-islands pass
+(:func:`..operators.sequences.qoe_outage_summary`). In streaming, the same
+semantics need *cross-micro-batch* state: a degraded run that starts at the
+end of one batch and continues into the next must count as ONE outage with
+its full duration. That is exactly what Spark's arbitrary stateful
+processing provides — per-key state (last state code, open-run flags,
+cumulative counters) kept in the state store across triggers, with the
+per-batch work running as an Arrow-batched pandas function.
+
+Reference semantics (derived spec, see operators/sequences.py):
+- brownout  := island of RED(2) whose predecessor sample is GREEN(4);
+  duration = full island length (CalculateBrownouts,
+  powerbi_main_fun.py:1709-1741).
+- blackout  := island of BLACK(0) whose predecessor is any non-black state
+  (CalculateBlackouts summed over start states 3, 2, 4,
+  powerbi_main_fun.py:1855-1879).
+
+Scale: state is O(1) per key (7 scalars); the shuffle is keyed by the
+entity id exactly like the batch groupBy. Late/out-of-order data within a
+batch is ordered by (ts, event_id) before folding; cross-batch order is the
+source's responsibility (file/kafka offsets) — same contract as any
+event-log consumer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+OUTAGE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_state", T.IntegerType()),
+        T.StructField("in_brown", T.BooleanType()),
+        T.StructField("in_black", T.BooleanType()),
+        T.StructField("brownouts", T.LongType()),
+        T.StructField("brownout_samples", T.LongType()),
+        T.StructField("blackouts", T.LongType()),
+        T.StructField("blackout_samples", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+OUTAGE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("brownouts", T.LongType()),
+        T.StructField("brownout_samples", T.LongType()),
+        T.StructField("blackouts", T.LongType()),
+        T.StructField("blackout_samples", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+STATE_GREEN = 4
+STATE_RED = 2
+STATE_BLACK = 0
+
+
+def _fold_outages(state_tuple, states: list[int]):
+    """Pure fold of the outage state machine over one ordered state list."""
+    (last, in_brown, in_black, brownouts, brown_s, blackouts, black_s, n) = state_tuple
+    for s in states:
+        n += 1
+        if last is not None and s == last:
+            if in_brown and s == STATE_RED:
+                brown_s += 1
+            if in_black and s == STATE_BLACK:
+                black_s += 1
+            continue
+        in_brown = in_black = False
+        if s == STATE_RED and last == STATE_GREEN:
+            brownouts += 1
+            in_brown = True
+            brown_s += 1
+        elif s == STATE_BLACK and last is not None and last != STATE_BLACK:
+            blackouts += 1
+            in_black = True
+            black_s += 1
+        last = s
+    return (last, in_brown, in_black, brownouts, brown_s, blackouts, black_s, n)
+
+
+def outage_state_func(key, pdfs: Iterator["pd.DataFrame"], state):
+    """The ``applyInPandasWithState`` function: fold new samples into the
+    per-key machine, emit the cumulative counters once per trigger."""
+    import pandas as pd
+
+    if state.exists:
+        st = state.get
+    else:
+        st = (None, False, False, 0, 0, 0, 0, 0)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    st = _fold_outages(st, [int(s) for s in rows["state"]])
+    state.update(st)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "brownouts": [st[3]],
+            "brownout_samples": [st[4]],
+            "blackouts": [st[5]],
+            "blackout_samples": [st[6]],
+            "n_seen": [st[7]],
+        }
+    )
+
+
+def streaming_outage_summary(events: DataFrame) -> DataFrame:
+    """Per-user cumulative outage counters over a stream of QoE state samples.
+
+    ``events`` is a streaming DataFrame with columns
+    (user_id long, ts timestamp, event_id long, state int). Each trigger
+    emits one updated row per active key (output mode ``update``); the
+    latest row per key (highest ``n_seen``) is the current summary and, on
+    a fully consumed ordered stream, equals the batch
+    :func:`..operators.sequences.qoe_outage_summary` counters exactly
+    (tested in tests/test_stateful_streaming.py).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        outage_state_func,
+        outputStructType=OUTAGE_OUTPUT_SCHEMA,
+        stateStructType=OUTAGE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
