@@ -49,3 +49,32 @@ def test_upsert_idempotent(spark, tmp_path):
     before = _rows(spark, path)
     upsert_parquet(spark, df, path, ["k"])
     assert _rows(spark, path) == before
+
+
+def test_csv_report_sink(spark, tmp_path):
+    from vmware_sd_wan_velocloud_bi_intake_spark.sinks.upsert import write_csv_report
+
+    df = spark.createDataFrame(
+        [(1, "a,b", 2.5), (2, "plain", 0.0)], "id int, name string, v double"
+    )
+    out = tmp_path / "report"
+    write_csv_report(df, str(out))
+    back = spark.read.option("header", "true").csv(str(out))
+    assert back.count() == 2
+    assert set(back.columns) == {"id", "name", "v"}
+
+
+def test_fleet_config_source(spark, tmp_path):
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.config import load_fleet
+
+    cfg = tmp_path / "fleet.yml"
+    cfg.write_text(
+        "vco2:\n  link: https://vco2.example\n  partner: p2\n"
+        "vco1:\n  link: https://vco1.example\n  partner: p1\n"
+    )
+    fleet = load_fleet(spark, str(cfg))
+    rows = sorted((r["vco"], r["link"], r["partner"]) for r in fleet.collect())
+    assert rows == [
+        ("vco1", "https://vco1.example", "p1"),
+        ("vco2", "https://vco2.example", "p2"),
+    ]
