@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: the scale properties we designed for must
+be visible in the plans Catalyst actually produces — predicate pushdown into
+the parquet scan, broadcast joins for dim/anti joins, no cartesian products
+anywhere in the catalog, and map-side partial aggregation."""
+
+from __future__ import annotations
+
+import pytest
+
+from vmware_sd_wan_velocloud_bi_intake_spark.queries import all_queries
+
+CATALOG = all_queries()
+
+
+def _plan(spark, sf, name: str) -> str:
+    df = CATALOG[name].fn(spark, sf)
+    qe = df._jdf.queryExecution()
+    return qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filters_push_into_scan(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "p03_event_gates")
+    assert "PushedFilters: [" in plan
+    # the state gate and skip-list must reach the scan, not sit in a Filter
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "Not(EqualTo(event_type,click))" in pushed
+    assert "Not(EqualTo(event_type,view))" in pushed
+    assert "IsNotNull(user_id)" in pushed
+
+
+def test_scan_prunes_columns(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "a08_pricing_summary")
+    # lineitem has 16 columns; the pricing summary needs 7
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert read.count(",") <= 7, read
+    assert "l_comment" not in read
+
+
+@pytest.mark.parametrize(
+    "name", ["j01_metrics_join", "j04_region_rollup", "w05_backfill_missing", "j02_semi_join", "j08_anti_join"]
+)
+def test_dim_and_state_joins_broadcast(spark, sf_smoke, name):
+    plan = _plan(spark, sf_smoke, name)
+    assert "BroadcastHashJoin" in plan, name
+    assert "SortMergeJoin" not in plan, name
+
+
+# Bounded nested-loop joins that are the designed shape, not an accident:
+# - a15_census: cross of two SINGLE-ROW global aggregates (scalar stitching)
+# - sim_ann_ivf: every vector × an 8-row broadcast centroid table (IVF
+#   coarse assignment — k-row broadcast fan-out, never n×n)
+_SCALAR_CROSS_OK = {"a15_census", "sim_ann_ivf"}
+
+
+def test_no_cartesian_products_anywhere(spark, sf_smoke):
+    for name in sorted(CATALOG):
+        plan = _plan(spark, sf_smoke, name)
+        assert "CartesianProduct" not in plan, name
+        if name not in _SCALAR_CROSS_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_rollup_aggregates_partially(spark, sf_smoke):
+    # one groupBy pass replaces the reference's 8 EXISTS probes (J5/A6);
+    # partial_ aggregation must appear below the exchange (map-side combine)
+    plan = _plan(spark, sf_smoke, "a06_customer_rollup")
+    assert "partial_" in plan
+    assert plan.index("partial_") < plan.index("Exchange") or "Exchange" in plan

@@ -223,6 +223,100 @@ def cosine_neardup_pairs(
     )
 
 
+def ann_ivf_topk(
+    emb: DataFrame,
+    n_cells: int = 8,
+    k: int = 3,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate kNN: coarse quantizer + cell-restricted search.
+
+    Structure of a production IVF index, deterministically:
+    1. **Coarse centroids** — here the ``n_cells`` lowest-id vectors (a
+       deterministic stand-in for k-means training; the index *structure*,
+       not the centroid quality, is what this operator contributes). The
+       centroid set is tiny and broadcast.
+    2. **Assignment** — every vector joins the broadcast centroids and keeps
+       its argmax-cosine cell (ties → lowest centroid id), one map-side pass.
+    3. **Probe** — neighbors are ranked by exact cosine *within the cell
+       only* (nprobe=1): the pair space is Σ cell², never n².
+
+    At 100 TB: assignment is a broadcast join (no shuffle of the corpus
+    beyond the cell groupBy); cells are the partitioning key for the search,
+    so the shuffle is keyed and skew-bounded by centroid fan-out.
+
+    Returns (query_id, neighbor_id, cos_sim, rk), rk 1-based within cell.
+    """
+    base = emb.select(
+        F.col(vec_id).alias("vid"),
+        as_double_array(F.col(embedding)).alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    cents = base.orderBy("vid").limit(n_cells).select(
+        F.col("vid").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    assign_w = Window.partitionBy("vid").orderBy(
+        F.col("cell_cos").desc(), F.col("cell")
+    )
+    assigned = (
+        base.join(F.broadcast(cents))
+        .withColumn(
+            "cell_cos",
+            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")),
+        )
+        .withColumn("arn", F.row_number().over(assign_w))
+        .where(F.col("arn") == 1)
+        .select("vid", "cell")
+    )
+    groups = (
+        assigned.groupBy("cell")
+        .agg(F.sort_array(F.collect_set("vid")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x: F.filter(
+                F.transform(ids, lambda y: F.struct(x.alias("q"), y.alias("n"))),
+                lambda p: p["q"] != p["n"],
+            ),
+        )
+    )
+    pairs = groups.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.q").alias("query_id"), F.col("p.n").alias("neighbor_id")
+    )
+    qa = base.select(
+        F.col("vid").alias("query_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    nb = base.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    scored = (
+        pairs.join(qa, "query_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane coefficient in [-1, 1).
 

@@ -241,6 +241,69 @@ WHERE user_id IS NOT NULL
 
 
 # --------------------------------------------------------------------------
+# W7 (beyond-ref window op): gap-based sessionization. The reference has no
+# session windows (SURVEY.md §2.5 notes the absence); a training-data /
+# clickstream pipeline needs them. Classic two-window formulation: lag →
+# new-session flag → running sum = session id → per-session aggregates.
+# One shuffle on user_id; both windows share the same partitioning.
+# --------------------------------------------------------------------------
+SESSION_GAP_MIN = 30
+
+
+def w07_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            (ms - F.lag(ms).over(w)) > SESSION_GAP_MIN * 60 * 1000, 1
+        )
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max(ms) - F.min(ms)).cast("long").alias("duration_ms"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+
+
+W07_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT *, SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS BIGINT) AS duration_ms,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchases
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
 # W4/A12: tumbling-hour mean score, daily minimum.
 # Reference: lowest_qoe powerbi_main_fun.py:1778-1804.
 # --------------------------------------------------------------------------
@@ -458,6 +521,12 @@ QUERIES: dict[str, Q] = {
         P03_ORACLE,
         ("P1", "P3", "P4", "P5", "P6", "P10"),
         "row-gate family: null-key, state, skip-list, flag-list, sentinel",
+    ),
+    "w07_sessionize": Q(
+        w07_sessionize,
+        W07_ORACLE,
+        ("W1", "W3", "beyond:sessionize"),
+        "gap-based sessionization: lag flag -> running-sum ids -> session aggs",
     ),
     "w03_runlengths": Q(
         w03_runlengths,

@@ -395,6 +395,117 @@ FROM ranked WHERE rk <= 3
 
 
 # --------------------------------------------------------------------------
+# IVF-style ANN (beyond-ref scale path #2): deterministic coarse quantizer
+# (lowest-id centroids standing in for k-means), broadcast assignment,
+# cell-restricted exact search. Fully oracle-checkable — both engines build
+# identical cells and rank with identical float arithmetic.
+# --------------------------------------------------------------------------
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    out = similarity.ann_ivf_topk(emb, n_cells=8, k=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cos_sim"), 6).alias("cos_sim_r6"), "rk"
+    )
+
+
+SIM_IVF_ORACLE = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell, e AS cv, nrm AS cnrm FROM v ORDER BY vec_id LIMIT 8
+), assign0 AS (
+  SELECT v.vec_id, c.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.e, c.cv) / (v.nrm * c.cnrm) DESC, c.cell
+         ) AS rn
+  FROM v CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, cell FROM assign0 WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+), scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         list_dot_product(x.e, y.e) / (x.nrm * y.nrm) AS cos_sim
+  FROM pairs p
+  JOIN v x ON x.vec_id = p.query_id
+  JOIN v y ON y.vec_id = p.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim_r6, rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# End-to-end dedup application (beyond-ref): the survivor set after exact
+# dedup (keep lowest doc_id per content digest) AND near-dup removal (drop
+# the higher id of every verified Jaccard pair) — what a training-data
+# pipeline actually ships downstream.
+# --------------------------------------------------------------------------
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    exact = dedup.exact_dedup_keys(docs, "doc_id", "text")
+    exact_keep = exact.select(F.col("keep_id").alias("doc_id"))
+    near = dedup.near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.4, num_hashes=4, bands=2, shingle_n=3
+    )
+    near_losers = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        exact_keep.join(near_losers, "doc_id", "left_anti")
+        .select("doc_id")
+    )
+
+
+DEDUP_SURVIVORS_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY md5(t)
+), toks AS (
+  SELECT doc_id, string_split_regex(t, '\s+') AS w FROM norm
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(w[i : i + 2], ' ') AS shingle
+    FROM toks,
+         LATERAL (SELECT unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i))
+), sig AS (
+  SELECT doc_id,
+         MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
+         MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3
+  FROM sh GROUP BY doc_id
+), buckets AS (
+  SELECT doc_id, md5('0|' || h0 || '|' || h1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, md5('1|' || h2 || '|' || h3) FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+), shl AS (
+  SELECT doc_id, list(shingle) AS sl FROM sh GROUP BY doc_id
+), near_losers AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM cand
+  JOIN shl x ON x.doc_id = cand.doc_a
+  JOIN shl y ON y.doc_id = cand.doc_b
+  WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.sl, y.sl))) >= 0.4
+)
+SELECT doc_id FROM exact_keep
+WHERE doc_id NOT IN (SELECT doc_id FROM near_losers)
+"""
+
+
+# --------------------------------------------------------------------------
 # LSH-bucketed approximate NN (scale path) — rows-only check: bucket
 # membership depends on the engine-side hyperplane literals.
 # --------------------------------------------------------------------------
@@ -472,5 +583,17 @@ QUERIES: dict[str, Q] = {
         None,  # hyperplane literals live engine-side → rows-only check
         ("beyond:similarity",),
         "SRP-LSH bucketed approximate top-k",
+    ),
+    "sim_ann_ivf": Q(
+        sim_ann_ivf,
+        SIM_IVF_ORACLE,
+        ("beyond:similarity",),
+        "IVF-style ANN: coarse quantizer + cell-restricted exact search",
+    ),
+    "dedup_survivors": Q(
+        dedup_survivors,
+        DEDUP_SURVIVORS_ORACLE,
+        ("beyond:dedup", "S9"),
+        "survivor set after exact + near-dup removal",
     ),
 }
