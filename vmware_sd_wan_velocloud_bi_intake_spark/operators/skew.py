@@ -1,0 +1,86 @@
+"""Skew-mitigation utilities: salted aggregation and salted broadcast join.
+
+At 100 TB a handful of hot keys (one mega-customer, one degenerate dedup
+bucket) can pin a whole stage on one task. AQE's skew-join handling covers
+sort-merge joins; these helpers cover the two other hot paths:
+
+- **Salted two-phase aggregation**: groupBy (key, salt) → partial → groupBy
+  key → final. Turns one hot reducer into ``n_salts`` parallel ones. Only
+  worth it for algebraic aggregates (sum/count/min/max) — which is what the
+  engine's rollups use.
+- **Salted broadcast-side explosion**: for joining a skewed fact against a
+  small dim, the dim is exploded ``n_salts`` ways and the fact picks a
+  deterministic salt — every fact row still matches exactly one dim row, but
+  downstream per-key work is spread.
+
+Salts are derived from stable columns with xxhash64 — deterministic across
+runs and executors (never ``rand()``, which breaks retry idempotency).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_col(n_salts: int, *stable_cols: str | Column) -> Column:
+    """Deterministic salt in [0, n_salts) from stable row content."""
+    return F.pmod(F.xxhash64(*[F.col(c) if isinstance(c, str) else c for c in stable_cols]), F.lit(n_salts)).cast("int")
+
+
+def salted_sum(
+    df: DataFrame,
+    key: str,
+    value_aggs: dict[str, Column],
+    n_salts: int = 16,
+    salt_from: str | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys.
+
+    ``value_aggs`` maps output-column name → algebraic aggregate expression
+    (sum/count/min/max — anything with a merge identity equal to itself).
+    Phase 1 groups by (key, salt) with map-side combine; phase 2 merges the
+    ``n_salts`` partials per key. The extra shuffle is tiny (n_keys × salts
+    rows) and the hot key's reduce work spreads across ``n_salts`` tasks.
+    """
+    salt = salt_col(n_salts, salt_from or key)
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(*[expr.alias(name) for name, expr in value_aggs.items()])
+    )
+    remerge = {
+        "sum": F.sum,
+        "count": F.sum,  # counts merge by summing partial counts
+        "min": F.min,
+        "max": F.max,
+    }
+
+    def merge(name: str) -> Column:
+        # callers tag the merge op in the agg name suffix if not a sum;
+        # default merge is sum (covers sum + count)
+        for op, fn in remerge.items():
+            if name.endswith(f"_{op}"):
+                return fn(name).alias(name)
+        return F.sum(name).alias(name)
+
+    return partial.groupBy(key).agg(*[merge(n) for n in value_aggs])
+
+
+def salted_broadcast_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    fact_salt_from: str | None = None,
+) -> DataFrame:
+    """Equi-join a (possibly hot-keyed) fact against a small dim with the
+    dim exploded per salt, so post-join partitioning by (key, salt) never
+    concentrates a hot key on one task."""
+    dim_salted = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    fact_salted = fact.withColumn(
+        "__salt", salt_col(n_salts, fact_salt_from or key)
+    )
+    return fact_salted.join(F.broadcast(dim_salted), [key, "__salt"]).drop("__salt")
