@@ -1,0 +1,91 @@
+"""Property tests: the distributed dedup primitives must agree with direct
+single-process models of their definitions (shingling, md5 min-wise MinHash,
+LSH banding, Jaccard) on arbitrary inputs — including whitespace pathology,
+short documents, and exact duplicates."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from vmware_sd_wan_velocloud_bi_intake_spark.operators.dedup import (
+    minhash_signature,
+    near_dup_pairs,
+)
+
+WORDS = ["spark", "row", "key", "hash", "table", "scan", "the", "a", "fast"]
+DOC = st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join)
+# inject whitespace pathology: tabs, doubled spaces, leading/trailing blanks
+MESSY = DOC.flatmap(
+    lambda d: st.sampled_from([d, f"  {d}", f"{d}\t ", d.replace(" ", "  ", 1) if " " in d else d])
+)
+
+
+def model_normalize(text: str) -> str:
+    return re.sub(r"\s+", " ", text.lower()).strip()
+
+
+def model_shingles(text: str, n: int = 3) -> set[str]:
+    toks = model_normalize(text).split(" ")
+    if len(toks) <= n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def model_minhash(text: str, num_hashes: int = 4, n: int = 3) -> list[str]:
+    sh = model_shingles(text, n)
+    return [
+        min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
+        for i in range(num_hashes)
+    ]
+
+
+def model_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = model_shingles(a, n), model_shingles(b, n)
+    union = sa | sb
+    return len(sa & sb) / len(union) if union else 0.0
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(MESSY, min_size=1, max_size=8))
+def test_minhash_matches_model(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signature(df, "doc_id", "text", 4, 3).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == model_minhash(d), (i, d)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(DOC, min_size=2, max_size=8))
+def test_near_dup_pairs_sound_and_exact_dups_complete(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in near_dup_pairs(
+            df, "doc_id", "text", threshold=0.5, num_hashes=4, bands=2, shingle_n=3
+        ).collect()
+    }
+    # soundness: every reported pair's jaccard matches the model and ≥ 0.5
+    for (a, b), j in pairs.items():
+        assert abs(j - model_jaccard(docs[a], docs[b])) < 1e-12
+        assert j >= 0.5
+    # completeness for EXACT duplicates: identical normalized content has
+    # identical signatures → always shares every band bucket → always found
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            if model_normalize(docs[i]) == model_normalize(docs[j]) and model_shingles(docs[i]):
+                assert (i, j) in pairs, (docs[i], docs[j])
