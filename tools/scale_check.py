@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Empirical scaling check: replicate the sf0.1 fixtures K× (shifted keys,
+multi-row-group parquet — i.e. the file layout a real corpus has) into a
+scratch dir, then time representative heavy queries at 1× and K× and print
+the scaling ratio per query.
+
+Near-linear ratios (≈K for scan-bound, ≈K·log or mildly super-linear for
+pair-expanding operators) are the expected signature; quadratic blow-ups
+would expose a pair-space leak. Results recorded in SCALE.md.
+
+Usage: python tools/scale_check.py [K] [scratch_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from vmware_sd_wan_velocloud_bi_intake_spark.queries import all_queries
+from vmware_sd_wan_velocloud_bi_intake_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+QUERIES = [
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_neardup_jaccard",
+    "sim_ann_ivf",
+    "sim_cosine_topk",
+    "a06_customer_rollup",
+    "a08_pricing_summary",
+    "w02_outage_summary",
+    "w07_sessionize",
+    "j01_metrics_join",
+]
+
+# (table, key columns to shift so replicas don't collide)
+SHIFT = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id"],  # user_id kept → per-user series grow K×
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "customer": [],
+    "part": [],
+    "supplier": [],
+    "nation": [],
+    "region": [],
+}
+OFFSET = 100_000_000
+
+
+def build_scaled(spark, k: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for table, keys in SHIFT.items():
+        src = spark.read.parquet(f"{BASE}/{table}.parquet")
+        if keys and k > 1:
+            parts = []
+            for i in range(k):
+                rep = src
+                for key in keys:
+                    rep = rep.withColumn(key, F.col(key) + F.lit(i * OFFSET))
+                parts.append(rep)
+            scaled = parts[0]
+            for p in parts[1:]:
+                scaled = scaled.unionByName(p)
+        else:
+            scaled = src
+        # multiple output files → multiple row groups → natural parallelism
+        n_files = max(1, min(32, scaled.rdd.getNumPartitions() * (k if keys else 1)))
+        scaled.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{table}.parquet")
+        )
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    cat = all_queries()
+    out = {}
+    for name in QUERIES:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            cat[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        out[name] = best
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale"
+    out_dir = os.path.join(scratch, f"x{k}")
+    spark = get_spark(app_name="scale-check")
+
+    build_scaled(spark, k, out_dir)
+    base_t = time_queries(spark, BASE)
+    big_t = time_queries(spark, out_dir)
+    print(f"\n{'query':28s} {'1x':>8s} {f'{k}x':>8s} {'ratio':>7s}")
+    for name in QUERIES:
+        r = big_t[name] / base_t[name] if base_t[name] else float("nan")
+        print(f"{name:28s} {base_t[name]:8.2f} {big_t[name]:8.2f} {r:7.2f}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

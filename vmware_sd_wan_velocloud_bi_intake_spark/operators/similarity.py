@@ -225,7 +225,7 @@ def cosine_neardup_pairs(
 
 def ann_ivf_topk(
     emb: DataFrame,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     k: int = 3,
     vec_id: str = "vec_id",
     embedding: str = "embedding",
@@ -242,12 +242,21 @@ def ann_ivf_topk(
     3. **Probe** — neighbors are ranked by exact cosine *within the cell
        only* (nprobe=1): the pair space is Σ cell², never n².
 
+    ``n_cells`` MUST grow with the corpus — fixed cells make in-cell search
+    quadratic in occupancy (measured 25× at 8× data in tools/scale_check.py
+    before this default). The default ``max(8, ⌈√n⌉)`` is the standard IVF
+    sizing: cell occupancy ≈ √n, total probe cost ≈ n^1.5 / constant.
+
     At 100 TB: assignment is a broadcast join (no shuffle of the corpus
     beyond the cell groupBy); cells are the partitioning key for the search,
     so the shuffle is keyed and skew-bounded by centroid fan-out.
 
     Returns (query_id, neighbor_id, cos_sim, rk), rk 1-based within cell.
     """
+    import math
+
+    if n_cells is None:
+        n_cells = max(8, math.ceil(math.sqrt(emb.count())))
     base = emb.select(
         F.col(vec_id).alias("vid"),
         as_double_array(F.col(embedding)).alias("v"),

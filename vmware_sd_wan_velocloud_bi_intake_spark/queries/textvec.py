@@ -402,7 +402,7 @@ FROM ranked WHERE rk <= 3
 # --------------------------------------------------------------------------
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    out = similarity.ann_ivf_topk(emb, n_cells=32, k=3)
+    out = similarity.ann_ivf_topk(emb, n_cells=None, k=3)  # adaptive ~sqrt(n) cells
     return out.select(
         "query_id", "neighbor_id", F.round(F.col("cos_sim"), 6).alias("cos_sim_r6"), "rk"
     )
@@ -414,7 +414,8 @@ WITH v AS (
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
 ), cents AS (
-  SELECT vec_id AS cell, e AS cv, nrm AS cnrm FROM v ORDER BY vec_id LIMIT 32
+  SELECT vec_id AS cell, e AS cv, nrm AS cnrm FROM v ORDER BY vec_id
+  LIMIT (SELECT GREATEST(8, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM embeddings)
 ), assign0 AS (
   SELECT v.vec_id, c.cell,
          ROW_NUMBER() OVER (
