@@ -1,0 +1,233 @@
+"""Beyond-reference relational capabilities the reference engine lacks.
+
+SURVEY.md §2.3 notes the reference has no as-of/range joins and §2.4/§2.5
+note it has no grouping sets, distinct aggregates, or ranking windows — a
+user graduating from the reference to a real analytics engine expects them,
+so they are first-class catalog entries here, each oracle-checked.
+
+Scale notes (100 TB, per SCALE.md ground rules):
+- The as-of join is the union-window form: ONE shuffle keyed by the join
+  key, state per key O(1) in the running `last()`. No per-row point lookups
+  (the reference's staleness probes are the degenerate form of this), and no
+  broadcast requirement on either side — both sides may be huge.
+- Rollup/grouping sets expand grouping keys BEFORE the exchange, so partial
+  aggregation still combines map-side; one shuffle for all grouping levels.
+- The range join keeps an equi-key (custkey) so Spark plans a hash join with
+  the range condition as a post-join filter — never a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec
+from ..operators.asof import asof_join
+from ..sources.tables import load_table
+from .base import Q
+
+
+# --------------------------------------------------------------------------
+# J10: as-of join — each event picks the most recent order (by o_orderdate)
+# of the same customer at-or-before the event timestamp. The reference's
+# nearest analog is its hand-rolled staleness point lookup
+# (fun_mysql_query.py:40-60); this is the set-oriented general form.
+# --------------------------------------------------------------------------
+def j10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = asof_join(
+        left=events.select("event_id", "user_id", "ts"),
+        right=orders.select("o_custkey", "o_orderdate", "o_orderkey"),
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("asof_orderkey"),
+    )
+
+
+# The oracle states identical semantics with the same union-window algorithm
+# (ANSI window SQL; DuckDB's native ASOF JOIN leaves equal-timestamp /
+# duplicate-key ties unspecified, so the deterministic form is spelled out).
+J10_ORACLE = """
+WITH u AS (
+  SELECT o_custkey AS k, o_orderdate AS t, 0 AS tag,
+         o_orderkey, NULL::BIGINT AS event_id, NULL::TIMESTAMP AS ev_ts
+  FROM orders
+  UNION ALL
+  SELECT user_id, ts, 1, NULL, event_id, ts FROM events
+), w AS (
+  SELECT event_id, k, ev_ts, tag,
+         last_value(o_orderkey IGNORE NULLS) OVER (
+           PARTITION BY k
+           ORDER BY t, tag, o_orderkey NULLS LAST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS asof_orderkey
+  FROM u
+)
+SELECT event_id, k AS user_id, ev_ts AS ts, asof_orderkey
+FROM w WHERE tag = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A19: rollup / grouping sets — subtotals + grand total in one pass.
+# Absent from the reference (SURVEY §2.4 closing note).
+# --------------------------------------------------------------------------
+def a19_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity", 12)).cast("double").alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+            F.grouping_id("l_returnflag", "l_linestatus").alias("grouping_level"),
+        )
+    )
+
+
+A19_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n_rows,
+  GROUPING(l_returnflag, l_linestatus) AS grouping_level
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# A20: distinct aggregates — absent from the reference (SURVEY §2.4).
+# Expand-based distinct aggregation: one shuffle, no driver involvement.
+# --------------------------------------------------------------------------
+def a20_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+A20_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_partkey) AS n_part,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# O5: ranking window — top-3 orders per customer by price. The reference's
+# only ordered-rank analog is array-sort top-k (SURVEY §2.5 closing note);
+# this is the general partitioned-rank form with a deterministic tiebreak.
+# --------------------------------------------------------------------------
+def o05_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+O05_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS rk
+  FROM orders
+) t
+WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# J11: range join with an equi anchor — events within 30 days after the
+# customer's order date. The equi key keeps the physical plan a hash join
+# (range predicate applied post-match), so no cartesian blow-up at scale.
+# --------------------------------------------------------------------------
+def j11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (
+        (events.user_id == orders.o_custkey)
+        & (events.ts >= orders.o_orderdate)
+        & (events.ts < F.date_add(orders.o_orderdate, 30))
+    )
+    return (
+        events.join(orders, cond, "inner")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value", 18)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+J11_ORACLE = """
+SELECT o_orderkey,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e
+JOIN orders o
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderkey
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "j10_asof_join": Q(
+        fn=j10_asof_join,
+        oracle=J10_ORACLE,
+        ops=("J7", "T1"),
+        doc="as-of join (union-window form): latest order at-or-before each event",
+    ),
+    "a19_grouping_rollup": Q(
+        fn=a19_grouping_rollup,
+        oracle=A19_ORACLE,
+        ops=("A6",),
+        doc="ROLLUP grouping sets: subtotals + grand total in one shuffle",
+    ),
+    "a20_distinct_agg": Q(
+        fn=a20_distinct_agg,
+        oracle=A20_ORACLE,
+        ops=("A15",),
+        doc="distinct aggregates per group (expand-based, no driver collect)",
+    ),
+    "o05_rank_topn": Q(
+        fn=o05_rank_topn,
+        oracle=O05_ORACLE,
+        ops=("O1", "A11"),
+        doc="partitioned ranking window, deterministic tiebreak, top-3",
+    ),
+    "j11_range_join": Q(
+        fn=j11_range_join,
+        oracle=J11_ORACLE,
+        ops=("J1", "P13"),
+        doc="equi-anchored range join: events within 30 days of order date",
+    ),
+}
