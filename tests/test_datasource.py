@@ -1,0 +1,124 @@
+"""Tests for the custom Python DataSource (sources/datasource.py).
+
+Covers the four pushdowns SURVEY §2.1 attributes to the reference's API
+source — partition fan-out (T6), interval push (S4), state-predicate push,
+projection push (S3) — plus planner-level pushFilters unit semantics.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, IsNotNull, LessThan
+
+from vmware_sd_wan_velocloud_bi_intake_spark.sources.datasource import (
+    VeloCloudDataSource,
+    VeloCloudReader,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(VeloCloudDataSource)
+
+
+def _edges(spark, **opts):
+    r = spark.read.format("velocloud").option("entity", "edges")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_edge_scan_shape_and_partitioning(spark):
+    df = _edges(
+        spark,
+        fleet="vco0,vco1",
+        n_enterprises=3,
+        projection="site,recentLinks,licenses",
+    )
+    # FakeVcoTransport yields 4 edges per enterprise
+    assert df.count() == 2 * 3 * 4
+    assert df.rdd.getNumPartitions() == 6  # one per (vco, enterprise)
+    assert dict(df.dtypes)["site"].startswith("struct<lat:double")
+    assert dict(df.dtypes)["recentLinks"].startswith("array<struct<")
+    # deterministic content: same options -> same rows
+    a = sorted(r["logicalId"] for r in df.select("logicalId").collect())
+    b = sorted(r["logicalId"] for r in df.select("logicalId").collect())
+    assert a == b
+
+
+def test_projection_option_gates_nested_columns(spark):
+    no_proj = _edges(spark, fleet="vco0", n_enterprises=2)
+    with_proj = _edges(spark, fleet="vco0", n_enterprises=2, projection="site")
+    assert no_proj.filter(F.col("site").isNotNull()).count() == 0
+    assert with_proj.filter(F.col("site").isNull()).count() == 0
+    assert with_proj.filter(F.col("recentLinks").isNotNull()).count() == 0
+
+
+def test_edge_state_filter_pushed_and_correct(spark):
+    df = _edges(spark, fleet="vco0,vco1", n_enterprises=3)
+    full = df.collect()
+    expected = sorted(
+        r["logicalId"] for r in full if r["edgeState"] == "CONNECTED"
+    )
+    got_df = df.filter(F.col("edgeState") == "CONNECTED")
+    got = sorted(r["logicalId"] for r in got_df.collect())
+    assert got == expected and len(got) > 0
+
+
+def test_event_interval_pushdown_limits_rows(spark):
+    df = (
+        spark.read.format("velocloud")
+        .option("entity", "events")
+        .option("fleet", "vco0")
+        .option("n_enterprises", "2")
+        .load()
+    )
+    lo = dt.datetime(2024, 1, 5)
+    hi = dt.datetime(2024, 1, 9)
+    windowed = df.filter((F.col("event_ts") >= F.lit(lo)) & (F.col("event_ts") < F.lit(hi)))
+    rows = windowed.collect()
+    assert len(rows) > 0
+    assert all(lo <= r["event_ts"] < hi for r in rows)
+    # same answer as post-filtering the full scan
+    assert len(rows) == len(
+        [r for r in df.collect() if lo <= r["event_ts"] < hi]
+    )
+
+
+def test_pushfilters_consumes_supported_retains_rest():
+    r = VeloCloudReader("events", {"fleet": "vco0", "n_enterprises": "1"})
+    keep = IsNotNull(attribute=("event",))
+    retained = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(attribute=("event_ts",), value=dt.datetime(2024, 1, 2)),
+                LessThan(attribute=("event_ts",), value=dt.datetime(2024, 1, 4)),
+                keep,
+            ]
+        )
+    )
+    assert retained == [keep]
+    assert r.interval_start_ms == 1704153600000
+    assert r.interval_end_ms == 1704326400000
+
+    re = VeloCloudReader("edges", {"fleet": "vco0", "n_enterprises": "1"})
+    retained_e = list(
+        re.pushFilters([EqualTo(attribute=("edgeState",), value="CONNECTED")])
+    )
+    assert retained_e == []
+    assert re.edge_states == ["CONNECTED"]
+
+
+def test_limit_option_caps_event_rows(spark):
+    df = (
+        spark.read.format("velocloud")
+        .option("entity", "events")
+        .option("fleet", "vco0")
+        .option("n_enterprises", "1")
+        .option("limit", "5")
+        .load()
+    )
+    assert df.count() == 5

@@ -68,3 +68,23 @@ def test_rollup_aggregates_partially(spark, sf_smoke):
     plan = _plan(spark, sf_smoke, "a06_customer_rollup")
     assert "partial_" in plan
     assert plan.index("partial_") < plan.index("Exchange") or "Exchange" in plan
+
+
+def test_signature_queries_are_narrow(spark, sf_smoke):
+    # minhash/simhash signatures are pure map work fused into the scan —
+    # a shuffle here would move every shingle of every doc for nothing
+    for name in ("dedup_minhash", "dedup_simhash"):
+        plan = _plan(spark, sf_smoke, name)
+        # only the opt-in round-robin spread may appear — never a wide dep
+        assert "Exchange hashpartitioning" not in plan, name
+
+
+def test_neardup_single_corpus_scan_single_wide_shuffle(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "dedup_neardup_jaccard")
+    # one scan of documents (payload-carrying form; the join-back form read
+    # it 3x); formatted explain prints one Location line per distinct scan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    # no join back to the corpus at all
+    assert "Join" not in plan
+    # wide deps: bucket groupBy + final pair distinct only
+    assert plan.count("Exchange hashpartitioning") <= 2

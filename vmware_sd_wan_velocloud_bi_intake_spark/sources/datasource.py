@@ -1,0 +1,244 @@
+"""Custom Python DataSource for the VeloCloud-shaped API (SURVEY §2.1 S1–S4).
+
+``sources/api.py`` is the thin `mapInPandas` fetch layer; this is the
+full-citizen form SURVEY §4 calls for at scale: a ``spark.dataSource``
+registration so API reads are planned like any other scan —
+
+- **Partitioning (T6)**: one input partition per (vco, enterprise), so a
+  1000-executor cluster fans the fleet out through the task scheduler (the
+  reference hand-rolls this with a 10-thread pool,
+  ``powerbi_main_script.py:85-93``).
+- **Filter pushdown (S4)**: ``pushFilters`` consumes time-range predicates on
+  ``event_ts`` and equality/membership predicates on ``edgeState`` and turns
+  them into the API's ``interval:`` parameter / server-side state filter (the
+  reference builds these by hand, ``powerbi_main_fun.py:470-472``). Consumed
+  filters are NOT re-evaluated by Spark; unsupported ones are retained.
+- **Projection push (S3)**: the ``projection`` option becomes the API's
+  ``with:`` list (``powerbi_main_fun.py:181-182``); unprojected nested
+  columns surface as null without transport cost.
+- **Limit push (O2)**: the ``limit`` option caps rows per enterprise at the
+  transport, the analog of ``maxSamples: 200`` (``powerbi_main_fun.py:1908``).
+
+The transport is pluggable via the ``transport`` option — a
+``module:callable`` path resolved on executors (hermetic default:
+:mod:`fake_transport`). Production would point it at an HTTPS JSON-RPC
+client; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+from importlib import import_module
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+EDGE_SCHEMA = (
+    "vco string, enterprise_id long, id long, logicalId string, name string, "
+    "edgeState string, buildNumber string, activationTime string, "
+    "lastContact string, "
+    "site struct<lat double, lon double, city string, country string, "
+    "postalCode string>, "
+    "recentLinks array<struct<internalId string, ipAddress string, "
+    "networkType string, backupState string, bytesRx long, bytesTx long, "
+    "scoreRx double, scoreTx double>>, "
+    "licenses array<struct<sku string, start string, end string, "
+    "active boolean>>"
+)
+EVENT_SCHEMA = (
+    "vco string, enterprise_id long, event_ts timestamp, event string, "
+    "edgeLogicalId string"
+)
+
+_EPOCH = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _to_ms(v) -> int:
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=dt.timezone.utc)
+        return int((v - _EPOCH).total_seconds() * 1000)
+    return int(v)
+
+
+def _attr(f: Filter) -> str:
+    return ".".join(f.attribute)
+
+
+def _default_transport():
+    from .fake_transport import FakeVcoTransport
+
+    return FakeVcoTransport()
+
+
+def _resolve_transport(spec: str | None):
+    if not spec:
+        return _default_transport()
+    mod_name, _, fn_name = spec.partition(":")
+    return getattr(import_module(mod_name), fn_name)()
+
+
+@dataclass
+class FleetPartition(InputPartition):
+    vco: str
+    enterprise_id: int
+
+
+class VeloCloudReader(DataSourceReader):
+    def __init__(self, entity: str, options: dict):
+        self.entity = entity
+        self.fleet = [v for v in options.get("fleet", "vco0").split(",") if v]
+        self.n_enterprises = int(options.get("n_enterprises", "5"))
+        self.projection = [
+            p for p in options.get("projection", "").split(",") if p
+        ]
+        self.limit = int(options["limit"]) if "limit" in options else None
+        self.transport_spec = options.get("transport")
+        # pushed-down state, filled by pushFilters during planning
+        self.interval_start_ms: int | None = None
+        self.interval_end_ms: int | None = None
+        self.edge_states: list[str] | None = None
+
+    # -- planning ----------------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if self.entity == "events" and _attr(f) == "event_ts":
+                if isinstance(f, GreaterThanOrEqual):
+                    self.interval_start_ms = _to_ms(f.value)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.interval_start_ms = _to_ms(f.value) + 1
+                    continue
+                if isinstance(f, LessThan):
+                    self.interval_end_ms = _to_ms(f.value)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.interval_end_ms = _to_ms(f.value) + 1
+                    continue
+            if self.entity == "edges" and _attr(f) == "edgeState":
+                if isinstance(f, EqualTo):
+                    self.edge_states = [f.value]
+                    continue
+                if isinstance(f, In):
+                    self.edge_states = list(f.values)
+                    continue
+            yield f  # not pushable — Spark evaluates it post-scan
+
+    def partitions(self) -> list[FleetPartition]:
+        return [
+            FleetPartition(vco=v, enterprise_id=e)
+            for v in self.fleet
+            for e in range(self.n_enterprises)
+        ]
+
+    # -- execution (runs on executors) -------------------------------------
+    def read(self, part: FleetPartition) -> Iterator[tuple]:
+        transport = _resolve_transport(self.transport_spec)
+        endpoint = {"vco": part.vco, "enterpriseId": part.enterprise_id}
+        if self.entity == "edges":
+            yield from self._read_edges(transport, part, endpoint)
+        elif self.entity == "events":
+            yield from self._read_events(transport, part, endpoint)
+        else:
+            raise ValueError(f"unknown entity: {self.entity}")
+
+    def _read_edges(self, transport, part, endpoint) -> Iterator[tuple]:
+        params: dict = {"endpoint": endpoint, "with": self.projection}
+        if self.edge_states is not None:
+            # API-side state predicate: applied before rows leave the source
+            params["filter"] = {"edgeState": self.edge_states}
+        edges = transport("enterprise/getEnterpriseEdges", params)
+        for e in edges:
+            if self.edge_states is not None and e.get("edgeState") not in self.edge_states:
+                continue  # transports without server-side filters still honor the contract
+            site = e.get("site")
+            yield (
+                part.vco,
+                part.enterprise_id,
+                e.get("id"),
+                e.get("logicalId"),
+                e.get("name"),
+                e.get("edgeState"),
+                e.get("buildNumber"),
+                e.get("activationTime"),
+                e.get("lastContact"),
+                (
+                    site["lat"],
+                    site["lon"],
+                    site["city"],
+                    site["country"],
+                    site["postalCode"],
+                )
+                if site
+                else None,
+                [
+                    (
+                        l.get("internalId"),
+                        l.get("ipAddress"),
+                        l.get("networkType"),
+                        l.get("backupState"),
+                        l.get("bytesRx"),
+                        l.get("bytesTx"),
+                        l.get("scoreRx"),
+                        l.get("scoreTx"),
+                    )
+                    for l in e.get("recentLinks", [])
+                ]
+                if "recentLinks" in e
+                else None,
+                [
+                    (li.get("sku"), li.get("start"), li.get("end"), li.get("active"))
+                    for li in e.get("licenses", [])
+                ]
+                if "licenses" in e
+                else None,
+            )
+
+    def _read_events(self, transport, part, endpoint) -> Iterator[tuple]:
+        params: dict = {"endpoint": endpoint}
+        start = 0 if self.interval_start_ms is None else self.interval_start_ms
+        end = 10**15 if self.interval_end_ms is None else self.interval_end_ms
+        params["interval"] = {"start": start, "end": end}
+        if self.limit is not None:
+            params["limit"] = self.limit
+        result = transport("event/getEnterpriseEvents", params)
+        for ev in result["data"]:
+            ts = dt.datetime.strptime(
+                ev["eventTime"], "%Y-%m-%dT%H:%M:%S.%fZ"
+            ).replace(tzinfo=dt.timezone.utc)
+            yield (part.vco, part.enterprise_id, ts, ev["event"], ev["edgeLogicalId"])
+
+
+class VeloCloudDataSource(DataSource):
+    """``spark.read.format("velocloud")`` — options:
+
+    entity        edges | events (default edges)
+    fleet         comma-separated VCO names (default "vco0")
+    n_enterprises enterprises per VCO (fleet discovery in production)
+    projection    comma-separated nested sub-objects → API ``with:``
+    limit         per-enterprise row cap → API ``limit``
+    transport     "module:callable" transport factory (default fake)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "velocloud"
+
+    def schema(self) -> str:
+        entity = self.options.get("entity", "edges")
+        return EDGE_SCHEMA if entity == "edges" else EVENT_SCHEMA
+
+    def reader(self, schema) -> VeloCloudReader:
+        return VeloCloudReader(self.options.get("entity", "edges"), dict(self.options))
