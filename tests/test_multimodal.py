@@ -61,3 +61,38 @@ def test_frame_sample_indices(spark):
     assert frames[1] == [0, 1000, 2000, 3000, 4000, 5000, 6000, 7000, 8000, 9000]
     assert frames[2] == []
     assert frames[3] == []
+
+
+def test_resize_media_with_fake_resizer(spark, sf_smoke):
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.multimodal import (
+        attach_binary_payload,
+        fake_resizer,
+        resize_media,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    media = attach_binary_payload(docs, "doc_id", "text")
+    out = resize_media(media, 32, 16, resizer=fake_resizer)
+    rows = out.collect()
+    assert len(rows) == 20
+    target = (32 * 16) // 64
+    for r in rows:
+        assert len(r["content"]) == target
+        assert r["meta"]["width"] == 32 and r["meta"]["height"] == 16
+        assert r["meta"]["mime"] == "application/octet-stream"  # rest of meta preserved
+
+
+def test_resize_media_requires_resizer(spark, sf_smoke):
+    import pytest as _pytest
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_media,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(1)
+    media = attach_binary_payload(docs, "doc_id", "text")
+    with _pytest.raises(NotImplementedError):
+        resize_media(media, 8, 8)

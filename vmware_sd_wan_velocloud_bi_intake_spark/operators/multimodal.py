@@ -109,6 +109,66 @@ def extract_features(
     return media.select("media_id", "content").mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, content binary, "
+    "meta struct<mime string, width int, height int, duration_ms long, codec string>"
+)
+
+
+def fake_resizer(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resizer: size-proportional
+    truncation/padding of the payload (real codecs aren't in this env)."""
+    target = max(1, (width * height) // 64)
+    if len(content) >= target:
+        return content[:target]
+    return content + b"\x00" * (target - len(content))
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize every media item to (width, height) via Arrow-batched UDF.
+
+    Same contract as :func:`extract_features`: ``resizer`` maps
+    (bytes, w, h) → bytes; without one this raises ``NotImplementedError``
+    at plan-build time (inject ``fake_resizer`` for plumbing tests, a
+    PIL/ffmpeg-backed resizer in production). Output keeps the
+    (media_id, content, meta) shape with meta.width/height updated, so
+    resize composes with decode/feature stages. Content stays partitioned
+    where it was read — resizing is pure map work, no shuffle.
+    """
+    import pandas as pd
+
+    if resizer is None:
+        raise NotImplementedError(
+            "media resizing requires a codec library (PIL/ffmpeg) not present "
+            "in this environment; inject resizer=fake_resizer for plumbing "
+            "tests or a real codec in production"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for m in pdf["meta"]:
+                m = dict(m) if m is not None else {}
+                m["width"], m["height"] = width, height
+                metas.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "content": [resizer(bytes(b), width, height) for b in pdf["content"]],
+                    "meta": metas,
+                }
+            )
+
+    return media.select("media_id", "content", "meta").mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
 def frame_sample_indices(
     duration_ms: Column, fps: float = 1.0, max_frames: int = 16
 ) -> Column:

@@ -26,6 +26,11 @@ STOPWORDS = {
 TOKEN_SPLIT = r"\s+"
 NON_ALNUM = r"[^A-Za-z0-9\s]"
 
+# BPE-style pretokenizer (GPT-2-family shape): contractions, space-prefixed
+# letter runs, digit runs, punctuation runs. Plain RE2/Java-compatible so the
+# identical pattern runs in Spark and the DuckDB oracle.
+BPE_PRETOKEN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
 
 def _alternation(words: list[str]) -> str:
     return r"\b(" + "|".join(words) + r")\b"
@@ -42,6 +47,18 @@ def token_count(text: Column) -> Column:
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(t, TOKEN_SPLIT))
     )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: matches of the GPT-2-style pretokenizer regex.
+
+    A cheap, deterministic proxy for tokenizer cost/size used to budget
+    training-data pipelines — counts sub-word *pretokens* (contractions,
+    word runs, number runs, punctuation runs), the grain real BPE merges
+    start from. Pure expression; fuses into the scan.
+    """
+    # idx=0 (whole match): the pattern's only group is non-capturing
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN), 0))
 
 
 def char_count(text: Column) -> Column:

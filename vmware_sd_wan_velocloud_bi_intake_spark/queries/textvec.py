@@ -50,6 +50,41 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# BPE-ish token estimate (beyond-ref): GPT-2-style pretokenizer regex —
+# the sub-word grain real tokenizers merge from, as a per-source budget.
+# --------------------------------------------------------------------------
+def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    per_doc = docs.select(
+        "source",
+        text.bpe_token_count(t).alias("n_bpe"),
+        text.token_count(t).alias("n_ws"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.sum("n_ws").alias("total_ws_tokens"),
+        (F.sum("n_bpe").cast("double") / F.count("*")).alias("avg_bpe_per_doc"),
+    )
+
+
+TXT_BPE_ORACLE = r"""
+SELECT
+  source,
+  CAST(SUM(len(regexp_extract_all(text,
+      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))) AS BIGINT)
+    AS total_bpe_tokens,
+  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_ws_tokens,
+  CAST(SUM(len(regexp_extract_all(text,
+      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))) AS DOUBLE)
+    / COUNT(*) AS avg_bpe_per_doc
+FROM documents
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Quality scoring + language ID (beyond-ref).
 # --------------------------------------------------------------------------
 def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,6 +565,12 @@ QUERIES: dict[str, Q] = {
         TXT_QUALITY_ORACLE,
         ("beyond:text", "F23"),
         "quality scoring + stopword-vote language ID",
+    ),
+    "txt_bpe_tokens": Q(
+        txt_bpe_tokens,
+        TXT_BPE_ORACLE,
+        ("beyond:text",),
+        "BPE-style pretokenizer token budget per source",
     ),
     "txt_fingerprint": Q(
         txt_fingerprint,
