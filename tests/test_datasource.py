@@ -122,3 +122,62 @@ def test_limit_option_caps_event_rows(spark):
         .load()
     )
     assert df.count() == 5
+
+
+def test_stream_reader_micro_batches_and_replay(spark, tmp_path):
+    # bounded stream: 2024-01-01 .. 2024-01-08 in 2-day micro-batches
+    start_ms = 1704067200000
+    end_ms = start_ms + 8 * 24 * 3600 * 1000
+    q = (
+        spark.readStream.format("velocloud")
+        .option("entity", "events")
+        .option("fleet", "vco0,vco1")
+        .option("n_enterprises", "2")
+        .option("start_ms", str(start_ms))
+        .option("end_ms", str(end_ms))
+        .option("advance_ms", str(2 * 24 * 3600 * 1000))
+        .load()
+        .writeStream.format("memory")
+        .queryName("vc_events")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM vc_events").collect()
+    # batch reader over the same window is the ground truth
+    batch = (
+        spark.read.format("velocloud")
+        .option("entity", "events")
+        .option("fleet", "vco0,vco1")
+        .option("n_enterprises", "2")
+        .load()
+        .filter(
+            (F.col("event_ts") >= F.timestamp_millis(F.lit(start_ms)))
+            & (F.col("event_ts") < F.timestamp_millis(F.lit(end_ms)))
+        )
+        .collect()
+    )
+    key = lambda r: (r["vco"], r["enterprise_id"], r["event_ts"], r["event"])
+    assert sorted(map(key, got)) == sorted(map(key, batch))
+    assert len(got) > 0
+
+
+def test_stream_offsets_are_deterministic_intervals():
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.datasource import (
+        VeloCloudStreamReader,
+    )
+
+    r = VeloCloudStreamReader(
+        {"fleet": "vco0", "n_enterprises": "2", "start_ms": "1000",
+         "advance_ms": "500", "end_ms": "1800"}
+    )
+    assert r.initialOffset() == {"ms": 1000}
+    assert r.latestOffset() == {"ms": 1500}
+    assert r.latestOffset() == {"ms": 1800}
+    assert r.latestOffset() == {"ms": 1800}  # capped: bounded replay terminates
+    parts = r.partitions({"ms": 1000}, {"ms": 1500})
+    assert len(parts) == 2
+    assert {(p.start_ms, p.end_ms) for p in parts} == {(1000, 1500)}

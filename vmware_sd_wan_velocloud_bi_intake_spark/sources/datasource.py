@@ -35,6 +35,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -221,6 +222,73 @@ class VeloCloudReader(DataSourceReader):
             yield (part.vco, part.enterprise_id, ts, ev["event"], ev["edgeLogicalId"])
 
 
+@dataclass
+class StreamSlice(InputPartition):
+    """One micro-batch task: one (vco, enterprise) over one time window."""
+
+    vco: str
+    enterprise_id: int
+    start_ms: int
+    end_ms: int
+
+
+class VeloCloudStreamReader(DataSourceStreamReader):
+    """Structured Streaming source over the event API (SURVEY §2.9).
+
+    The reference's scheduled incremental batch with per-entity lookback
+    windows (``powerbi_main_fun.py:469-475``) restated as a real streaming
+    source: the offset is the event-time watermark in epoch-ms; each
+    micro-batch advances it by ``advance_ms`` (capped at ``end_ms`` so
+    bounded replays terminate), and ``partitions(start, end)`` fans the
+    window out as one task per (vco, enterprise) — executor-parallel, not a
+    driver loop. Offsets are exact interval bounds, so replaying a batch
+    after failure re-fetches the identical rows (the transport's interval
+    filter is the idempotency contract).
+    """
+
+    def __init__(self, options: dict):
+        self.fleet = [v for v in options.get("fleet", "vco0").split(",") if v]
+        self.n_enterprises = int(options.get("n_enterprises", "5"))
+        self.start_ms = int(options.get("start_ms", "1704067200000"))
+        self.advance_ms = int(options.get("advance_ms", str(24 * 3600 * 1000)))
+        self.cap_ms = int(options.get("end_ms", str(2**53)))
+        self.transport_spec = options.get("transport")
+        self._latest = self.start_ms
+
+    def initialOffset(self) -> dict:
+        return {"ms": self.start_ms}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(self._latest + self.advance_ms, self.cap_ms)
+        return {"ms": self._latest}
+
+    def partitions(self, start: dict, end: dict) -> list[StreamSlice]:
+        return [
+            StreamSlice(vco=v, enterprise_id=e, start_ms=start["ms"], end_ms=end["ms"])
+            for v in self.fleet
+            for e in range(self.n_enterprises)
+        ]
+
+    def read(self, part: StreamSlice) -> Iterator[tuple]:
+        transport = _resolve_transport(self.transport_spec)
+        result = transport(
+            "event/getEnterpriseEvents",
+            {
+                "endpoint": {"vco": part.vco, "enterpriseId": part.enterprise_id},
+                "interval": {"start": part.start_ms, "end": part.end_ms},
+            },
+        )
+        for ev in result["data"]:
+            ts = dt.datetime.strptime(
+                ev["eventTime"], "%Y-%m-%dT%H:%M:%S.%fZ"
+            ).replace(tzinfo=dt.timezone.utc)
+            yield (part.vco, part.enterprise_id, ts, ev["event"], ev["edgeLogicalId"])
+
+    def commit(self, end: dict) -> None:
+        # offsets are pure interval bounds; nothing to acknowledge upstream
+        pass
+
+
 class VeloCloudDataSource(DataSource):
     """``spark.read.format("velocloud")`` — options:
 
@@ -242,3 +310,8 @@ class VeloCloudDataSource(DataSource):
 
     def reader(self, schema) -> VeloCloudReader:
         return VeloCloudReader(self.options.get("entity", "edges"), dict(self.options))
+
+    def streamReader(self, schema) -> VeloCloudStreamReader:
+        if self.options.get("entity", "events") != "events":
+            raise ValueError("streaming is supported for entity=events only")
+        return VeloCloudStreamReader(dict(self.options))
