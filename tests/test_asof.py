@@ -84,3 +84,58 @@ def test_asof_single_shuffle_plan(spark):
     # exactly one exchange: the window partitioning; union is narrow
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+# -- property test: asof_join vs a direct per-key model ---------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _model_asof(left_rows, right_rows):
+    """Most recent right value at-or-before each left ts; max value on ties."""
+    out = {}
+    for eid, key, lts in left_rows:
+        best = None
+        for rkey, rts, val in right_rows:
+            if rkey != key or rts > lts:
+                continue
+            if best is None or rts > best[0] or (rts == best[0] and val > best[1]):
+                best = (rts, val)
+        out[eid] = None if best is None else best[1]
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 9)),
+        max_size=25,
+    ),
+)
+def test_asof_matches_model(spark, left, right):
+    left_rows = [
+        (i, key, TS(2024, 1, 1) + dt.timedelta(hours=h))
+        for i, (key, h) in enumerate(left)
+    ]
+    right_rows = [
+        (key, TS(2024, 1, 1) + dt.timedelta(hours=h), val)
+        for key, h, val in right
+    ]
+    ldf = spark.createDataFrame(
+        left_rows, "event_id long, key long, lts timestamp"
+    )
+    rdf = (
+        spark.createDataFrame(right_rows, "key long, rts timestamp, val long")
+        if right_rows
+        else spark.createDataFrame([], "key long, rts timestamp, val long")
+    )
+    out = asof_join(ldf, rdf, "key", "key", "lts", "rts", value_cols=["val"])
+    got = {r["event_id"]: r["val"] for r in out.collect()}
+    assert got == _model_asof(left_rows, right_rows)

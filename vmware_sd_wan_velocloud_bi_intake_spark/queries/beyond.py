@@ -199,6 +199,35 @@ GROUP BY o_orderkey
 """
 
 
+# --------------------------------------------------------------------------
+# A21: exact percentiles — absent from the reference (its only distribution
+# stat is the order-dependent mean quirk, SURVEY §2.4 A9). Exact linear-
+# interpolation quantiles, bit-identical between Spark `percentile` and
+# DuckDB `quantile_cont`. At true 100 TB scale the approx_percentile sketch
+# is the first substitution — documented here because the exact form's sort
+# per group is the cost to watch.
+# --------------------------------------------------------------------------
+def a21_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+A21_ORACLE = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, Q] = {
     "j10_asof_join": Q(
         fn=j10_asof_join,
@@ -229,5 +258,11 @@ QUERIES: dict[str, Q] = {
         oracle=J11_ORACLE,
         ops=("J1", "P13"),
         doc="equi-anchored range join: events within 30 days of order date",
+    ),
+    "a21_percentiles": Q(
+        fn=a21_percentiles,
+        oracle=A21_ORACLE,
+        ops=("A11",),
+        doc="exact interpolated percentiles per group (p50/p90/p99)",
     ),
 }
