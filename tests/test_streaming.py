@@ -122,3 +122,67 @@ def test_staleness_cadence_rule(spark):
         max_age_days=8, cadence_days=6,
     )
     assert {r["edge_uuid"] for r in due.collect()} == {"e1"}
+
+
+def test_streaming_sessions_subset_of_batch_sessions(spark, tmp_path):
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.datasource import (
+        VeloCloudDataSource,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.jobs import (
+        streaming_sessions,
+    )
+
+    spark.dataSource.register(VeloCloudDataSource)
+    start_ms = 1704067200000  # 2024-01-01
+    end_ms = start_ms + 15 * 24 * 3600 * 1000
+    src_opts = {
+        "entity": "events",
+        "fleet": "vco0",
+        "n_enterprises": "2",
+        "start_ms": str(start_ms),
+        "end_ms": str(end_ms),
+        "advance_ms": str(3 * 24 * 3600 * 1000),
+    }
+    stream = spark.readStream.format("velocloud").options(**src_opts).load()
+    q = (
+        streaming_sessions(
+            stream, ts="event_ts", key="edgeLogicalId", gap="10 hours",
+            watermark="1 hour",
+        )
+        .writeStream.format("memory")
+        .queryName("vc_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = {
+        (r["edgeLogicalId"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM vc_sessions").collect()
+    }
+    assert emitted, "no sessions emitted before the final watermark"
+
+    batch = spark.read.format("velocloud").options(**src_opts).load()
+    batch_sessions = {
+        (r["edgeLogicalId"], r["session_start"], r["session_end"], r["n_events"])
+        for r in (
+            batch.groupBy(
+                F.session_window(F.col("event_ts"), "10 hours").alias("sw"),
+                "edgeLogicalId",
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "edgeLogicalId",
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events",
+            )
+            .collect()
+        )
+    }
+    # append mode emits only watermark-closed sessions; each one must agree
+    # exactly with the batch sessionization over the same interval
+    assert emitted <= batch_sessions

@@ -36,6 +36,34 @@ def streaming_event_dedup(
     return keyed.dropDuplicates(list(keys))
 
 
+def streaming_sessions(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked session windows per key (streaming twin of w07_sessionize).
+
+    ``session_window`` closes a session once event time advances past the
+    last event + ``gap``; the watermark bounds state by expiring sessions
+    older than the allowed lateness. State per key is one open session —
+    O(keys), not O(events) — the same bounded-state story as the batch
+    gaps-and-islands form but maintained incrementally.
+    """
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("sw"), F.col(key))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_hourly_scores(
     events: DataFrame,
     ts: str = "ts",
