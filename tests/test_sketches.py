@@ -1,0 +1,52 @@
+"""Accuracy bounds for the sketch query (a22) against its exact anchors.
+
+a22 has no SQL oracle by design (sketches are engine-specific); instead its
+estimates must land within tolerance of the hash-checked exact queries
+(a20 distinct counts, exact percentile for the same column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vmware_sd_wan_velocloud_bi_intake_spark.queries import all_queries
+from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+CATALOG = all_queries()
+
+
+def test_sketch_distinct_within_rsd(spark, sf_correct):
+    approx = {
+        r["l_returnflag"]: (r["n_supp_approx"], r["n_part_approx"])
+        for r in CATALOG["a22_sketch_stats"].fn(spark, sf_correct).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["n_supp"], r["n_part"])
+        for r in CATALOG["a20_distinct_agg"].fn(spark, sf_correct).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for flag in exact:
+        for a, e in zip(approx[flag], exact[flag]):
+            assert abs(a - e) / e < 0.05, (flag, a, e)
+
+
+def test_sketch_percentiles_within_tolerance(spark, sf_correct):
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p90_approx"])
+        for r in CATALOG["a22_sketch_stats"].fn(spark, sf_correct).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p90"])
+        for r in (
+            load_table(spark, sf_correct, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+                F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            )
+            .collect()
+        )
+    }
+    for flag in exact:
+        for a, e in zip(approx[flag], exact[flag]):
+            assert abs(a - e) / e < 0.02, (flag, a, e)

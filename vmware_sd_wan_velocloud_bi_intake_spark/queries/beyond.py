@@ -228,6 +228,29 @@ GROUP BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# A22: sketch aggregates — the 100 TB substitution for a20/a21. HyperLogLog++
+# distinct counts and quantile-sketch percentiles are single-pass, fixed-
+# memory, associative partial aggregates: at scale they replace the exact
+# expand-based distinct (shuffle per distinct column) and the exact
+# percentile (full sort per group). No oracle by design: sketch estimates
+# are engine-specific (DuckDB's HLL/quantile sketches round differently), so
+# the driver records the rows-only check; the EXACT counterparts a20/a21 are
+# the hash-checked correctness anchors and this query's estimates are
+# asserted within rtol=5% of them in tests/test_oracle_parity.py-adjacent
+# suite (test_sketches.py).
+# --------------------------------------------------------------------------
+def a22_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supp_approx"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_part_approx"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50_approx"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("p90_approx"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 QUERIES: dict[str, Q] = {
     "j10_asof_join": Q(
         fn=j10_asof_join,
@@ -264,5 +287,12 @@ QUERIES: dict[str, Q] = {
         oracle=A21_ORACLE,
         ops=("A11",),
         doc="exact interpolated percentiles per group (p50/p90/p99)",
+    ),
+    "a22_sketch_stats": Q(
+        fn=a22_sketch_stats,
+        oracle=None,  # sketch estimates are engine-specific; accuracy vs the
+        # exact anchors a20/a21 is asserted in tests/test_sketches.py
+        ops=("A15",),
+        doc="HLL++ distinct + quantile-sketch percentiles (scale path)",
     ),
 }
