@@ -24,7 +24,10 @@ from vmware_sd_wan_velocloud_bi_intake_spark.queries import all_queries
 from vmware_sd_wan_velocloud_bi_intake_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+# min-of-3: this box shows bursty multi-second CPU-steal spikes; three
+# interleaved passes (whole catalog per pass, so a burst hits different
+# queries each time) give a stable minimum at ~80 s total clean runtime
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def infer_sf(path: str) -> float:

@@ -1,0 +1,70 @@
+"""Hermetic end-to-end test of the gateway pipeline (plans/gateway.py),
+mirroring SURVEY.md §3.2 against the deterministic fake transport."""
+
+from __future__ import annotations
+
+from vmware_sd_wan_velocloud_bi_intake_spark.plans.gateway import (
+    bronze_gateways,
+    gateway_metrics_max,
+    gateway_relation,
+    silver_gateways,
+)
+from vmware_sd_wan_velocloud_bi_intake_spark.sources.fake_transport import (
+    FakeVcoTransport,
+)
+
+VCOS = ["vco0", "vco1"]
+
+
+def _transport():
+    return FakeVcoTransport()
+
+
+def test_gateway_pipeline_end_to_end(spark):
+    bronze = bronze_gateways(spark, VCOS, _transport)
+    rows = bronze.collect()
+    assert len(rows) == 2 * 6  # 6 gateways per VCO
+
+    silver = silver_gateways(bronze)
+    srows = silver.collect()
+    # fake transport ground truth: recompute expected CONNECTED set
+    t = _transport()
+    expected = {
+        (v, g["logicalId"]): len(g["connectedEdgeList"])
+        for v in VCOS
+        for g in t("network/getNetworkGateways", {"endpoint": {"vco": v}})
+        if g["gatewayState"] == "CONNECTED"
+    }
+    assert {(r["vco"], r["gateway_uuid"]) for r in srows} == set(expected)
+    for r in srows:
+        assert r["n_connected_edges"] == expected[(r["vco"], r["gateway_uuid"])]
+
+    rel = gateway_relation(bronze, "2024-01-15")
+    # relation row per distinct (edge, gateway) of CONNECTED gateways
+    assert rel.count() > 0
+    assert rel.count() == rel.select("edge_uuid", "gateway_uuid").distinct().count()
+    assert {r["gateway_uuid"] for r in rel.collect()} <= {
+        k[1] for k in expected
+    }
+
+
+def test_gateway_metrics_max_matches_transport_series(spark):
+    bronze = bronze_gateways(spark, ["vco0"], _transport)
+    silver = silver_gateways(bronze)
+    interval = (1704067200000, 1704067200000 + 12 * 3600 * 1000)  # first 12 h
+    maxes = gateway_metrics_max(spark, silver, _transport, interval)
+    got = {r["gateway_id"]: r for r in maxes.collect()}
+
+    t = _transport()
+    for gid, row in got.items():
+        series = t(
+            "metrics/getGatewayStatusMetrics",
+            {
+                "endpoint": {"vco": "vco0"},
+                "gatewayId": gid,
+                "interval": {"start": interval[0], "end": interval[1]},
+            },
+        )["series"]
+        assert row["n_samples"] == len(series) == 12
+        assert row["max_cpu_pct"] == max(s["cpuPct"] for s in series)
+        assert row["max_flow_count"] == max(s["flowCount"] for s in series)

@@ -122,6 +122,49 @@ class FakeVcoTransport:
                         }
                     )
             return {"data": events}
+        if method == "network/getNetworkGateways":
+            n_gw = 6
+            out = []
+            for g in range(n_gw):
+                key = f"{vco}:g{g}"
+                out.append(
+                    {
+                        "id": g,
+                        "logicalId": f"gw-{vco}-{g}",
+                        "name": f"Gateway {vco} {g}",
+                        "gatewayState": _pick(key + ":st", STATES),
+                        "buildNumber": f"5.{_h(key + ':bn') % 4}.0",
+                        "site": {"country": _pick(key + ":c", COUNTRIES)},
+                        "utilizationDetail": {
+                            "cpu": (_h(key + ":cpu") % 1000) / 10.0,
+                            "memory": (_h(key + ":mem") % 1000) / 10.0,
+                            "load": (_h(key + ":ld") % 1000) / 10.0,
+                        },
+                        "connectedEdgeList": [
+                            {"edgeLogicalId": f"edge-{_h(f'{key}:{i}:e') % 5}-{i % 4}"}
+                            for i in range(1 + _h(key + ":ne") % 4)
+                        ],
+                    }
+                )
+            return out
+        if method == "metrics/getGatewayStatusMetrics":
+            gw = params.get("gatewayId", params.get("endpoint", {}).get("gatewayId", 0))
+            interval = params.get("interval", {"start": 0, "end": 10**15})
+            samples = []
+            for i in range(24):
+                ts_ms = 1704067200000 + i * 3600 * 1000
+                if interval["start"] <= ts_ms < interval["end"]:
+                    key = f"{vco}:g{gw}:m{i}"
+                    samples.append(
+                        {
+                            "ts": ts_ms,
+                            "cpuPct": (_h(key + ":c") % 1000) / 10.0,
+                            "memoryPct": (_h(key + ":m") % 1000) / 10.0,
+                            "flowCount": _h(key + ":f") % 100000,
+                            "tunnelCount": _h(key + ":t") % 5000,
+                        }
+                    )
+            return {"series": samples}
         raise ValueError(f"unsupported method: {method}")
 
 
