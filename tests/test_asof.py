@@ -10,7 +10,10 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from vmware_sd_wan_velocloud_bi_intake_spark.operators.asof import asof_join
+from vmware_sd_wan_velocloud_bi_intake_spark.operators.asof import (
+    asof_join,
+    asof_join_bucketed,
+)
 
 TS = dt.datetime
 
@@ -138,4 +141,13 @@ def test_asof_matches_model(spark, left, right):
     )
     out = asof_join(ldf, rdf, "key", "key", "lts", "rts", value_cols=["val"])
     got = {r["event_id"]: r["val"] for r in out.collect()}
-    assert got == _model_asof(left_rows, right_rows)
+    expected = _model_asof(left_rows, right_rows)
+    assert got == expected
+    # the skew-proof bucketed form must agree exactly (4 h buckets split the
+    # 20 h span so in-bucket, adjacent-carry, and long-carry paths all fire)
+    out_b = asof_join_bucketed(
+        ldf, rdf, "key", "key", "lts", "rts", value_cols=["val"],
+        bucket_seconds=4 * 3600,
+    )
+    got_b = {r["event_id"]: r["val"] for r in out_b.collect()}
+    assert got_b == expected
