@@ -89,3 +89,35 @@ def test_near_dup_pairs_sound_and_exact_dups_complete(spark, docs):
         for j in range(i + 1, len(docs)):
             if model_normalize(docs[i]) == model_normalize(docs[j]) and model_shingles(docs[i]):
                 assert (i, j) in pairs, (docs[i], docs[j])
+
+
+def test_incremental_near_dups_match_full_cross_pairs(spark, sf_correct):
+    """Splitting the corpus and deduping the new half against the old half's
+    persisted index must find exactly the full run's cross-half pairs."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.dedup import (
+        lsh_bucket_table,
+        near_dup_pairs,
+        near_dup_pairs_incremental,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_correct, "documents").limit(800).cache()
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    params = dict(threshold=0.3, num_hashes=4, bands=2, shingle_n=3)
+
+    full = near_dup_pairs(docs, "doc_id", "text", **params)
+    cross = {
+        # full pairs are (min, max); orient as (new_odd, corpus_even)
+        (a if a % 2 == 1 else b, b if a % 2 == 1 else a)
+        for a, b in (
+            (r["doc_a"], r["doc_b"]) for r in full.collect()
+        )
+        if (a % 2) != (b % 2)
+    }
+
+    index = lsh_bucket_table(old, "doc_id", "text", 4, 2, 3)
+    inc = near_dup_pairs_incremental(new, index, "doc_id", "text", **params)
+    got = {(r["new_doc"], r["corpus_doc"]) for r in inc.collect()}
+    assert got == cross
+    docs.unpersist()
