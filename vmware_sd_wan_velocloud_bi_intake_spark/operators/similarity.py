@@ -326,6 +326,110 @@ def ann_ivf_topk(
     )
 
 
+def ivf_index(
+    emb: DataFrame,
+    n_cells: int | None = None,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable IVF index: (centroids, members).
+
+    centroids = (cell, cv, cnrm) — tiny, broadcastable.
+    members   = (cell, vid, v, nrm) — the corpus partitioned by cell; write
+    it bucketed on ``cell`` (sinks.bucketed) and query batches search it
+    without re-assigning the corpus. Same deterministic coarse quantizer as
+    :func:`ann_ivf_topk` (n_cells lowest-id vectors, argmax-cosine
+    assignment, ties to lowest centroid id).
+    """
+    import math
+
+    if n_cells is None:
+        n_cells = max(8, math.ceil(math.sqrt(emb.count())))
+    base = emb.select(
+        F.col(vec_id).alias("vid"),
+        as_double_array(F.col(embedding)).alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    cents = base.orderBy("vid").limit(n_cells).select(
+        F.col("vid").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    assign_w = Window.partitionBy("vid").orderBy(
+        F.col("cell_cos").desc(), F.col("cell")
+    )
+    members = (
+        base.join(F.broadcast(cents))
+        .withColumn(
+            "cell_cos",
+            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")),
+        )
+        .withColumn("arn", F.row_number().over(assign_w))
+        .where(F.col("arn") == 1)
+        .select("cell", "vid", "v", "nrm")
+    )
+    return cents, members
+
+
+def ann_ivf_query(
+    queries: DataFrame,
+    centroids: DataFrame,
+    members: DataFrame,
+    k: int = 3,
+    nprobe: int = 1,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+) -> DataFrame:
+    """Search a query batch against a prebuilt IVF index (incremental form).
+
+    Each query broadcasts against the centroid table, keeps its ``nprobe``
+    closest cells, joins the member lists of just those cells, and ranks by
+    exact cosine. Cost: |queries| × nprobe × avg-cell-size — independent of
+    corpus size beyond cell occupancy; the only shuffle is keyed by cell
+    (none on the corpus side if members were written bucketed on cell).
+    ``nprobe > 1`` trades compute for recall — the standard IVF knob the
+    self-indexing form doesn't expose.
+
+    Returns (query_id, neighbor_id, cos_sim, rk); self-matches (same id)
+    are excluded.
+    """
+    q = queries.select(
+        F.col(vec_id).alias("query_id"),
+        as_double_array(F.col(embedding)).alias("qv"),
+    ).withColumn("qnrm", l2_norm(F.col("qv")))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell")
+    )
+    probed = (
+        q.join(F.broadcast(centroids))
+        .withColumn(
+            "cell_cos",
+            dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm")),
+        )
+        .withColumn("prn", F.row_number().over(probe_w))
+        .where(F.col("prn") <= nprobe)
+        .select("query_id", "qv", "qnrm", "cell")
+    )
+    scored = (
+        probed.join(members, "cell")
+        .where(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane coefficient in [-1, 1).
 
