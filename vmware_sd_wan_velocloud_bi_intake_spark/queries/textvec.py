@@ -321,6 +321,66 @@ WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
 
 
 # --------------------------------------------------------------------------
+# Incremental near-dup (beyond-ref): new batch (odd doc_ids) against the
+# persisted LSH index of the corpus (even doc_ids) — the daily-ingest shape;
+# only the batch is shingled/hashed, the corpus contributes precomputed
+# index rows through one equi-join on bucket.
+# --------------------------------------------------------------------------
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    index = dedup.lsh_bucket_table(
+        corpus, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3
+    )
+    out = dedup.near_dup_pairs_incremental(
+        batch, index, "doc_id", "text",
+        threshold=0.4, num_hashes=4, bands=2, shingle_n=3,
+    )
+    return out.select(
+        "new_doc", "corpus_doc", F.round(F.col("jaccard"), 6).alias("jaccard_r6")
+    )
+
+
+DEDUP_INCREMENTAL_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split_regex(t, '\s+') AS w FROM norm
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(w[i : i + 2], ' ') AS shingle
+    FROM toks,
+         LATERAL (SELECT unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i))
+), sig AS (
+  SELECT doc_id,
+         MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
+         MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3
+  FROM sh GROUP BY doc_id
+), buckets AS (
+  SELECT doc_id, md5('0|' || h0 || '|' || h1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, md5('1|' || h2 || '|' || h3) FROM sig
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+  FROM buckets n JOIN buckets c ON n.bucket = c.bucket
+  WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+), shl AS (
+  SELECT doc_id, list(shingle) AS sl FROM sh GROUP BY doc_id
+)
+SELECT new_doc, corpus_doc,
+       ROUND(CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.sl, y.sl))), 6) AS jaccard_r6
+FROM cand
+JOIN shl x ON x.doc_id = cand.new_doc
+JOIN shl y ON y.doc_id = cand.corpus_doc
+WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
+      / len(list_distinct(list_concat(x.sl, y.sl))) >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-dup (beyond-ref): deterministic sign-pattern
 # blocking (data-derived, so both engines build identical buckets) + exact
 # sequential-fold cosine ≥ threshold. The equi-join-on-block shape is the
@@ -601,6 +661,12 @@ QUERIES: dict[str, Q] = {
         DEDUP_NEARDUP_ORACLE,
         ("beyond:dedup",),
         "MinHash-LSH candidates verified by exact n-gram Jaccard",
+    ),
+    "dedup_incremental": Q(
+        dedup_incremental,
+        DEDUP_INCREMENTAL_ORACLE,
+        ("beyond:dedup", "T3"),
+        "new-batch near-dup against the persisted corpus LSH index",
     ),
     "sim_cosine_neardup": Q(
         sim_cosine_neardup,
