@@ -10,6 +10,7 @@ from __future__ import annotations
 import sqlite3
 
 import pytest
+from pyspark.sql import functions as F
 
 from vmware_sd_wan_velocloud_bi_intake_spark.sinks.jdbc import (
     build_upsert_sql,
@@ -84,3 +85,73 @@ def test_jdbc_upsert_is_idempotent_on_replay(spark, tmp_path):
     with sqlite3.connect(db) as conn:
         rows = sorted(conn.execute("SELECT k, v FROM t").fetchall())
     assert rows == [(1, "x"), (2, "y")]
+
+
+def test_streaming_foreachbatch_jdbc_upsert(spark, tmp_path):
+    """velocloud stream -> foreachBatch -> JDBC upsert: replayed/overlapping
+    micro-batches converge to one row per PK."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.sinks.jdbc import (
+        jdbc_upsert_writer,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.datasource import (
+        VeloCloudDataSource,
+    )
+
+    spark.dataSource.register(VeloCloudDataSource)
+    db = str(tmp_path / "stream.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE ev (vco TEXT, enterprise_id INTEGER, event_ts TEXT,"
+            " event TEXT, edgeLogicalId TEXT,"
+            " PRIMARY KEY (vco, enterprise_id, event_ts, event))"
+        )
+    start_ms = 1704067200000
+    stream = (
+        spark.readStream.format("velocloud")
+        .option("entity", "events")
+        .option("fleet", "vco0")
+        .option("n_enterprises", "2")
+        .option("start_ms", str(start_ms))
+        .option("end_ms", str(start_ms + 6 * 24 * 3600 * 1000))
+        .option("advance_ms", str(2 * 24 * 3600 * 1000))
+        .load()
+        .withColumn("event_ts", F.col("event_ts").cast("string"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            jdbc_upsert_writer(
+                "ev",
+                ["vco", "enterprise_id", "event_ts", "event"],
+                lambda: _connect(db),
+                dialect="ansi",
+                placeholder="?",
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_rows = (
+        spark.read.format("velocloud")
+        .option("entity", "events")
+        .option("fleet", "vco0")
+        .option("n_enterprises", "2")
+        .load()
+        .filter(
+            (F.col("event_ts") >= F.timestamp_millis(F.lit(start_ms)))
+            & (
+                F.col("event_ts")
+                < F.timestamp_millis(F.lit(start_ms + 6 * 24 * 3600 * 1000))
+            )
+        )
+        .select("vco", "enterprise_id", F.col("event_ts").cast("string"), "event")
+        .distinct()
+        .count()
+    )
+    with sqlite3.connect(db) as conn:
+        n = conn.execute("SELECT COUNT(*) FROM ev").fetchone()[0]
+    assert n == batch_rows > 0
