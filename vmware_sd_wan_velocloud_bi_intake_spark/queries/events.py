@@ -497,7 +497,50 @@ def a09_score_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# P15 (beyond-ref API surface): pivot — long event rows to a wide per-user
+# matrix. The EAV pivot (eav_pivot) builds a map; this is the relational
+# .pivot() with explicit values, so the column set is fixed at plan time
+# (dynamic-value pivots need a pre-pass distinct — the explicit list keeps
+# one job and deterministic schema, which is also why the oracle can match).
+# --------------------------------------------------------------------------
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def p15_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .withColumnRenamed("click", "n_click")
+        .withColumnRenamed("error", "n_error")
+        .withColumnRenamed("purchase", "n_purchase")
+        .withColumnRenamed("signup", "n_signup")
+        .withColumnRenamed("view", "n_view")
+    )
+
+
+P15_ORACLE = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (event_type = 'view')     AS n_view
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, Q] = {
+    "p15_event_pivot": Q(
+        p15_event_pivot,
+        P15_ORACLE,
+        ("P7", "A5"),
+        "explicit-values pivot: long events to wide per-user count matrix",
+    ),
     "w01_transitions": Q(
         w01_transitions,
         W01_ORACLE,
