@@ -80,62 +80,6 @@ def minhash_signature(df: DataFrame, doc_id: str, text: str, num_hashes: int = 8
     ).select("doc_id", minhash_sig_expr(F.col("_sh"), num_hashes).alias("sig"))
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, bands: int = 4, rows_per_band: int = 2
-) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket.
-
-    Bucket key = md5(band_index || band slice of the signature). Pairs are
-    generated by grouping doc ids per bucket and expanding in-bucket pairs
-    with array HOFs — ONE computation of the signature subplan (a self-join
-    would re-execute the whole minhash pipeline for each join branch) and
-    one shuffle keyed by bucket. Cost is Σ bucket_size², bounded by tuning
-    (bands, rows_per_band), never a global cross join; at 100 TB oversized
-    buckets (degenerate content) should be capped upstream by the caller
-    filtering ``size(ids)`` — the standard LSH-dedup guard.
-    """
-    band_rows = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.lit(str(b)),
-                            *[
-                                F.element_at(F.col("sig"), b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bucket"),
-    )
-    groups = (
-        band_rows.groupBy("bucket")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    return (
-        groups.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .distinct()
-    )
-
-
 def lsh_bucket_table(
     df: DataFrame,
     doc_id: str,
