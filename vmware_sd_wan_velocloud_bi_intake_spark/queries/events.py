@@ -534,7 +534,50 @@ GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# W8 (beyond-ref): time-RANGE window frame — rolling 7-day sum/count per
+# user. The reference computes lookbacks by re-fetching fixed intervals
+# (W5/W6); the RANGE frame expresses "trailing window per row" natively:
+# one shuffle on the partition key, frame bounds evaluated on the sorted
+# run. Ordering key is epoch seconds (Spark range frames need numeric
+# order); the oracle uses the equivalent INTERVAL range frame.
+# --------------------------------------------------------------------------
+def w08_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec("value", 18)).over(w).cast("double").alias("sum_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
+
+
+W08_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_7d,
+       COUNT(*) OVER w AS n_7d
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+)
+"""
+
+
+
 QUERIES: dict[str, Q] = {
+    "w08_rolling_window": Q(
+        w08_rolling_window,
+        W08_ORACLE,
+        ("W5", "F13"),
+        "time-RANGE frame: rolling 7-day sum/count per user",
+    ),
     "p15_event_pivot": Q(
         p15_event_pivot,
         P15_ORACLE,
