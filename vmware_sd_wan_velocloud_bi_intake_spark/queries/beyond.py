@@ -200,6 +200,50 @@ GROUP BY o_orderkey
 
 
 # --------------------------------------------------------------------------
+# J12: full-outer join — listed in SURVEY §2.3 as absent from the reference
+# (every reference join is inner/semi/anti). Reconciliation shape: order
+# activity vs event activity per customer, keeping keys present on either
+# side only. Both sides pre-aggregate before the join (shuffle carries one
+# row per key per side, not raw facts).
+# --------------------------------------------------------------------------
+def j12_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    o = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("n_orders")
+    )
+    e = events.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("n_events")
+    )
+    return (
+        o.join(e, "key", "full_outer")
+        .select(
+            "key",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            (F.col("n_orders").isNull() | F.col("n_events").isNull()).alias(
+                "one_sided"
+            ),
+        )
+    )
+
+
+J12_ORACLE = """
+WITH o AS (
+  SELECT o_custkey AS key, COUNT(*) AS n_orders FROM orders GROUP BY 1
+), e AS (
+  SELECT user_id AS key, COUNT(*) AS n_events FROM events GROUP BY 1
+)
+SELECT
+  COALESCE(o.key, e.key) AS key,
+  COALESCE(o.n_orders, 0) AS n_orders,
+  COALESCE(e.n_events, 0) AS n_events,
+  (o.n_orders IS NULL OR e.n_events IS NULL) AS one_sided
+FROM o FULL OUTER JOIN e ON o.key = e.key
+"""
+
+
+# --------------------------------------------------------------------------
 # A21: exact percentiles — absent from the reference (its only distribution
 # stat is the order-dependent mean quirk, SURVEY §2.4 A9). Exact linear-
 # interpolation quantiles, bit-identical between Spark `percentile` and
@@ -281,6 +325,12 @@ QUERIES: dict[str, Q] = {
         oracle=J11_ORACLE,
         ops=("J1", "P13"),
         doc="equi-anchored range join: events within 30 days of order date",
+    ),
+    "j12_full_outer": Q(
+        fn=j12_full_outer,
+        oracle=J12_ORACLE,
+        ops=("J8",),
+        doc="full-outer reconciliation of pre-aggregated sides",
     ),
     "a21_percentiles": Q(
         fn=a21_percentiles,
