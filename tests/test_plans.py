@@ -88,3 +88,16 @@ def test_neardup_single_corpus_scan_single_wide_shuffle(spark, sf_smoke):
     assert "Join" not in plan
     # wide deps: bucket groupBy + final pair distinct only
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q03_shipping_priority", "q05_local_supplier_volume", "q10_returned_items"],
+)
+def test_multiway_joins_broadcast_dims_no_bnlj(spark, sf_smoke, name):
+    plan = _plan(spark, sf_smoke, name)
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+    # dim sides broadcast at this SF; big-fact joins may legitimately become
+    # SortMergeJoin at scale, but something must broadcast here
+    assert "BroadcastHashJoin" in plan, name

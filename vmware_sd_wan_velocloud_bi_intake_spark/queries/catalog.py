@@ -7,13 +7,13 @@ checks (documented per entry as to why SQL can't express them).
 
 from __future__ import annotations
 
-from . import beyond, events, nested, relational, scalars, textvec
+from . import beyond, events, nested, relational, scalars, textvec, tpch
 from .base import Q
 
 
 def all_queries() -> dict[str, Q]:
     merged: dict[str, Q] = {}
-    for mod in (relational, events, textvec, nested, scalars, beyond):
+    for mod in (relational, events, textvec, nested, scalars, beyond, tpch):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
