@@ -151,7 +151,97 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Q18 shape: large-volume orders — semi-join against an aggregate HAVING
+# set (the decorrelated IN-subquery form).
+# --------------------------------------------------------------------------
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(F.sum(dec("l_quantity", 12)).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(
+            big.select("big_orderkey"), orders.o_orderkey == F.col("big_orderkey")
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity", 12)).cast("double").alias("total_qty"))
+    )
+
+
+Q18_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+# --------------------------------------------------------------------------
+# Q17 shape: small-quantity-order revenue — correlated scalar subquery
+# (per-part average), decorrelated into an aggregate + join.
+# --------------------------------------------------------------------------
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(dec("l_quantity", 12)).cast("double") / F.count("l_quantity")).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.sum(dec("l_extendedprice", 12)).cast("double").alias("total_price"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q17_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part ON l.l_partkey = p_partkey
+JOIN (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity)
+           AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+) a ON l.l_partkey = a.pk
+WHERE p_brand = 'Brand#1'
+  AND l.l_quantity < 0.5 * a.avg_qty
+"""
+
+
 QUERIES: dict[str, Q] = {
+    "q18_large_orders": Q(
+        fn=q18_large_orders,
+        oracle=Q18_ORACLE,
+        ops=("J2", "A8"),
+        doc="TPC-H Q18 shape: semi-join against an aggregate HAVING set",
+    ),
+    "q17_small_quantity": Q(
+        fn=q17_small_quantity,
+        oracle=Q17_ORACLE,
+        ops=("J1", "A8"),
+        doc="TPC-H Q17 shape: decorrelated per-part scalar subquery",
+    ),
     "q03_shipping_priority": Q(
         fn=q03_shipping_priority,
         oracle=Q03_ORACLE,
