@@ -54,6 +54,15 @@ def load_table(
     timestamps carry at most microsecond precision).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
+        # rejects outright; the legacy conf is runtime-settable, so harden
+        # here for sessions not built by session.get_spark (e.g. a driver
+        # harness session) instead of relying on builder-time config
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf locked (e.g. marked static) — builder-time value applies
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
