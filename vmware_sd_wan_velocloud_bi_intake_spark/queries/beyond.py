@@ -273,6 +273,46 @@ GROUP BY o_orderpriority
 
 
 # --------------------------------------------------------------------------
+# SET1: set operations — SURVEY §2.7 records the reference has none
+# (per-VCO results only union implicitly by writing to shared tables).
+# Key-population reconciliation: which keys transact, emit events, or both.
+# Each branch is a distinct-projected single column, so the set ops shuffle
+# one slim column, not fact rows.
+# --------------------------------------------------------------------------
+def set1_key_populations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    o = orders.select(F.col("o_custkey").alias("key")).distinct()
+    e = events.select(F.col("user_id").alias("key")).distinct()
+    return (
+        o.intersect(e).withColumn("population", F.lit("both"))
+        .unionByName(o.subtract(e).withColumn("population", F.lit("orders_only")))
+        .unionByName(e.subtract(o).withColumn("population", F.lit("events_only")))
+    )
+
+
+SET1_ORACLE = """
+SELECT key, 'both' AS population FROM (
+  SELECT DISTINCT o_custkey AS key FROM orders
+  INTERSECT
+  SELECT DISTINCT user_id FROM events
+)
+UNION ALL
+SELECT key, 'orders_only' FROM (
+  SELECT DISTINCT o_custkey AS key FROM orders
+  EXCEPT
+  SELECT DISTINCT user_id FROM events
+)
+UNION ALL
+SELECT key, 'events_only' FROM (
+  SELECT DISTINCT user_id AS key FROM events
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # A22: sketch aggregates — the 100 TB substitution for a20/a21. HyperLogLog++
 # distinct counts and quantile-sketch percentiles are single-pass, fixed-
 # memory, associative partial aggregates: at scale they replace the exact
@@ -337,6 +377,12 @@ QUERIES: dict[str, Q] = {
         oracle=A21_ORACLE,
         ops=("A11",),
         doc="exact interpolated percentiles per group (p50/p90/p99)",
+    ),
+    "set1_key_populations": Q(
+        fn=set1_key_populations,
+        oracle=SET1_ORACLE,
+        ops=("J8",),
+        doc="set ops (intersect/except/union) over distinct key populations",
     ),
     "a22_sketch_stats": Q(
         fn=a22_sketch_stats,
