@@ -11,7 +11,13 @@ import datetime as dt
 
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, IsNotNull, LessThan
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    IsNotNull,
+    LessThan,
+)
 
 from vmware_sd_wan_velocloud_bi_intake_spark.sources.datasource import (
     VeloCloudDataSource,
@@ -112,6 +118,50 @@ def test_pushfilters_consumes_supported_retains_rest():
     assert re.edge_states == ["CONNECTED"]
 
 
+def test_pushfilters_conjunction_keeps_tightest_bounds():
+    # ts >= 2024-02-01 AND ts > 2024-01-01: the LATER lower bound must win
+    # (last-wins overwrite would silently widen the interval)
+    r = VeloCloudReader("events", {"fleet": "vco0", "n_enterprises": "1"})
+    retained = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(attribute=("event_ts",), value=dt.datetime(2024, 2, 1)),
+                GreaterThan(attribute=("event_ts",), value=dt.datetime(2024, 1, 1)),
+                LessThan(attribute=("event_ts",), value=dt.datetime(2024, 3, 1)),
+                LessThan(attribute=("event_ts",), value=dt.datetime(2024, 2, 15)),
+            ]
+        )
+    )
+    feb1 = 1706745600000
+    feb15 = 1707955200000
+    assert r.interval_start_ms == feb1
+    assert r.interval_end_ms == feb15
+    # the strict > is approximate at ms granularity -> re-yielded for Spark
+    assert [type(f).__name__ for f in retained] == ["GreaterThan"]
+
+
+def test_pushfilters_non_ms_aligned_literal_is_not_consumed():
+    # a microsecond-precision literal can't be expressed as an ms interval:
+    # the interval must widen (floor start / ceil end) AND the filter must be
+    # re-yielded so Spark applies the exact predicate
+    r = VeloCloudReader("events", {"fleet": "vco0", "n_enterprises": "1"})
+    lo = dt.datetime(2024, 1, 2, microsecond=400)   # 0.4 ms past the boundary
+    hi = dt.datetime(2024, 1, 4, microsecond=999400)
+    retained = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(attribute=("event_ts",), value=lo),
+                LessThan(attribute=("event_ts",), value=hi),
+            ]
+        )
+    )
+    assert r.interval_start_ms == 1704153600000        # floored: wider
+    assert r.interval_end_ms == 1704326400999 + 1      # ceiled: wider
+    assert {type(f).__name__ for f in retained} == {
+        "GreaterThanOrEqual", "LessThan",
+    }
+
+
 def test_limit_option_caps_event_rows(spark):
     df = (
         spark.read.format("velocloud")
@@ -181,3 +231,20 @@ def test_stream_offsets_are_deterministic_intervals():
     parts = r.partitions({"ms": 1000}, {"ms": 1500})
     assert len(parts) == 2
     assert {(p.start_ms, p.end_ms) for p in parts} == {(1000, 1500)}
+
+
+def test_stream_offsets_monotone_after_checkpoint_restart():
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.datasource import (
+        VeloCloudStreamReader,
+    )
+
+    # simulate a restart: a FRESH reader, but the checkpoint already
+    # committed offset 3000 — latestOffset must never regress behind it
+    r = VeloCloudStreamReader(
+        {"fleet": "vco0", "n_enterprises": "1", "start_ms": "1000",
+         "advance_ms": "500", "end_ms": "10000"}
+    )
+    parts = r.partitions({"ms": 3000}, {"ms": 3500})  # replayed pending batch
+    assert parts[0].start_ms == 3000
+    nxt = r.latestOffset()
+    assert nxt["ms"] >= 3500  # monotone: 3000 (clamped) + advance

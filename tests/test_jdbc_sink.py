@@ -21,21 +21,32 @@ from vmware_sd_wan_velocloud_bi_intake_spark.sinks.jdbc import (
 def test_build_upsert_sql_mysql():
     sql = build_upsert_sql("Edge", ["id", "name", "state"], ["id"], 2)
     assert sql == (
-        "INSERT INTO Edge (id, name, state) VALUES (%s, %s, %s), (%s, %s, %s) "
-        "ON DUPLICATE KEY UPDATE name=VALUES(name), state=VALUES(state)"
+        "INSERT INTO `Edge` (`id`, `name`, `state`) VALUES (%s, %s, %s), (%s, %s, %s) "
+        "ON DUPLICATE KEY UPDATE `name`=VALUES(`name`), `state`=VALUES(`state`)"
     )
 
 
 def test_build_upsert_sql_ansi_and_keys_only():
     sql = build_upsert_sql("t", ["a", "b"], ["a"], 1, dialect="ansi", placeholder="?")
     assert sql == (
-        "INSERT INTO t (a, b) VALUES (?, ?) ON CONFLICT (a) DO UPDATE SET b=excluded.b"
+        'INSERT INTO "t" ("a", "b") VALUES (?, ?) '
+        'ON CONFLICT ("a") DO UPDATE SET "b"=excluded."b"'
     )
     # degenerate: every column is a key -> no-op update arm
     sql2 = build_upsert_sql("t", ["a"], ["a"], 1, dialect="mysql")
-    assert "ON DUPLICATE KEY UPDATE a=a" in sql2
+    assert "ON DUPLICATE KEY UPDATE `a`=`a`" in sql2
     with pytest.raises(ValueError):
         build_upsert_sql("t", ["a"], ["a"], 1, dialect="oracle")
+
+
+def test_build_upsert_sql_quotes_hostile_identifiers():
+    # a column name with spaces / reserved words / quote chars must not
+    # break out of the identifier position
+    sql = build_upsert_sql("my table", ["id", 'evil"col', "select"], ["id"],
+                           1, dialect="ansi", placeholder="?")
+    assert '"my table"' in sql and '"evil""col"' in sql and '"select"' in sql
+    sql_my = build_upsert_sql("t`x", ["id", "k`ey"], ["id"], 1)
+    assert "`t``x`" in sql_my and "`k``ey`" in sql_my
 
 
 def _connect(db_path: str):

@@ -57,8 +57,12 @@ def bpe_token_count(text: Column) -> Column:
     word runs, number runs, punctuation runs), the grain real BPE merges
     start from. Pure expression; fuses into the scan.
     """
-    # idx=0 (whole match): the pattern's only group is non-capturing
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN), 0))
+    # idx=0 (whole match): the pattern's only group is non-capturing.
+    # coalesce: F.size of a null array is -1 under the non-ANSI default,
+    # which would skew SUM by -1 per null doc; null text counts as 0 tokens
+    return F.size(
+        F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(BPE_PRETOKEN), 0)
+    )
 
 
 def char_count(text: Column) -> Column:

@@ -71,12 +71,12 @@ def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 TXT_BPE_ORACLE = r"""
 SELECT
   source,
-  CAST(SUM(len(regexp_extract_all(text,
+  CAST(SUM(len(regexp_extract_all(coalesce(text, ''),
       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))) AS BIGINT)
     AS total_bpe_tokens,
   CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_ws_tokens,
-  CAST(SUM(len(regexp_extract_all(text,
+  CAST(SUM(len(regexp_extract_all(coalesce(text, ''),
       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))) AS DOUBLE)
     / COUNT(*) AS avg_bpe_per_doc
 FROM documents

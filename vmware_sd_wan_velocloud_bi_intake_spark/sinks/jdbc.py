@@ -30,6 +30,20 @@ from pyspark.sql import DataFrame
 from .upsert import _dedup_by_keys
 
 
+def quote_ident(name: str, dialect: str = "mysql") -> str:
+    """Quote a SQL identifier per dialect (backticks for mysql, double
+    quotes for ansi), doubling any embedded quote character.
+
+    Identifiers come from ``df.columns`` / caller table names — data, not
+    SQL — so they must never be interpolated raw: a column named with a
+    space, reserved word, or quote character would otherwise produce broken
+    or injectable statements at the sink.
+    """
+    if dialect == "mysql":
+        return "`" + name.replace("`", "``") + "`"
+    return '"' + name.replace('"', '""') + '"'
+
+
 def build_upsert_sql(
     table: str,
     columns: Sequence[str],
@@ -44,25 +58,28 @@ def build_upsert_sql(
     ansi    → INSERT … ON CONFLICT (pk) DO UPDATE SET col=excluded.col
     (mirrors the reference's statement shape at fun_mysql_inserts.py:31-47,
     generalized from 1 row to n_rows; ``placeholder`` follows the driver's
-    paramstyle — %s for mysql/postgres, ? for qmark drivers)
+    paramstyle — %s for mysql/postgres, ? for qmark drivers; all identifiers
+    are dialect-quoted)
     """
-    col_list = ", ".join(columns)
+    if dialect not in ("mysql", "ansi"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    q = lambda n: quote_ident(n, dialect)
+    tbl = q(table)
+    col_list = ", ".join(q(c) for c in columns)
     row = "(" + ", ".join([placeholder] * len(columns)) + ")"
     values = ", ".join([row] * n_rows)
     non_keys = [c for c in columns if c not in keys]
     if dialect == "mysql":
-        updates = ", ".join(f"{c}=VALUES({c})" for c in non_keys) or ", ".join(
-            f"{k}={k}" for k in keys
+        updates = ", ".join(f"{q(c)}=VALUES({q(c)})" for c in non_keys) or ", ".join(
+            f"{q(k)}={q(k)}" for k in keys
         )
-        return f"INSERT INTO {table} ({col_list}) VALUES {values} ON DUPLICATE KEY UPDATE {updates}"
-    if dialect == "ansi":
-        conflict = ", ".join(keys)
-        updates = ", ".join(f"{c}=excluded.{c}" for c in non_keys) or f"{keys[0]}={keys[0]}"
-        return (
-            f"INSERT INTO {table} ({col_list}) VALUES {values} "
-            f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
-        )
-    raise ValueError(f"unknown dialect: {dialect}")
+        return f"INSERT INTO {tbl} ({col_list}) VALUES {values} ON DUPLICATE KEY UPDATE {updates}"
+    conflict = ", ".join(q(k) for k in keys)
+    updates = ", ".join(f"{q(c)}=excluded.{q(c)}" for c in non_keys) or f"{q(keys[0])}={q(keys[0])}"
+    return (
+        f"INSERT INTO {tbl} ({col_list}) VALUES {values} "
+        f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
+    )
 
 
 def jdbc_upsert(

@@ -66,12 +66,21 @@ EVENT_SCHEMA = (
 _EPOCH = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
 
 
-def _to_ms(v) -> int:
+def _to_ms(v) -> tuple[int, bool]:
+    """(floor-ms epoch value, exactly-representable-at-ms).
+
+    The API interval is millisecond-grained while ``event_ts`` carries
+    microsecond precision (strptime ``%f``), so a pushed bound is only a
+    *consumable* substitute for the predicate when the literal sits exactly
+    on a millisecond; otherwise the interval is an over-approximation and
+    Spark must re-apply the original filter.
+    """
     if isinstance(v, dt.datetime):
         if v.tzinfo is None:
             v = v.replace(tzinfo=dt.timezone.utc)
-        return int((v - _EPOCH).total_seconds() * 1000)
-    return int(v)
+        us = (v - _EPOCH) // dt.timedelta(microseconds=1)
+        return us // 1000, us % 1000 == 0
+    return int(v), True
 
 
 def _attr(f: Filter) -> str:
@@ -113,21 +122,46 @@ class VeloCloudReader(DataSourceReader):
         self.edge_states: list[str] | None = None
 
     # -- planning ----------------------------------------------------------
+    def _narrow_start(self, ms: int) -> None:
+        # conjunction of lower bounds → the TIGHTEST (max) wins; a second
+        # pushed filter must never widen a bound a prior filter set
+        self.interval_start_ms = (
+            ms if self.interval_start_ms is None else max(self.interval_start_ms, ms)
+        )
+
+    def _narrow_end(self, ms: int) -> None:
+        self.interval_end_ms = (
+            ms if self.interval_end_ms is None else min(self.interval_end_ms, ms)
+        )
+
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Push range predicates into the API interval.
+
+        A filter is CONSUMED (not re-evaluated by Spark) only when the
+        ms-grained interval expresses it exactly: ``>=`` / ``<`` on an
+        ms-aligned literal. Everything else still narrows the interval as an
+        over-approximation but is re-yielded so Spark applies the exact
+        predicate post-scan (``>`` and ``<=`` can admit sub-ms rows at the
+        boundary regardless of literal alignment).
+        """
         for f in filters:
             if self.entity == "events" and _attr(f) == "event_ts":
                 if isinstance(f, GreaterThanOrEqual):
-                    self.interval_start_ms = _to_ms(f.value)
-                    continue
-                if isinstance(f, GreaterThan):
-                    self.interval_start_ms = _to_ms(f.value) + 1
-                    continue
-                if isinstance(f, LessThan):
-                    self.interval_end_ms = _to_ms(f.value)
-                    continue
-                if isinstance(f, LessThanOrEqual):
-                    self.interval_end_ms = _to_ms(f.value) + 1
-                    continue
+                    ms, exact = _to_ms(f.value)
+                    self._narrow_start(ms)
+                    if exact:
+                        continue
+                elif isinstance(f, GreaterThan):
+                    ms, _ = _to_ms(f.value)
+                    self._narrow_start(ms)  # approximate: keeps ts == floor(v)
+                elif isinstance(f, LessThan):
+                    ms, exact = _to_ms(f.value)
+                    self._narrow_end(ms if exact else ms + 1)
+                    if exact:
+                        continue
+                elif isinstance(f, LessThanOrEqual):
+                    ms, _ = _to_ms(f.value)
+                    self._narrow_end(ms + 1)  # approximate: admits (v, v+1ms)
             if self.entity == "edges" and _attr(f) == "edgeState":
                 if isinstance(f, EqualTo):
                     self.edge_states = [f.value]
@@ -263,6 +297,12 @@ class VeloCloudStreamReader(DataSourceStreamReader):
         return {"ms": self._latest}
 
     def partitions(self, start: dict, end: dict) -> list[StreamSlice]:
+        # After a checkpoint restart this reader object is fresh, so _latest
+        # would regress to start_ms + advance_ms — behind the committed
+        # offset — yielding inverted/empty intervals and replaying processed
+        # windows. Clamp forward from the committed start Spark hands us so
+        # offsets are monotone across restarts.
+        self._latest = max(self._latest, start["ms"])
         return [
             StreamSlice(vco=v, enterprise_id=e, start_ms=start["ms"], end_ms=end["ms"])
             for v in self.fleet
