@@ -91,6 +91,44 @@ def test_near_dup_pairs_sound_and_exact_dups_complete(spark, docs):
                 assert (i, j) in pairs, (docs[i], docs[j])
 
 
+def test_degenerate_bucket_cap_bounds_pathological_corpus(spark):
+    """Adversarial corpus: every document identical (viral boilerplate).
+
+    Without the cap, ONE bucket holds the whole corpus and the pair
+    expansion is n² — the 100 TB killer. With it, near_dup_pairs sidelines
+    the bucket (bounded work, empty result), oversized_buckets reports it,
+    and exact dedup still accounts for every copy (the survivors contract).
+    """
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.dedup import (
+        exact_dedup_keys,
+        oversized_buckets,
+    )
+
+    n = 500
+    df = spark.createDataFrame(
+        [(i, "the same viral boilerplate line " * 4) for i in range(n)],
+        "doc_id long, text string",
+    )
+    params = dict(num_hashes=4, bands=2, shingle_n=3, max_bucket=100)
+    pairs = near_dup_pairs(df, "doc_id", "text", threshold=0.5, **params)
+    assert pairs.count() == 0  # sidelined, not expanded to n² pairs
+    over = oversized_buckets(df, "doc_id", "text", **params).collect()
+    assert len(over) > 0
+    assert all(r["n_members"] == n for r in over)
+    assert all(r["sample_doc_id"] == 0 for r in over)
+    # every member of the degenerate bucket is an exact duplicate -> the
+    # exact pass catches all of them
+    keys = exact_dedup_keys(df, "doc_id", "text").collect()
+    assert len(keys) == 1 and keys[0]["dup_count"] == n
+    # and a mixed corpus below the cap is untouched by the guard
+    small = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"), (2, "unrelated text row")],
+        "doc_id long, text string",
+    )
+    got = near_dup_pairs(small, "doc_id", "text", threshold=0.5, **params).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == {(0, 1)}
+
+
 def test_incremental_near_dups_match_full_cross_pairs(spark, sf_correct):
     """Splitting the corpus and deduping the new half against the old half's
     persisted index must find exactly the full run's cross-half pairs."""

@@ -1,0 +1,130 @@
+"""Scale-shape tests for the similarity operators (operators/similarity.py).
+
+Two invariants the 100 TB design depends on:
+- blocked-corpus brute force: only one corpus block is ever driver-resident,
+  and the per-block top-k + associative merge reproduces the single-pass
+  answer exactly;
+- IVF assignment: map-side ``max_by`` partial aggregation, never a window
+  over the n × n_cells candidate join (the n^1.5 shuffle).
+
+Plus the quantified approximation contract: recall@k of both ANN paths
+against the exact brute-force ground truth.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vmware_sd_wan_velocloud_bi_intake_spark.operators import similarity
+from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke):
+    df = load_table(spark, sf_smoke, "embeddings").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _topk_map(rows):
+    return {(r["query_id"], r["rk"]): (r["neighbor_id"], round(r["cos_sim"], 9)) for r in rows}
+
+
+def test_blocked_topk_matches_single_block(spark, emb):
+    n = emb.count()
+    single = _topk_map(similarity.cosine_topk_pairs(emb, k=3, block_rows=n + 1).collect())
+    # force >= 4 corpus blocks: merge must reconstruct the identical global top-k
+    blocked = _topk_map(
+        similarity.cosine_topk_pairs(emb, k=3, block_rows=max(1, n // 4)).collect()
+    )
+    assert blocked == single and len(blocked) == 3 * n
+
+
+def test_blocked_topk_matches_expression_ground_truth(spark, emb):
+    hof = _topk_map(similarity.cosine_topk_pairs_hof(emb.limit(80), k=3).collect())
+    blk = _topk_map(
+        similarity.cosine_topk_pairs(emb.limit(80), k=3, block_rows=20).collect()
+    )
+    assert blk == hof
+
+
+def test_blocked_topk_refuses_driver_funnel(spark, emb):
+    # a block that materializes far past the target must raise, not funnel:
+    # a constant id sends every corpus row to one hash block, so block 0
+    # arrives with n rows >> 4×block_rows and the guard must trip (the block
+    # loop is eager — the error surfaces at operator build time)
+    one_key = emb.withColumn("vec_id", F.lit(0).cast("long"))
+    with pytest.raises(RuntimeError, match="driver funnel"):
+        similarity.cosine_topk_pairs(one_key, k=2, block_rows=1)
+
+
+def test_ivf_assignment_is_partial_agg_not_window(spark, emb):
+    df = similarity.ann_ivf_topk(emb, n_cells=12, k=3)
+    qe = df._jdf.queryExecution()
+    plan = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # map-side partial max_by must reduce the candidate join before any
+    # exchange; the ONLY window in the whole plan is the final top-k ranking
+    # (count detail headers "(N) Window" — WindowGroupLimit is its pushdown
+    # companion, not a second window)
+    import re
+
+    assert "partial_max_by" in plan
+    assert len(re.findall(r"\) Window$", plan, re.M)) == 1, plan
+
+
+def _recall_at_k(approx_rows, truth_rows, k):
+    truth: dict[int, set] = {}
+    for r in truth_rows:
+        if r["rk"] <= k:
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    approx: dict[int, set] = {}
+    for r in approx_rows:
+        if r["rk"] <= k:
+            approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q, t in truth.items():
+        total += len(t)
+        hits += len(t & approx.get(q, set()))
+    return hits / max(total, 1)
+
+
+def test_ann_recall_floors_vs_brute_force(spark, emb):
+    """Quantified approximation contract: recall@3 of each ANN path against
+    exact brute force, at the knobs the catalog queries use.
+
+    Context for the absolute numbers: the synthetic embeddings are
+    ISOTROPIC random vectors (measured intra-label mean cos ≈ inter-label
+    ≈ 0), the hardest case for ANN — neighbors aren't localized, so recall
+    is purely what the amplification knobs buy. Measured on this corpus:
+    banded LSH 48/12 ≈ 0.84; IVF trained nprobe=4 ≈ 0.55. On real clustered
+    embeddings both paths do strictly better at the same cost.
+    """
+    truth = similarity.cosine_topk_pairs_hof(emb, k=3).collect()
+    # the catalog query's knobs: 12 bands × 4 bits OR-amplified SRP
+    lsh = similarity.ann_lsh_topk(emb, dims=64, k=3, planes=48, bands=12).collect()
+    r_lsh = _recall_at_k(lsh, truth, 3)
+    # the oracle-checkable catalog IVF (untrained centroids, nprobe=1)
+    ivf = similarity.ann_ivf_topk(emb, n_cells=None, k=3).collect()
+    r_ivf = _recall_at_k(ivf, truth, 3)
+    print(f"\nANN recall@3 vs brute force: lsh(48/12)={r_lsh:.3f} ivf(raw)={r_ivf:.3f}")
+    assert r_lsh >= 0.75, r_lsh  # measured 0.836
+
+    # k-means training must beat lowest-id centroids at the same nprobe,
+    # and nprobe must monotonically buy recall
+    cents_t, members_t = similarity.ivf_index(emb, n_cells=None, train_iters=8)
+    r_t1 = _recall_at_k(
+        similarity.ann_ivf_query(emb, cents_t, members_t, k=3, nprobe=1).collect(),
+        truth, 3,
+    )
+    r_t4 = _recall_at_k(
+        similarity.ann_ivf_query(emb, cents_t, members_t, k=3, nprobe=4).collect(),
+        truth, 3,
+    )
+    print(f"ANN recall@3 ivf trained: nprobe=1 {r_t1:.3f}, nprobe=4 {r_t4:.3f}")
+    assert r_t1 > r_ivf, (r_t1, r_ivf)  # training helps (measured .26 vs .18)
+    assert r_t4 >= r_t1, (r_t4, r_t1)   # probing more cells never hurts
+    assert r_t4 >= 0.45, r_t4           # measured 0.554

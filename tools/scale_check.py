@@ -28,8 +28,8 @@ from vmware_sd_wan_velocloud_bi_intake_spark.session import get_spark
 BASE = "/root/testdata/sf0.1"
 QUERIES = [
     "dedup_exact",
-    "dedup_minhash",
-    "dedup_neardup_jaccard",
+    "dedup_signatures",
+    "dedup_survivors",
     "sim_ann_ivf",
     "sim_cosine_topk",
     "a06_customer_rollup",

@@ -137,6 +137,7 @@ def near_dup_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ threshold.
 
@@ -150,12 +151,20 @@ def near_dup_pairs(
     candidate ids joined back twice against a recomputed shingle table —
     scanned the corpus three times and shuffled five times; at 100 TB the
     payload shuffle (docs × bands × ~1 KB) is far cheaper than re-scanning.
+
+    **Degenerate-bucket cap**: a bucket holding more than ``max_bucket``
+    members (viral boilerplate — one such string at 100 TB makes a single
+    bucket's pair expansion quadratic in the corpus) is sidelined instead of
+    expanded; :func:`oversized_buckets` reports what was skipped. Members of
+    a degenerate bucket are overwhelmingly *exact* duplicates, which the
+    exact-dedup pass (:func:`exact_dedup_keys`) already catches — the cap
+    bounds work without losing the survivors contract.
     """
     band_rows = lsh_bucket_table(df, doc_id, text, num_hashes, bands, shingle_n)
     groups = (
         band_rows.groupBy("bucket")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sh"))).alias("ms"))
-        .where(F.size("ms") > 1)
+        .where((F.size("ms") > 1) & (F.size("ms") <= F.lit(max_bucket)))
     )
     ms = F.col("ms")
     pair_structs = F.flatten(
@@ -177,6 +186,34 @@ def near_dup_pairs(
         )
         .select("p.doc_a", "p.doc_b", "p.jaccard")
         .distinct()
+    )
+
+
+def oversized_buckets(
+    df: DataFrame,
+    doc_id: str,
+    text: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """The sideline channel for :func:`near_dup_pairs`'s degenerate-bucket cap.
+
+    Returns (bucket, n_members, sample_doc_id) for every LSH bucket whose
+    membership exceeds ``max_bucket`` — the buckets the pair expansion
+    refused to go quadratic on. Pipelines log/inspect these (they are almost
+    always a single boilerplate string) and rely on exact dedup for their
+    members.
+    """
+    band_rows = lsh_bucket_table(df, doc_id, text, num_hashes, bands, shingle_n)
+    return (
+        band_rows.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("doc_id").alias("sample_doc_id"),
+        )
+        .where(F.col("n_members") > max_bucket)
     )
 
 

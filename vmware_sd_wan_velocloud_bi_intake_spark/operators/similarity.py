@@ -49,77 +49,117 @@ def cosine_topk_pairs(
     vec_id: str = "vec_id",
     embedding: str = "embedding",
     queries: DataFrame | None = None,
+    block_rows: int = 65536,
 ) -> DataFrame:
     """Top-k nearest neighbors per query vector by cosine similarity.
 
-    Scale shape: the *corpus* (the smaller / bounded side) is collected into a
-    dense float64 matrix and broadcast to executors; query partitions stream
-    past it with one vectorized BLAS matmul per Arrow batch, emitting exactly
-    k rows per query. No pair-space shuffle exists at all — the only shuffle
-    in the plan is the query-side scan. At 100 TB of queries this is a single
-    map stage; when the corpus is also huge, block it and union the per-block
-    top-k (associative), or switch to ``ann_lsh_topk``.
+    Blocked-corpus brute force — the shape that survives an unbounded corpus
+    (the previous form collected the WHOLE corpus to the driver, a funnel
+    that dies long before 100 TB):
+
+    1. The corpus is hash-split into ``⌈n / block_rows⌉`` blocks and cached;
+       only ONE block (≤ ~``block_rows`` vectors) is ever resident on the
+       driver, as a dense float64 matrix, and each is broadcast in turn.
+    2. Query partitions stream past each block with one vectorized BLAS
+       matmul per Arrow batch, emitting that block's top-k per query —
+       a map-only stage per block, no pair-space shuffle.
+    3. Per-block partials union and an associative keyed merge (window
+       ``row_number`` over query_id, the standard top-k combine) keeps the
+       global k. Merge input is |queries| × blocks × k rows — tiny.
+
+    Driver-resident memory is bounded by contract: a collected block that
+    exceeds 4× the target (hash skew cannot plausibly produce this) raises
+    rather than silently funneling. When even per-block relay through the
+    driver is too much (truly unbounded both sides), use ``ann_ivf_topk`` /
+    ``ann_lsh_topk`` — brute force at that scale is the wrong operator.
 
     ``queries`` defaults to the corpus itself (all-pairs kNN, self excluded).
     Returns (query_id, neighbor_id, cos_sim, rk), rk 1-based with
     neighbor_id tiebreak.
     """
+    from functools import reduce
+
     import numpy as np
     import pandas as pd
 
-    corpus_pdf = (
-        emb.select(
-            F.col(vec_id).alias("neighbor_id"),
-            as_double_array(F.col(embedding)).alias("v"),
-        )
-        .toPandas()
-    )
-    c_ids = corpus_pdf["neighbor_id"].to_numpy(dtype="int64")
-    c_mat = np.stack(corpus_pdf["v"].to_numpy())  # (n, d) float64
-    c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
-
     spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
-    kk = k
+    corpus = emb.select(
+        F.col(vec_id).alias("neighbor_id"),
+        as_double_array(F.col(embedding)).alias("v"),
+    )
+    n = corpus.count()
+    n_blocks = max(1, -(-n // block_rows))
+    if n_blocks > 1:
+        corpus = corpus.withColumn(
+            "_blk", F.pmod(F.hash("neighbor_id"), F.lit(n_blocks))
+        )
+        corpus.persist()  # one corpus scan total, not one per block
 
     qside = (queries if queries is not None else emb).select(
         F.col(vec_id).alias("query_id"),
         as_double_array(F.col(embedding)).alias("qv"),
     )
+    kk = k
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
 
-    def topk_blocks(batches):
-        ids_b, mat_b, norm_b = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q_ids = pdf["query_id"].to_numpy(dtype="int64")
-            q_mat = np.stack(pdf["qv"].to_numpy())
-            q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
-            sims = (q_mat @ mat_b.T) / np.outer(q_norm, norm_b)
-            out_q, out_n, out_s, out_r = [], [], [], []
-            for i in range(len(q_ids)):
-                row = sims[i]
-                mask = ids_b != q_ids[i]
-                cand_ids = ids_b[mask]
-                cand_sims = row[mask]
-                # primary: cos desc; tiebreak: neighbor_id asc
-                order = np.lexsort((cand_ids, -cand_sims))[:kk]
-                out_q.extend([q_ids[i]] * len(order))
-                out_n.extend(cand_ids[order])
-                out_s.extend(cand_sims[order])
-                out_r.extend(range(1, len(order) + 1))
-            yield pd.DataFrame(
-                {
-                    "query_id": np.asarray(out_q, dtype="int64"),
-                    "neighbor_id": np.asarray(out_n, dtype="int64"),
-                    "cos_sim": np.asarray(out_s, dtype="float64"),
-                    "rk": np.asarray(out_r, dtype="int32"),
-                }
+    def block_topk(bc):
+        def gen(batches):
+            ids_b, mat_b, norm_b = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                q_ids = pdf["query_id"].to_numpy(dtype="int64")
+                q_mat = np.stack(pdf["qv"].to_numpy())
+                q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+                sims = (q_mat @ mat_b.T) / np.outer(q_norm, norm_b)
+                out_q, out_n, out_s = [], [], []
+                for i in range(len(q_ids)):
+                    row = sims[i]
+                    mask = ids_b != q_ids[i]
+                    cand_ids = ids_b[mask]
+                    cand_sims = row[mask]
+                    # primary: cos desc; tiebreak: neighbor_id asc
+                    order = np.lexsort((cand_ids, -cand_sims))[:kk]
+                    out_q.extend([q_ids[i]] * len(order))
+                    out_n.extend(cand_ids[order])
+                    out_s.extend(cand_sims[order])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.asarray(out_q, dtype="int64"),
+                        "neighbor_id": np.asarray(out_n, dtype="int64"),
+                        "cos_sim": np.asarray(out_s, dtype="float64"),
+                    }
+                )
+
+        return gen
+
+    partials = []
+    for b in range(n_blocks):
+        blk = corpus.filter(F.col("_blk") == b) if n_blocks > 1 else corpus
+        block_pdf = blk.select("neighbor_id", "v").toPandas()
+        if len(block_pdf) == 0:
+            continue
+        if len(block_pdf) > 4 * block_rows:
+            raise RuntimeError(
+                f"corpus block {b} collected {len(block_pdf)} rows "
+                f"(> 4×block_rows={block_rows}); refusing the driver funnel"
             )
+        c_ids = block_pdf["neighbor_id"].to_numpy(dtype="int64")
+        c_mat = np.stack(block_pdf["v"].to_numpy())  # (≤block_rows, d) float64
+        c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+        bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+        partials.append(qside.mapInPandas(block_topk(bc), schema=out_schema))
+    if n_blocks > 1:
+        corpus.unpersist()  # block matrices are already collected
 
-    return qside.mapInPandas(
-        topk_blocks,
-        schema="query_id long, neighbor_id long, cos_sim double, rk int",
+    merged = reduce(DataFrame.unionAll, partials)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        merged.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
 
 
@@ -223,6 +263,34 @@ def cosine_neardup_pairs(
     )
 
 
+def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmax-cosine cell per vector via map-side partial aggregation.
+
+    The broadcast join emits n × n_cells candidate rows, but ``max_by`` is a
+    declarative aggregate: each map partition reduces its candidates to one
+    partial per vid BEFORE the exchange, so only n rows shuffle — not the
+    n^1.5 a ``row_number`` window over the join would move (every candidate
+    row crosses the wire just to be discarded). Ties break to the lowest
+    centroid id via the (cell_cos, -cell) struct ordering. Carries (v, nrm)
+    through the aggregate so callers need no join back to the corpus.
+
+    Returns (vid, cell, v, nrm).
+    """
+    cand = base.join(F.broadcast(cents)).withColumn(
+        "cell_cos",
+        dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")),
+    )
+    picked = cand.groupBy("vid").agg(
+        F.max_by(
+            F.struct("cell", "v", "nrm"),
+            F.struct(F.col("cell_cos"), (-F.col("cell")).alias("neg_cell")),
+        ).alias("best")
+    )
+    return picked.select(
+        "vid", "best.cell", F.col("best.v").alias("v"), F.col("best.nrm").alias("nrm")
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     n_cells: int | None = None,
@@ -238,9 +306,12 @@ def ann_ivf_topk(
        not the centroid quality, is what this operator contributes). The
        centroid set is tiny and broadcast.
     2. **Assignment** — every vector joins the broadcast centroids and keeps
-       its argmax-cosine cell (ties → lowest centroid id), one map-side pass.
+       its argmax-cosine cell (ties → lowest centroid id) via ``max_by``
+       partial aggregation: candidates reduce map-side, so only n rows reach
+       the exchange (a window over the join would shuffle all n × n_cells).
     3. **Probe** — neighbors are ranked by exact cosine *within the cell
-       only* (nprobe=1): the pair space is Σ cell², never n².
+       only* (nprobe=1): the pair space is Σ cell², never n²; vectors ride
+       with ids through the single cell shuffle, so there is no join back.
 
     ``n_cells`` MUST grow with the corpus — fixed cells make in-cell search
     quadratic in occupancy (measured 25× at 8× data in tools/scale_check.py
@@ -255,66 +326,52 @@ def ann_ivf_topk(
     """
     import math
 
-    if n_cells is None:
-        n_cells = max(8, math.ceil(math.sqrt(emb.count())))
     base = emb.select(
         F.col(vec_id).alias("vid"),
         as_double_array(F.col(embedding)).alias("v"),
     ).withColumn("nrm", l2_norm(F.col("v")))
+    if n_cells is None:
+        # the count doubles as the cache materializer: base is read three
+        # more times below (centroids, assignment, scoring) — cached, those
+        # are memory reads, so sizing costs no extra source scan
+        base.persist()
+        n_cells = max(8, math.ceil(math.sqrt(base.count())))
     cents = base.orderBy("vid").limit(n_cells).select(
         F.col("vid").alias("cell"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
     )
-    assign_w = Window.partitionBy("vid").orderBy(
-        F.col("cell_cos").desc(), F.col("cell")
-    )
-    assigned = (
-        base.join(F.broadcast(cents))
-        .withColumn(
-            "cell_cos",
-            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")),
-        )
-        .withColumn("arn", F.row_number().over(assign_w))
-        .where(F.col("arn") == 1)
-        .select("vid", "cell")
-    )
+    assigned = _assign_cells(base, cents)
+    # vectors ride WITH their ids through the cell groupBy (the near_dup_pairs
+    # pattern): in-cell pairs expand and score in-array, so the probe is ONE
+    # wide dependency — no join back to the corpus, no second/third shuffle
+    # of the Σ cell² pair space
     groups = (
         assigned.groupBy("cell")
-        .agg(F.sort_array(F.collect_set("vid")).alias("ids"))
-        .where(F.size("ids") > 1)
+        .agg(F.array_sort(F.collect_list(F.struct("vid", "v", "nrm"))).alias("ms"))
+        .where(F.size("ms") > 1)
     )
-    ids = F.col("ids")
+    ms = F.col("ms")
     pair_structs = F.flatten(
         F.transform(
-            ids,
+            ms,
             lambda x: F.filter(
-                F.transform(ids, lambda y: F.struct(x.alias("q"), y.alias("n"))),
-                lambda p: p["q"] != p["n"],
+                F.transform(
+                    ms,
+                    lambda y: F.struct(
+                        x["vid"].alias("query_id"),
+                        y["vid"].alias("neighbor_id"),
+                        (dot(x["v"], y["v"]) / (x["nrm"] * y["nrm"])).alias(
+                            "cos_sim"
+                        ),
+                    ),
+                ),
+                lambda p: p["query_id"] != p["neighbor_id"],
             ),
         )
     )
-    pairs = groups.select(F.explode(pair_structs).alias("p")).select(
-        F.col("p.q").alias("query_id"), F.col("p.n").alias("neighbor_id")
-    )
-    qa = base.select(
-        F.col("vid").alias("query_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    nb = base.select(
-        F.col("vid").alias("neighbor_id"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    scored = (
-        pairs.join(qa, "query_id")
-        .join(nb, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-                "cos_sim"
-            ),
-        )
+    scored = groups.select(F.explode(pair_structs).alias("p")).select(
+        "p.query_id", "p.neighbor_id", "p.cos_sim"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -326,47 +383,100 @@ def ann_ivf_topk(
     )
 
 
+def train_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+    iters: int = 8,
+    sample_rows: int = 16384,
+) -> DataFrame:
+    """Spherical k-means centroid training on a bounded deterministic sample.
+
+    The faiss discipline: IVF coarse quantizers train on a SAMPLE (tens of
+    thousands of rows), never the corpus — driver-resident by contract
+    (``sample_rows`` caps it), so this is not a funnel at 100 TB. The sample
+    is the first ``sample_rows`` vectors in md5(vid) order — a deterministic
+    pseudo-random draw (TakeOrdered: per-partition top-k, no full sort) that
+    makes training reproducible run-to-run and engine-to-engine. Lloyd
+    iterations run in numpy on cosine distance (assign to argmax-cosine
+    centroid, recenter on the mean, empty cells keep their previous
+    centroid).
+
+    Returns a broadcastable (cell, cv, cnrm) DataFrame compatible with
+    :func:`ann_ivf_query` / :func:`_assign_cells`; cells are 0..n_cells-1.
+    """
+    import numpy as np
+
+    pdf = (
+        emb.select(
+            F.col(vec_id).alias("vid"),
+            as_double_array(F.col(embedding)).alias("v"),
+        )
+        .orderBy(F.md5(F.col("vid").cast("string")), F.col("vid"))
+        .limit(sample_rows)
+        .toPandas()
+    )
+    X = np.stack(pdf["v"].to_numpy())  # (s, d) float64
+    n_cells = min(n_cells, len(X))
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_cells].copy()  # md5-order heads: a deterministic random init
+    for _ in range(iters):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(Xn @ Cn.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    spark = emb.sparkSession
+    rows = [
+        (int(i), [float(x) for x in C[i]], float(np.linalg.norm(C[i])))
+        for i in range(n_cells)
+    ]
+    return spark.createDataFrame(rows, "cell long, cv array<double>, cnrm double")
+
+
 def ivf_index(
     emb: DataFrame,
     n_cells: int | None = None,
     vec_id: str = "vec_id",
     embedding: str = "embedding",
+    train_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the persistable IVF index: (centroids, members).
 
     centroids = (cell, cv, cnrm) — tiny, broadcastable.
     members   = (cell, vid, v, nrm) — the corpus partitioned by cell; write
     it bucketed on ``cell`` (sinks.bucketed) and query batches search it
-    without re-assigning the corpus. Same deterministic coarse quantizer as
-    :func:`ann_ivf_topk` (n_cells lowest-id vectors, argmax-cosine
-    assignment, ties to lowest centroid id).
+    without re-assigning the corpus.
+
+    ``train_iters=0`` keeps the deterministic lowest-id coarse quantizer of
+    :func:`ann_ivf_topk` — bit-reproducible in any engine, which is what
+    makes the catalog query oracle-checkable. ``train_iters>0`` runs
+    :func:`train_centroids` (sample-based spherical k-means) instead:
+    better-shaped cells → higher recall at the same nprobe, identical query
+    contract.
     """
     import math
 
-    if n_cells is None:
-        n_cells = max(8, math.ceil(math.sqrt(emb.count())))
     base = emb.select(
         F.col(vec_id).alias("vid"),
         as_double_array(F.col(embedding)).alias("v"),
     ).withColumn("nrm", l2_norm(F.col("v")))
-    cents = base.orderBy("vid").limit(n_cells).select(
-        F.col("vid").alias("cell"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cnrm"),
-    )
-    assign_w = Window.partitionBy("vid").orderBy(
-        F.col("cell_cos").desc(), F.col("cell")
-    )
-    members = (
-        base.join(F.broadcast(cents))
-        .withColumn(
-            "cell_cos",
-            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")),
+    if n_cells is None:
+        base.persist()  # sizing count doubles as the cache materializer
+        n_cells = max(8, math.ceil(math.sqrt(base.count())))
+    if train_iters > 0:
+        cents = train_centroids(
+            emb, n_cells, vec_id=vec_id, embedding=embedding, iters=train_iters
         )
-        .withColumn("arn", F.row_number().over(assign_w))
-        .where(F.col("arn") == 1)
-        .select("cell", "vid", "v", "nrm")
-    )
+    else:
+        cents = base.orderBy("vid").limit(n_cells).select(
+            F.col("vid").alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    members = _assign_cells(base, cents).select("cell", "vid", "v", "nrm")
     return cents, members
 
 
@@ -456,71 +566,93 @@ def srp_signature(embedding: Column, dims: int, planes: int = 16) -> Column:
     return acc
 
 
+def srp_band_keys(embedding: Column, dims: int, planes: int, bands: int) -> Column:
+    """Per-band SRP bucket keys — the OR-amplification construction.
+
+    ``planes`` hyperplane bits split into ``bands`` independent hash tables
+    of ``planes // bands`` bits each; two vectors are candidates if they
+    collide in ANY band. With per-bit agreement p = 1 − θ/π, candidate
+    probability is 1 − (1 − p^bits)^bands — the same S-curve amplification
+    MinHash-LSH banding uses, and the knob recall is tuned with: more bands
+    → higher recall; more bits per band → smaller buckets (less work).
+    Returns an array of ``bands`` string keys ("band:signature").
+    """
+    bpb = planes // bands
+    keys = []
+    for b in range(bands):
+        acc = F.lit(0).cast("long")
+        for i in range(bpb):
+            p = b * bpb + i
+            plane = F.array(*[F.lit(_hyperplane(p, d)) for d in range(dims)])
+            proj = dot(embedding, plane)
+            acc = acc + F.when(proj >= 0, F.lit(2 ** i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        keys.append(F.concat_ws(":", F.lit(str(b)), acc.cast("string")))
+    return F.array(*keys)
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     dims: int,
     k: int = 5,
     planes: int = 16,
+    bands: int = 1,
     vec_id: str = "vec_id",
     embedding: str = "embedding",
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Approximate kNN: exact cosine ranking within SRP-LSH buckets.
 
-    Vectors whose signatures share a bucket are compared exactly; everything
-    else is pruned. Buckets are materialized once (groupBy sig + in-array
-    pair expansion) rather than via a self-join, which would re-execute the
-    ``planes × dims`` projection subplan for both join branches; the plain
-    vectors are then joined back for exact scoring — the 100 TB-safe shape.
-    Recall is tuned by ``planes`` (fewer planes → bigger buckets → higher
-    recall, more work).
+    Vectors colliding in any of ``bands`` independent SRP hash tables are
+    compared exactly; everything else is pruned. The vector payload rides
+    WITH its id through the bucket shuffle (the near_dup_pairs pattern):
+    one corpus scan, one wide dependency (bucket groupBy), in-array pair
+    expansion + exact cosine, then a distinct over cross-band repeats — no
+    join back to the corpus. ``bands=1`` is plain single-table SRP;
+    ``bands>1`` OR-amplifies recall (see :func:`srp_band_keys`). Buckets
+    larger than ``max_bucket`` are sidelined (degenerate-hash guard, same
+    rationale as dedup's cap). Pair space is Σ bucket² per band, never n².
 
-    Returns (query_id, neighbor_id, cos_sim, rk) — rk within-bucket.
+    Returns (query_id, neighbor_id, cos_sim, rk).
     """
     base = emb.select(
         F.col(vec_id).alias("vid"),
         as_double_array(F.col(embedding)).alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    rows = base.select(
+        "vid", "v", "nrm",
+        F.explode(srp_band_keys(F.col("v"), dims, planes, bands)).alias("bkey"),
     )
-    sig = base.withColumn("sig", srp_signature(F.col("v"), dims, planes))
     groups = (
-        sig.groupBy("sig")
-        .agg(F.sort_array(F.collect_set("vid")).alias("ids"))
-        .where(F.size("ids") > 1)
+        rows.groupBy("bkey")
+        .agg(F.array_sort(F.collect_list(F.struct("vid", "v", "nrm"))).alias("ms"))
+        .where((F.size("ms") > 1) & (F.size("ms") <= F.lit(max_bucket)))
     )
-    ids = F.col("ids")
+    ms = F.col("ms")
     # all ordered pairs (a ≠ b) within the bucket — each is its own query
     pair_structs = F.flatten(
         F.transform(
-            ids,
+            ms,
             lambda x: F.filter(
-                F.transform(ids, lambda y: F.struct(x.alias("q"), y.alias("n"))),
-                lambda p: p["q"] != p["n"],
+                F.transform(
+                    ms,
+                    lambda y: F.struct(
+                        x["vid"].alias("query_id"),
+                        y["vid"].alias("neighbor_id"),
+                        (dot(x["v"], y["v"]) / (x["nrm"] * y["nrm"])).alias(
+                            "cos_sim"
+                        ),
+                    ),
+                ),
+                lambda p: p["query_id"] != p["neighbor_id"],
             ),
         )
-    )
-    pairs = (
-        groups.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.q").alias("query_id"), F.col("p.n").alias("neighbor_id"))
-        .distinct()
-    )
-    vec = base.withColumn("nrm", l2_norm(F.col("v")))
-    qa = vec.select(
-        F.col("vid").alias("query_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    nb = vec.select(
-        F.col("vid").alias("neighbor_id"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
     )
     scored = (
-        pairs.join(qa, "query_id")
-        .join(nb, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-                "cos_sim"
-            ),
-        )
+        groups.select(F.explode(pair_structs).alias("p"))
+        .select("p.query_id", "p.neighbor_id", "p.cos_sim")
+        .distinct()  # cross-band repeats carry identical cos_sim
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
