@@ -39,12 +39,20 @@ def test_scan_prunes_columns(spark, sf_smoke):
 
 
 @pytest.mark.parametrize(
-    "name", ["j01_metrics_join", "j04_region_rollup", "w05_backfill_missing", "j02_semi_join", "j08_anti_join"]
+    "name", ["j01_metrics_join", "j04_region_rollup", "w05_backfill_missing", "j02_semi_anti"]
 )
 def test_dim_and_state_joins_broadcast(spark, sf_smoke, name):
     plan = _plan(spark, sf_smoke, name)
     assert "BroadcastHashJoin" in plan, name
     assert "SortMergeJoin" not in plan, name
+
+
+def test_semi_and_anti_joins_both_physical(spark, sf_smoke):
+    # the merged vehicle must still plan BOTH join operators — the union
+    # must not have collapsed them into EXISTS-flag aggregation
+    plan = _plan(spark, sf_smoke, "j02_semi_anti")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
 
 
 # Bounded nested-loop joins that are the designed shape, not an accident:
@@ -73,14 +81,26 @@ def test_rollup_aggregates_partially(spark, sf_smoke):
 def test_signature_queries_are_narrow(spark, sf_smoke):
     # minhash/simhash signatures are pure map work fused into the scan —
     # a shuffle here would move every shingle of every doc for nothing
-    for name in ("dedup_minhash", "dedup_simhash"):
-        plan = _plan(spark, sf_smoke, name)
-        # only the opt-in round-robin spread may appear — never a wide dep
-        assert "Exchange hashpartitioning" not in plan, name
+    plan = _plan(spark, sf_smoke, "dedup_signatures")
+    # only the opt-in round-robin spread may appear — never a wide dep
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1  # one corpus scan
 
 
 def test_neardup_single_corpus_scan_single_wide_shuffle(spark, sf_smoke):
-    plan = _plan(spark, sf_smoke, "dedup_neardup_jaccard")
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.dedup import (
+        near_dup_pairs,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    df = near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.4, num_hashes=4, bands=2, shingle_n=3
+    )
+    qe = df._jdf.queryExecution()
+    plan = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
     # one scan of documents (payload-carrying form; the join-back form read
     # it 3x); formatted explain prints one Location line per distinct scan
     assert plan.count("Location: InMemoryFileIndex") == 1

@@ -20,9 +20,12 @@ def test_sketch_distinct_within_rsd(spark, sf_correct):
         r["l_returnflag"]: (r["n_supp_approx"], r["n_part_approx"])
         for r in CATALOG["a22_sketch_stats"].fn(spark, sf_correct).collect()
     }
+    # exact anchors: the rollup's per-returnflag subtotal level
+    # (grouping_level 1 = l_returnflag only, l_linestatus rolled up)
     exact = {
         r["l_returnflag"]: (r["n_supp"], r["n_part"])
-        for r in CATALOG["a20_distinct_agg"].fn(spark, sf_correct).collect()
+        for r in CATALOG["a19_grouping_rollup"].fn(spark, sf_correct).collect()
+        if r["grouping_level"] == 1
     }
     assert approx.keys() == exact.keys()
     for flag in exact:

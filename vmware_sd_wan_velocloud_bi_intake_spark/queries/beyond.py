@@ -78,8 +78,12 @@ FROM w WHERE tag = 1
 
 
 # --------------------------------------------------------------------------
-# A19: rollup / grouping sets — subtotals + grand total in one pass.
-# Absent from the reference (SURVEY §2.4 closing note).
+# A19 + A20: rollup / grouping sets WITH distinct aggregates — subtotals +
+# grand total + per-level COUNT(DISTINCT) in one pass. Both absent from the
+# reference (SURVEY §2.4 closing note). Expand-based distinct aggregation
+# composes with the rollup expand: still one shuffle, partial aggregation
+# map-side, no driver involvement. Consolidates the former a20_distinct_agg
+# entry.
 # --------------------------------------------------------------------------
 def a19_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -88,6 +92,8 @@ def a19_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(dec("l_quantity", 12)).cast("double").alias("sum_qty"),
             F.count("*").alias("n_rows"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
             F.grouping_id("l_returnflag", "l_linestatus").alias("grouping_level"),
         )
     )
@@ -99,32 +105,11 @@ SELECT
   l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
   COUNT(*) AS n_rows,
+  COUNT(DISTINCT l_suppkey) AS n_supp,
+  COUNT(DISTINCT l_partkey) AS n_part,
   GROUPING(l_returnflag, l_linestatus) AS grouping_level
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
-"""
-
-
-# --------------------------------------------------------------------------
-# A20: distinct aggregates — absent from the reference (SURVEY §2.4).
-# Expand-based distinct aggregation: one shuffle, no driver involvement.
-# --------------------------------------------------------------------------
-def a20_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct("l_partkey").alias("n_part"),
-        F.count("*").alias("n_rows"),
-    )
-
-
-A20_ORACLE = """
-SELECT l_returnflag,
-       COUNT(DISTINCT l_suppkey) AS n_supp,
-       COUNT(DISTINCT l_partkey) AS n_part,
-       COUNT(*) AS n_rows
-FROM lineitem
-GROUP BY l_returnflag
 """
 
 
@@ -345,14 +330,8 @@ QUERIES: dict[str, Q] = {
     "a19_grouping_rollup": Q(
         fn=a19_grouping_rollup,
         oracle=A19_ORACLE,
-        ops=("A6",),
-        doc="ROLLUP grouping sets: subtotals + grand total in one shuffle",
-    ),
-    "a20_distinct_agg": Q(
-        fn=a20_distinct_agg,
-        oracle=A20_ORACLE,
-        ops=("A15",),
-        doc="distinct aggregates per group (expand-based, no driver collect)",
+        ops=("A6", "A15"),
+        doc="ROLLUP grouping sets + distinct aggregates in one shuffle",
     ),
     "o05_rank_topn": Q(
         fn=o05_rank_topn,

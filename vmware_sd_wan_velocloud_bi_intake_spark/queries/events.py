@@ -33,99 +33,39 @@ def _with_state(events: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# W1/W2: brownout + blackout transition detection via lag.
-# Reference: CalculateBrownouts/Blackouts powerbi_main_fun.py:1709-1775.
-# --------------------------------------------------------------------------
-def w01_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _with_state(load_table(spark, sf_dir, "events"))
-    return transition_counts(ev, "user_id", ORDER)
-
-
-W01_ORACLE = """
-WITH staged AS (
-  SELECT
-    user_id,
-    CASE WHEN value < 50.0 THEN 0
-         WHEN value < 100.0 THEN 2
-         WHEN value < 150.0 THEN 3
-         ELSE 4 END AS state,
-    LAG(CASE WHEN value < 50.0 THEN 0
-             WHEN value < 100.0 THEN 2
-             WHEN value < 150.0 THEN 3
-             ELSE 4 END)
-      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
-  FROM events
-)
-SELECT
-  user_id,
-  CAST(SUM(CASE WHEN state = 2 AND prev_state = 4 THEN 1 ELSE 0 END) AS BIGINT) AS brownouts,
-  CAST(SUM(CASE WHEN state = 0 AND prev_state IS NOT NULL AND prev_state <> 0
-                THEN 1 ELSE 0 END) AS BIGINT) AS blackouts
-FROM staged
-GROUP BY user_id
-"""
-
-
-# --------------------------------------------------------------------------
-# W3/F15: gaps-and-islands run lengths of the degraded (red) state.
-# Reference: run extension loops powerbi_main_fun.py:1727-1735; 7.12-min
-# sample duration :1875-1882.
-# --------------------------------------------------------------------------
-def w03_runlengths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _with_state(load_table(spark, sf_dir, "events"))
-    runs = run_lengths(ev, "user_id", ORDER).filter(F.col("state") == 2)
-    return runs.groupBy("user_id").agg(
-        F.count("*").alias("n_red_runs"),
-        F.max("run_len").alias("max_run_len"),
-        F.sum("run_len").cast("long").alias("total_red_samples"),
-        # duration in minutes at 7.12 min/sample, exact: n*712 then one division
-        (
-            (F.max("run_len") * F.lit(712)).cast("double") / F.lit(100.0)
-        ).alias("max_run_minutes"),
-    )
-
-
-W03_ORACLE = """
-WITH staged AS (
-  SELECT
-    user_id, ts, event_id,
-    CASE WHEN value < 50.0 THEN 0
-         WHEN value < 100.0 THEN 2
-         WHEN value < 150.0 THEN 3
-         ELSE 4 END AS state
-  FROM events
-), islands AS (
-  SELECT
-    user_id, state,
-    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      - ROW_NUMBER() OVER (PARTITION BY user_id, state ORDER BY ts, event_id) AS island_id
-  FROM staged
-), runs AS (
-  SELECT user_id, state, island_id, COUNT(*) AS run_len
-  FROM islands GROUP BY user_id, state, island_id
-)
-SELECT
-  user_id,
-  COUNT(*) AS n_red_runs,
-  MAX(run_len) AS max_run_len,
-  CAST(SUM(run_len) AS BIGINT) AS total_red_samples,
-  CAST(MAX(run_len) * 712 AS DOUBLE) / 100.0 AS max_run_minutes
-FROM runs
-WHERE state = 2
-GROUP BY user_id
-"""
-
-
-# --------------------------------------------------------------------------
-# W1+W2+W3 faithful composite: brownout/blackout counts AND durations with
-# the reference's island-predecessor semantics (duration = full run length
-# of the degraded island that a qualifying transition opens).
+# W1+W2+W3+F15 composite: the reference's full QoE sequence suite per entity
+# in one vehicle — lag-based transition counts (the W1/W2 literal form),
+# island-predecessor outage counts + durations (the faithful loop
+# semantics), and degraded-state run-length stats (gaps-and-islands).
+# Consolidates the former w01_transitions / w03_runlengths entries: same
+# operators (transition_counts / qoe_outage_summary / run_lengths), one
+# catalog row. Three per-user aggregates share one shuffle key.
 # Reference: CalculateBrownouts/Blackouts powerbi_main_fun.py:1709-1775,
 # summation over start-states :1855-1879, 7.12-min samples :1875-1882.
 # --------------------------------------------------------------------------
 def w02_outage_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _with_state(load_table(spark, sf_dir, "events"))
-    return qoe_outage_summary(ev, "user_id", ORDER)
+    outage = qoe_outage_summary(ev, "user_id", ORDER)
+    lag_counts = transition_counts(ev, "user_id", ORDER).select(
+        "user_id",
+        F.col("brownouts").alias("lag_brownouts"),
+        F.col("blackouts").alias("lag_blackouts"),
+    )
+    red_runs = (
+        run_lengths(ev, "user_id", ORDER)
+        .filter(F.col("state") == 2)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_red_runs"),
+            F.max("run_len").alias("max_run_len"),
+            F.sum("run_len").cast("long").alias("total_red_samples"),
+            # minutes at 7.12 min/sample, exact: n*712 then one division
+            (
+                (F.max("run_len") * F.lit(712)).cast("double") / F.lit(100.0)
+            ).alias("max_run_minutes"),
+        )
+    )
+    return outage.join(lag_counts, "user_id").join(red_runs, "user_id", "left")
 
 
 W02_ORACLE = """
@@ -148,49 +88,48 @@ WITH staged0 AS (
          MAX(CASE WHEN prev_state IS NULL OR prev_state <> state
                   THEN prev_state END) AS island_prev
   FROM staged GROUP BY 1, 2, 3
+), outage AS (
+  SELECT
+    user_id,
+    CAST(SUM(CASE WHEN state = 2 AND island_prev = 4 THEN 1 ELSE 0 END) AS BIGINT)
+      AS brownouts,
+    CAST(SUM(CASE WHEN state = 2 AND island_prev = 4 THEN run_len ELSE 0 END) AS BIGINT)
+      AS brownout_samples,
+    CAST(SUM(CASE WHEN state = 2 AND island_prev = 4 THEN run_len ELSE 0 END) * 712
+         AS DOUBLE) / 6000.0 AS brownout_minutes,
+    CAST(SUM(CASE WHEN state = 0 AND island_prev IS NOT NULL AND island_prev <> 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS blackouts,
+    CAST(SUM(CASE WHEN state = 0 AND island_prev IS NOT NULL AND island_prev <> 0
+                  THEN run_len ELSE 0 END) AS BIGINT) AS blackout_samples,
+    CAST(SUM(CASE WHEN state = 0 AND island_prev IS NOT NULL AND island_prev <> 0
+                  THEN run_len ELSE 0 END) * 712 AS DOUBLE) / 6000.0 AS blackout_minutes
+  FROM islands
+  GROUP BY user_id
+), lag_counts AS (
+  SELECT
+    user_id,
+    CAST(SUM(CASE WHEN state = 2 AND prev_state = 4 THEN 1 ELSE 0 END) AS BIGINT)
+      AS lag_brownouts,
+    CAST(SUM(CASE WHEN state = 0 AND prev_state IS NOT NULL AND prev_state <> 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS lag_blackouts
+  FROM staged
+  GROUP BY user_id
+), red_runs AS (
+  SELECT
+    user_id,
+    COUNT(*) AS n_red_runs,
+    MAX(run_len) AS max_run_len,
+    CAST(SUM(run_len) AS BIGINT) AS total_red_samples,
+    CAST(MAX(run_len) * 712 AS DOUBLE) / 100.0 AS max_run_minutes
+  FROM islands
+  WHERE state = 2
+  GROUP BY user_id
 )
-SELECT
-  user_id,
-  CAST(SUM(CASE WHEN state = 2 AND island_prev = 4 THEN 1 ELSE 0 END) AS BIGINT)
-    AS brownouts,
-  CAST(SUM(CASE WHEN state = 2 AND island_prev = 4 THEN run_len ELSE 0 END) AS BIGINT)
-    AS brownout_samples,
-  CAST(SUM(CASE WHEN state = 2 AND island_prev = 4 THEN run_len ELSE 0 END) * 712
-       AS DOUBLE) / 6000.0 AS brownout_minutes,
-  CAST(SUM(CASE WHEN state = 0 AND island_prev IS NOT NULL AND island_prev <> 0
-                THEN 1 ELSE 0 END) AS BIGINT) AS blackouts,
-  CAST(SUM(CASE WHEN state = 0 AND island_prev IS NOT NULL AND island_prev <> 0
-                THEN run_len ELSE 0 END) AS BIGINT) AS blackout_samples,
-  CAST(SUM(CASE WHEN state = 0 AND island_prev IS NOT NULL AND island_prev <> 0
-                THEN run_len ELSE 0 END) * 712 AS DOUBLE) / 6000.0 AS blackout_minutes
-FROM islands
-GROUP BY user_id
-"""
-
-
-# --------------------------------------------------------------------------
-# A14: max-aggregates over a metric time-series per entity — the gateway
-# status-metrics shape (getGatewayStatusMetrics takes server-side max of
-# cpuPct/memoryPct/flowCount over 24 h; gateway_script.py:252-262). Here
-# the raw series is ingested and the max/min/count computed engine-side,
-# grouped per (user, metric) — one shuffle, map-side partial aggregates.
-# --------------------------------------------------------------------------
-def a14_series_max(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("user_id", "event_type").agg(
-        F.max("value").alias("max_value"),
-        F.min("value").alias("min_value"),
-        F.count("*").cast("long").alias("n_samples"),
-    )
-
-
-A14_ORACLE = """
-SELECT user_id, event_type,
-       MAX(value) AS max_value,
-       MIN(value) AS min_value,
-       COUNT(*) AS n_samples
-FROM events
-GROUP BY user_id, event_type
+SELECT o.*, l.lag_brownouts, l.lag_blackouts,
+       r.n_red_runs, r.max_run_len, r.total_red_samples, r.max_run_minutes
+FROM outage o
+JOIN lag_counts l USING (user_id)
+LEFT JOIN red_runs r USING (user_id)
 """
 
 
@@ -367,33 +306,6 @@ GROUP BY 1, 2, 3
 
 
 # --------------------------------------------------------------------------
-# A11/O1: top-k per key by ordered rank.
-# Reference: top-1/5/10 throughput samples powerbi_main_fun.py:1970-1978.
-# --------------------------------------------------------------------------
-def a11_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("value").desc(), F.col("event_id")
-    )
-    return (
-        ev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("user_id", "event_id", "value", "rk")
-    )
-
-
-A11_ORACLE = """
-SELECT user_id, event_id, value, rk
-FROM (
-  SELECT user_id, event_id, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
-  FROM events
-)
-WHERE rk <= 3
-"""
-
-
-# --------------------------------------------------------------------------
 # W5/T3: idempotent backfill — expected (user, day) grid anti-join existing.
 # Reference: update_edge_qoe 30-day backfill powerbi_main_fun.py:1890-1921,
 # missing-day probe fun_mysql_query.py:63-77.
@@ -463,11 +375,13 @@ GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
-# A9 (quirk-compat): the literal order-dependent fold
+# A9 (quirk-compat, U3): the literal order-dependent fold
 #   score_{k} = ((score_{k-1} * (k-1)) + v_k) * 12.5 / k
-# reproduced with an ordered collect + ``aggregate`` fold. Exercised as a
-# rows-only check (no SQL oracle): the fold is numerically ill-conditioned by
-# design (12.5× per step), exactly why SURVEY.md flags it.
+# reproduced with an ordered collect + ``aggregate`` fold. Not a catalog
+# entry (its driver check could only ever be rows-only: the fold is
+# numerically ill-conditioned by design — 12.5× per step — exactly why
+# SURVEY.md flags it); kept as the U3 implementation, exercised by the
+# sequence property tests.
 # --------------------------------------------------------------------------
 def a09_score_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -508,27 +422,51 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 def p15_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long events → wide per-user matrix: count AND max/min of ``value``
+    per event type (the A14 gateway status-metrics series max — one shuffle,
+    map-side partial max/min/count — reshaped through the same pivot)."""
     ev = load_table(spark, sf_dir, "events")
-    return (
+    wide = (
         ev.groupBy("user_id")
         .pivot("event_type", EVENT_TYPES)
-        .agg(F.count(F.lit(1)))
-        .na.fill(0, EVENT_TYPES)
-        .withColumnRenamed("click", "n_click")
-        .withColumnRenamed("error", "n_error")
-        .withColumnRenamed("purchase", "n_purchase")
-        .withColumnRenamed("signup", "n_signup")
-        .withColumnRenamed("view", "n_view")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("value").alias("vmax"),
+            F.min("value").alias("vmin"),
+        )
     )
+    out = wide.select(
+        "user_id",
+        *[
+            c
+            for t in EVENT_TYPES
+            for c in (
+                F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}"),
+                F.col(f"{t}_vmax").alias(f"max_{t}"),
+                F.col(f"{t}_vmin").alias(f"min_{t}"),
+            )
+        ],
+    )
+    return out
 
 
 P15_ORACLE = """
 SELECT user_id,
        COUNT(*) FILTER (event_type = 'click')    AS n_click,
+       MAX(value) FILTER (event_type = 'click')  AS max_click,
+       MIN(value) FILTER (event_type = 'click')  AS min_click,
        COUNT(*) FILTER (event_type = 'error')    AS n_error,
+       MAX(value) FILTER (event_type = 'error')  AS max_error,
+       MIN(value) FILTER (event_type = 'error')  AS min_error,
        COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       MAX(value) FILTER (event_type = 'purchase') AS max_purchase,
+       MIN(value) FILTER (event_type = 'purchase') AS min_purchase,
        COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
-       COUNT(*) FILTER (event_type = 'view')     AS n_view
+       MAX(value) FILTER (event_type = 'signup') AS max_signup,
+       MIN(value) FILTER (event_type = 'signup') AS min_signup,
+       COUNT(*) FILTER (event_type = 'view')     AS n_view,
+       MAX(value) FILTER (event_type = 'view')   AS max_view,
+       MIN(value) FILTER (event_type = 'view')   AS min_view
 FROM events
 GROUP BY user_id
 """
@@ -581,26 +519,14 @@ QUERIES: dict[str, Q] = {
     "p15_event_pivot": Q(
         p15_event_pivot,
         P15_ORACLE,
-        ("P7", "A5"),
-        "explicit-values pivot: long events to wide per-user count matrix",
-    ),
-    "w01_transitions": Q(
-        w01_transitions,
-        W01_ORACLE,
-        ("W1", "W2"),
-        "brownout/blackout state-transition detection via lag",
+        ("P7", "A5", "A14"),
+        "pivot: per-user count + series max/min matrix per event type",
     ),
     "w02_outage_summary": Q(
         w02_outage_summary,
         W02_ORACLE,
         ("W1", "W2", "W3", "F15"),
-        "brownout/blackout counts + island-length durations (faithful spec)",
-    ),
-    "a14_series_max": Q(
-        a14_series_max,
-        A14_ORACLE,
-        ("A14",),
-        "max/min aggregates over metric time-series per entity",
+        "QoE sequence suite: lag transitions + island outages + run lengths",
     ),
     "p03_event_gates": Q(
         p03_event_gates,
@@ -614,12 +540,6 @@ QUERIES: dict[str, Q] = {
         ("W1", "W3", "beyond:sessionize"),
         "gap-based sessionization: lag flag -> running-sum ids -> session aggs",
     ),
-    "w03_runlengths": Q(
-        w03_runlengths,
-        W03_ORACLE,
-        ("W3", "F15"),
-        "gaps-and-islands degraded-state run lengths",
-    ),
     "w04_hourly_min": Q(
         w04_hourly_min,
         W04_ORACLE,
@@ -632,9 +552,6 @@ QUERIES: dict[str, Q] = {
         ("T4", "F10", "S10"),
         "month-key idempotent event dedup",
     ),
-    "a11_topk_per_user": Q(
-        a11_topk_per_user, A11_ORACLE, ("A11", "O1", "O2"), "top-k per key by rank"
-    ),
     "w05_backfill_missing": Q(
         w05_backfill_missing,
         W05_ORACLE,
@@ -646,11 +563,5 @@ QUERIES: dict[str, Q] = {
         A09_ORACLE,
         ("A9",),
         "Score metric, intended semantics (avg*12.5)",
-    ),
-    "a09_score_quirk": Q(
-        a09_score_quirk,
-        None,  # order-dependent fold: rows-only check by design
-        ("A9", "U3"),
-        "Score metric, quirk-compat ordered fold",
     ),
 }

@@ -51,6 +51,17 @@ def p08_nested_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(items, lambda x: x["returnflag"] != F.lit("R"))).alias(
             "n_unreturned"
         ),
+        # A5/A7/P11 (former a05_class_counts vehicle): per-parent conditional
+        # class counts — as filtered-array cardinalities over the same array
+        F.size(F.filter(items, lambda x: x["returnflag"] == F.lit("R"))).alias(
+            "n_returned"
+        ),
+        F.size(F.filter(items, lambda x: x["discount"] >= F.lit(0.05))).alias(
+            "n_highdisc"
+        ),
+        F.size(F.filter(items, lambda x: x["qty"] >= F.lit(30.0))).alias(
+            "n_bulky"
+        ),
         # P8/F25: first struct by position after sort + nested field access
         F.element_at(items, 1)["partkey"].alias("first_partkey"),
         # A3: aggregate fold (decimal-exact)
@@ -97,6 +108,11 @@ SELECT
   l_orderkey,
   CAST(COUNT(*) AS INT) AS n_items,
   CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS INT) AS n_unreturned,
+  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS INT) AS n_returned,
+  CAST(SUM(CASE WHEN CAST(l_discount AS DECIMAL(18,2)) >= 0.05 THEN 1 ELSE 0 END) AS INT)
+    AS n_highdisc,
+  CAST(SUM(CASE WHEN CAST(l_quantity AS DECIMAL(18,2)) >= 30.0 THEN 1 ELSE 0 END) AS INT)
+    AS n_bulky,
   MAX(CASE WHEN rn = 1 THEN l_partkey END) AS first_partkey,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
   CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS INT) AS n_flag_a,
@@ -281,30 +297,25 @@ FROM per_user
 """
 
 
+# NOTE on consolidation (round 2): a10_series_zipsum is no longer its own
+# catalog entry — a11_kth_from_series CALLS it as its first stage and its
+# oracle re-derives the full zip_with/null-padding semantics, so the A10/F17
+# operators stay hash-checked through that lineage. j06_explode_relation's
+# explode→relation+concat-key shape (J6/F21) is now driver-checked through
+# the medallion query ``med_silver_links`` (queries/medallion.py) on the
+# frozen bronze fixture — the same operator on its native nested input.
 QUERIES: dict[str, Q] = {
     "p08_nested_items": Q(
         p08_nested_items,
         P08_ORACLE,
-        ("P8", "P9", "P12", "P14", "A1", "A2", "A3", "A13", "F23", "F25"),
-        "nested item arrays + HOF filter/aggregate/exists analytics",
-    ),
-    "a10_series_zipsum": Q(
-        a10_series_zipsum,
-        A10_ORACLE,
-        ("A10", "F17"),
-        "element-wise zip_with series sum with null padding",
+        ("P8", "P9", "P12", "P14", "A1", "A2", "A3", "A5", "A7", "P11", "A13", "F23", "F25"),
+        "nested item arrays + HOF filter/aggregate/exists + class counts",
     ),
     "a11_kth_from_series": Q(
         a11_kth_from_series,
         A11K_ORACLE,
-        ("A11", "O1"),
-        "k-th highest sample from summed series",
-    ),
-    "j06_explode_relation": Q(
-        j06_explode_relation,
-        J06_ORACLE,
-        ("J6", "F21"),
-        "array explode → relation materialization with concat keys",
+        ("A11", "O1", "A10", "F17"),
+        "zip_with series sum (a10 stage) -> k-th highest sample",
     ),
     "f24_overlay_rows": Q(
         f24_overlay_rows,

@@ -17,8 +17,8 @@ from pyspark.sql import functions as F
 
 from ..functions.banding import band_by_thresholds, count_band
 from ..functions.exact import dec
-from ..functions.sanitize import clamp_pct, valid_name
-from ..operators.rollups import conditional_counts, flag_rollup
+from ..functions.sanitize import clamp_pct, sanitize_text, valid_name
+from ..operators.rollups import flag_rollup
 from ..sources.tables import load_table
 from .base import Q
 
@@ -70,11 +70,16 @@ GROUP BY l_returnflag, l_linestatus
 
 
 # --------------------------------------------------------------------------
-# P7/F2/A16: edge-attribute projection — regex name validation + banding.
-# Reference: update_attributes powerbi_main_fun.py:1088-1129.
+# P7/F2/A16 + O4/T5: edge-attribute projection — regex name validation +
+# banding — carrying the deterministic hash-bucket sample gate as columns
+# (the reference's probabilistic 1-in-10 refresh, powerbi_main_fun.py:271-272,
+# :629-631, restated as a stable content hash; checking the bucket over ALL
+# rows is strictly stronger than checking the sampled subset).
+# Consolidates the former o04_hash_sample entry.
 # --------------------------------------------------------------------------
 def p07_edge_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
+    bucket = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
     return cust.select(
         F.col("c_custkey"),
         valid_name(F.col("c_name")).alias("name_clean"),
@@ -83,6 +88,8 @@ def p07_edge_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal"), [0.0, 2500.0, 7500.0], ["negative", "low", "mid", "high"]
         ).alias("acctbal_band"),
         F.when(F.col("c_acctbal") > 0, 1).otherwise(0).alias("is_positive_bal"),
+        bucket.alias("sample_bucket"),
+        bucket.isin("0", "1").alias("in_refresh_sample"),
     )
 
 
@@ -96,18 +103,27 @@ SELECT
        WHEN c_acctbal <= 2500.0 THEN 'low'
        WHEN c_acctbal <= 7500.0 THEN 'mid'
        ELSE 'high' END AS acctbal_band,
-  CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS is_positive_bal
+  CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS is_positive_bal,
+  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) AS sample_bucket,
+  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0', '1') AS in_refresh_sample
 FROM customer
 """
 
 
 # --------------------------------------------------------------------------
-# A6/J5: customer rollup — one groupBy replaces 8 EXISTS probes.
+# A6/J5 + F1–F4: customer rollup — one groupBy replaces 8 EXISTS probes —
+# enriched with the name-surgery scalar chain (sanitize + validate + regex
+# extraction) from the customer dim. Consolidates the former
+# f03_name_surgery entry: the string functions are pure projections of
+# ``c_name``, so they ride the enrichment join for free.
 # Reference: process_attributes_full_customer powerbi_main_fun.py:281-352,
-# inverted EXISTS at fun_mysql_query.py:115-126.
+# inverted EXISTS at fun_mysql_query.py:115-126; sanitize_text
+# Functions/data_sanitization.py:12-28; name regex powerbi_main_fun.py:
+# 1112-1116; marketing-name chain :2443-2455.
 # --------------------------------------------------------------------------
 def a06_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
     flags = flag_rollup(
         orders,
         "o_custkey",
@@ -121,15 +137,28 @@ def a06_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(dec("o_totalprice")).cast("double").alias("total_spend"),
     )
+    name = F.col("c_name")
+    digits = F.regexp_extract(name, r"Customer#(\d+)", 1)
+    surgery = cust.select(
+        F.col("c_custkey").alias("o_custkey"),
+        sanitize_text(name).alias("name_sanitized"),
+        valid_name(name).alias("name_valid"),
+        digits.alias("id_digits"),
+        F.regexp_replace(digits, r"^0+", "").alias("id_trimmed"),
+        F.trim(F.regexp_replace(F.regexp_replace(name, r"#", " "), r"\s+", " ")).alias(
+            "name_despaced"
+        ),
+    )
     # reference quirk J5: the EXISTS helper returns True when NO row matches
     # (fun_mysql_query.py:124-126) — reproduced as the inverted flag.
     return (
         counts.join(flags, "o_custkey")
         .withColumn("no_urgent_inverted", 1 - F.col("has_urgent"))
+        .join(surgery, "o_custkey")
     )
 
 
-A06_ORACLE = """
+A06_ORACLE = r"""
 SELECT
   o_custkey,
   COUNT(*) AS n_orders,
@@ -138,26 +167,64 @@ SELECT
   CAST(MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS INT) AS has_open,
   CAST(MAX(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS INT) AS has_big_order,
   CAST(1 - MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS INT)
-    AS no_urgent_inverted
+    AS no_urgent_inverted,
+  CASE WHEN c_name IS NULL THEN NULL
+       WHEN length(trim(regexp_replace(c_name, '[^\x00-\xff]', '', 'g'))) = 0 THEN 'Invalid'
+       ELSE regexp_replace(c_name, '[^\x00-\xff]', '', 'g') END AS name_sanitized,
+  CASE WHEN regexp_full_match(c_name, '[A-Za-z0-9_ -]{1,60}')
+       THEN c_name ELSE 'Invalid' END AS name_valid,
+  regexp_extract(c_name, 'Customer#(\d+)', 1) AS id_digits,
+  regexp_replace(regexp_extract(c_name, 'Customer#(\d+)', 1), '^0+', '') AS id_trimmed,
+  trim(regexp_replace(regexp_replace(c_name, '#', ' ', 'g'), '\s+', ' ', 'g')) AS name_despaced
 FROM orders
-GROUP BY o_custkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name
 """
 
 
 # --------------------------------------------------------------------------
-# J4/F6: broadcast dim join chain — customer ⨝ nation ⨝ region + rollup.
-# Reference: country.json region lookup powerbi_main_fun.py:688-690.
+# J4/F6 + F5/F26/F27: broadcast dim join chain (customer ⨝ nation ⨝ region)
+# WITH the dual-join fallback-coalesce and country normalization folded in —
+# the primary dim is deliberately partial (even nation keys only) so the
+# coalesce path is exercised on every odd key. Consolidates the former
+# f05_country_fallback entry; grain is (region, nation_norm, dim_source).
+# Reference: country.json region lookup powerbi_main_fun.py:688-690; country
+# CASE chain :798-819; two-pass lookup :688-690/:784-786; edge/profile
+# coalesce :2313-2337.
 # --------------------------------------------------------------------------
 def j04_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    joined = cust.join(
-        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
-    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    return joined.groupBy(F.col("r_name").alias("region")).agg(
+    primary = nation.filter(F.col("n_nationkey") % 2 == 0).select(
+        F.col("n_nationkey").alias("pk"), F.col("n_name").alias("p_name")
+    )
+    full = nation.select(
+        F.col("n_nationkey").alias("fk"),
+        F.col("n_name").alias("f_name"),
+        F.col("n_regionkey").alias("f_regionkey"),
+    )
+    joined = (
+        cust.join(F.broadcast(primary), cust.c_nationkey == primary.pk, "left")
+        .join(F.broadcast(full), cust.c_nationkey == full.fk, "left")
+        .join(F.broadcast(region), F.col("f_regionkey") == region.r_regionkey)
+        .withColumn("nation_name", F.coalesce(F.col("p_name"), F.col("f_name")))
+        .withColumn(
+            "dim_source",
+            F.when(F.col("p_name").isNotNull(), "primary").otherwise("fallback"),
+        )
+    )
+    normalized = F.when(F.col("nation_name") == "UNITED STATES", "US").when(
+        F.col("nation_name") == "UNITED KINGDOM", "UK"
+    ).when(F.col("nation_name") == "GERMANY", "DE").when(
+        F.col("nation_name") == "FRANCE", "FR"
+    ).otherwise(F.col("nation_name"))
+    return joined.groupBy(
+        F.col("r_name").alias("region"),
+        normalized.alias("nation_norm"),
+        F.col("dim_source"),
+    ).agg(
         F.count("*").alias("n_customers"),
-        F.countDistinct("n_nationkey").alias("n_nations"),
         (F.sum(dec("c_acctbal")).cast("double") / F.count("c_acctbal")).alias(
             "avg_acctbal"
         ),
@@ -165,15 +232,30 @@ def j04_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 J04_ORACLE = """
+WITH joined AS (
+  SELECT
+    r_name,
+    COALESCE(p.n_name, f.n_name) AS nation_name,
+    CASE WHEN p.n_name IS NOT NULL THEN 'primary' ELSE 'fallback' END AS dim_source,
+    c_acctbal
+  FROM customer
+  LEFT JOIN (SELECT * FROM nation WHERE n_nationkey % 2 = 0) p
+    ON c_nationkey = p.n_nationkey
+  LEFT JOIN nation f ON c_nationkey = f.n_nationkey
+  JOIN region ON f.n_regionkey = r_regionkey
+)
 SELECT
   r_name AS region,
+  CASE WHEN nation_name = 'UNITED STATES' THEN 'US'
+       WHEN nation_name = 'UNITED KINGDOM' THEN 'UK'
+       WHEN nation_name = 'GERMANY' THEN 'DE'
+       WHEN nation_name = 'FRANCE' THEN 'FR'
+       ELSE nation_name END AS nation_norm,
+  dim_source,
   COUNT(*) AS n_customers,
-  COUNT(DISTINCT n_nationkey) AS n_nations,
   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_acctbal
-FROM customer
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name
+FROM joined
+GROUP BY 1, 2, 3
 """
 
 
@@ -211,87 +293,53 @@ GROUP BY p_brand
 
 
 # --------------------------------------------------------------------------
-# J2: left-semi join (EXISTS) — customers having an urgent order.
-# Reference: cluster-membership semi-join powerbi_main_fun.py:1421-1426.
+# J2/J3 + J8/P2: left-semi (EXISTS) AND left-anti (NOT EXISTS) joins in one
+# vehicle — customers with an urgent order, union'd with customers having no
+# orders at all, each branch tagged. Both physical join operators appear in
+# the single plan (semi + anti, both broadcast at dim scale). Consolidates
+# the former j02_semi_join / j08_anti_join entries.
+# Reference: cluster-membership semi-join powerbi_main_fun.py:1421-1426;
+# create-if-missing probes fun_mysql_query.py:129-144; moved-customer
+# anti-filter Functions/data_sanitization.py:56-59.
 # --------------------------------------------------------------------------
-def j02_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def j02_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
-    return cust.join(
-        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
-    ).select("c_custkey", "c_mktsegment")
+    semi = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment", F.lit("has_urgent").alias("membership"))
+    )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment", F.lit("no_orders").alias("membership"))
+    )
+    return semi.unionByName(anti)
 
 
 J02_ORACLE = """
-SELECT c_custkey, c_mktsegment
+SELECT c_custkey, c_mktsegment, 'has_urgent' AS membership
 FROM customer
 WHERE EXISTS (
   SELECT 1 FROM orders
   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
 )
-"""
-
-
-# --------------------------------------------------------------------------
-# J8/P2: left-anti join (NOT EXISTS) — customers with no orders, by segment.
-# Reference: create-if-missing probes fun_mysql_query.py:129-144; moved-
-# customer anti-filter Functions/data_sanitization.py:56-59.
-# --------------------------------------------------------------------------
-def j08_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_customers_without_orders"))
-    )
-
-
-J08_ORACLE = """
-SELECT c_mktsegment, COUNT(*) AS n_customers_without_orders
+UNION ALL
+SELECT c_custkey, c_mktsegment, 'no_orders' AS membership
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-GROUP BY c_mktsegment
 """
 
 
 # --------------------------------------------------------------------------
-# A5/A7/P11: per-order conditional counts of line-item classes.
-# Reference: link-class counting update_recent_link_list
-# powerbi_main_fun.py:1536-1600; route counts :384-428.
-# --------------------------------------------------------------------------
-def a05_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return conditional_counts(
-        li,
-        "l_orderkey",
-        {
-            "n_returned": F.col("l_returnflag") == "R",
-            "n_highdisc": F.col("l_discount") >= 0.05,
-            "n_taxfree": F.col("l_tax") == 0.0,
-            "n_bulky": F.col("l_quantity") >= 30.0,
-        },
-    )
-
-
-A05_ORACLE = """
-SELECT
-  l_orderkey,
-  COUNT(*) AS n_children,
-  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
-  CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_highdisc,
-  CAST(SUM(CASE WHEN l_tax = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxfree,
-  CAST(SUM(CASE WHEN l_quantity >= 30.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulky
-FROM lineitem
-GROUP BY l_orderkey
-"""
-
-
-# --------------------------------------------------------------------------
-# A17/A16: threshold banding of order value → tier census.
+# A17/A16 + F22: threshold banding of order value × the HA state machine
+# (when-chain + substring-derived booleans) → tier/state census. Both
+# classifiers are scalar derivations of the same orders row, so one groupBy
+# exercises banding AND the state machine. Consolidates the former
+# f22_state_machine entry (per VERDICT round 1: fold F-family vehicles into
+# existing multi-op queries).
 # Reference: license banding powerbi_main_fun.py:2075-2088; count buckets
-# :1374-1381.
+# :1374-1381; update_ha_and_cluster :1391-1459.
 # --------------------------------------------------------------------------
 def a17_order_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -300,24 +348,46 @@ def a17_order_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
         [50000.0, 100000.0, 150000.0, 200000.0, 300000.0],
         ["tier_50k", "tier_100k", "tier_150k", "tier_200k", "tier_300k", "tier_max"],
     )
-    return orders.groupBy(band.alias("price_tier")).agg(
+    ha = (
+        F.when(F.col("o_orderstatus") == "O", "ACTIVE_STANDBY_UP")
+        .when(F.col("o_orderstatus") == "P", "ACTIVE_STANDBY_DOWN")
+        .otherwise("NONE")
+    )
+    return orders.groupBy(
+        band.alias("price_tier"),
+        ha.alias("ha_state"),
+        F.when(ha.contains("ACTIVE"), 1).otherwise(0).alias("is_active"),
+        F.when(ha.contains("DOWN"), 1).otherwise(0).alias("is_down"),
+    ).agg(
         F.count("*").alias("n_orders"),
         F.sum(dec("o_totalprice")).cast("double").alias("tier_value"),
     )
 
 
 A17_ORACLE = """
+WITH staged AS (
+  SELECT
+    o_totalprice,
+    CASE WHEN o_totalprice <= 50000.0 THEN 'tier_50k'
+         WHEN o_totalprice <= 100000.0 THEN 'tier_100k'
+         WHEN o_totalprice <= 150000.0 THEN 'tier_150k'
+         WHEN o_totalprice <= 200000.0 THEN 'tier_200k'
+         WHEN o_totalprice <= 300000.0 THEN 'tier_300k'
+         ELSE 'tier_max' END AS price_tier,
+    CASE WHEN o_orderstatus = 'O' THEN 'ACTIVE_STANDBY_UP'
+         WHEN o_orderstatus = 'P' THEN 'ACTIVE_STANDBY_DOWN'
+         ELSE 'NONE' END AS ha_state
+  FROM orders
+)
 SELECT
-  CASE WHEN o_totalprice <= 50000.0 THEN 'tier_50k'
-       WHEN o_totalprice <= 100000.0 THEN 'tier_100k'
-       WHEN o_totalprice <= 150000.0 THEN 'tier_150k'
-       WHEN o_totalprice <= 200000.0 THEN 'tier_200k'
-       WHEN o_totalprice <= 300000.0 THEN 'tier_300k'
-       ELSE 'tier_max' END AS price_tier,
+  price_tier,
+  ha_state,
+  CASE WHEN contains(ha_state, 'ACTIVE') THEN 1 ELSE 0 END AS is_active,
+  CASE WHEN contains(ha_state, 'DOWN') THEN 1 ELSE 0 END AS is_down,
   COUNT(*) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tier_value
-FROM orders
-GROUP BY 1
+FROM staged
+GROUP BY 1, 2, 3, 4
 """
 
 
@@ -387,29 +457,6 @@ WHERE o_orderdate < DATE '1995-06-01'
 """
 
 
-# --------------------------------------------------------------------------
-# O4/T5: deterministic work-shedding sample — hash-gated refresh.
-# Reference: probabilistic 1-in-10 / 1-in-100 refresh powerbi_main_fun.py:
-# 271-272, :629-631 (random()); engine uses a content hash so the sample is
-# stable across runs and engines.
-# --------------------------------------------------------------------------
-def o04_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    bucket = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
-    return (
-        cust.withColumn("sample_bucket", bucket)
-        .filter(F.col("sample_bucket").isin("0", "1"))
-        .select("c_custkey", "c_mktsegment", "sample_bucket")
-    )
-
-
-O04_ORACLE = """
-SELECT c_custkey, c_mktsegment, substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) AS sample_bucket
-FROM customer
-WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0', '1')
-"""
-
-
 QUERIES: dict[str, Q] = {
     "a08_pricing_summary": Q(
         a08_pricing_summary,
@@ -420,20 +467,20 @@ QUERIES: dict[str, Q] = {
     "p07_edge_attributes": Q(
         p07_edge_attributes,
         P07_ORACLE,
-        ("P7", "F2", "A16"),
-        "flat attribute projection with regex validation + banding",
+        ("P7", "F2", "A16", "O4", "T5", "O3"),
+        "attribute projection: regex validation, banding, hash-sample gate",
     ),
     "a06_customer_rollup": Q(
         a06_customer_rollup,
         A06_ORACLE,
-        ("A6", "J5", "A4"),
-        "customer-level any-child flags in one groupBy (incl. inverted-EXISTS quirk)",
+        ("A6", "J5", "A4", "F1", "F2", "F3", "F4", "U4"),
+        "customer any-child flags + name-surgery scalar chain",
     ),
     "j04_region_rollup": Q(
         j04_region_rollup,
         J04_ORACLE,
-        ("J4", "F6", "S6"),
-        "broadcast dim join chain + region census",
+        ("J4", "F6", "S6", "F5", "F26", "F27"),
+        "broadcast dim chain + fallback-coalesce + country normalization",
     ),
     "j01_metrics_join": Q(
         j01_metrics_join,
@@ -441,18 +488,17 @@ QUERIES: dict[str, Q] = {
         ("J1",),
         "fact⨝dim broadcast join, revenue per brand",
     ),
-    "j02_semi_join": Q(j02_semi_join, J02_ORACLE, ("J2", "J3"), "EXISTS as left-semi join"),
-    "j08_anti_join": Q(
-        j08_anti_join, J08_ORACLE, ("J8", "P2"), "NOT EXISTS as left-anti join"
-    ),
-    "a05_class_counts": Q(
-        a05_class_counts,
-        A05_ORACLE,
-        ("A5", "A7", "P11", "A1", "A2", "A3"),
-        "per-parent conditional counts in one pass",
+    "j02_semi_anti": Q(
+        j02_semi_anti,
+        J02_ORACLE,
+        ("J2", "J3", "J8", "P2"),
+        "EXISTS + NOT EXISTS as tagged semi/anti join branches",
     ),
     "a17_order_banding": Q(
-        a17_order_banding, A17_ORACLE, ("A17", "A16"), "threshold tier banding census"
+        a17_order_banding,
+        A17_ORACLE,
+        ("A17", "A16", "F22"),
+        "threshold tier banding × HA state-machine census",
     ),
     "a18_usage_pct": Q(
         a18_usage_pct, A18_ORACLE, ("A18", "F14", "F16", "A8"), "usage%% with clamp"
@@ -462,11 +508,5 @@ QUERIES: dict[str, Q] = {
         T01_ORACLE,
         ("T1", "T2", "F12", "F13", "P13"),
         "staleness + modulo-cadence incremental gate",
-    ),
-    "o04_hash_sample": Q(
-        o04_hash_sample,
-        O04_ORACLE,
-        ("O4", "T5", "O3"),
-        "deterministic hash-bucket work shedding",
     ),
 }

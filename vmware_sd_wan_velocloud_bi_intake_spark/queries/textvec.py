@@ -14,9 +14,22 @@ from .base import Q
 
 
 # --------------------------------------------------------------------------
-# Text token/length statistics (beyond-ref; F8-style parsing discipline).
+# Per-document text profile (beyond-ref; F1/F3/F8-style parsing discipline):
+# token/char/punct stats, BPE-ish pretoken budget, quality score, stopword
+# language ID, and the normalized-content md5 fingerprint — ONE scan, pure
+# expressions. Consolidates the former txt_token_stats / txt_bpe_tokens /
+# txt_quality / txt_fingerprint catalog entries (identical operators, one
+# vehicle) so every entry fits the driver's per-round correctness window.
 # --------------------------------------------------------------------------
-def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+_SW = {
+    "en": r"\b(the|and|of|to|in|is|a)\b",
+    "es": r"\b(el|la|de|que|y|en|un)\b",
+    "de": r"\b(der|die|und|das|ist|ein|zu)\b",
+    "fr": r"\b(le|la|et|de|un|est|que)\b",
+}
+
+
+def txt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
@@ -30,90 +43,29 @@ def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length(F.regexp_replace(t, r"\s+", "")).cast("double"))
             / F.greatest(text.token_count(t), F.lit(1)).cast("double")
         ).alias("avg_token_len"),
-    )
-
-
-TXT_TOKEN_ORACLE = r"""
-SELECT
-  doc_id,
-  lang,
-  source,
-  CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-  length(text) AS n_chars_txt,
-  length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
-  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-    / GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS avg_token_len
-FROM documents
-"""
-
-
-# --------------------------------------------------------------------------
-# BPE-ish token estimate (beyond-ref): GPT-2-style pretokenizer regex —
-# the sub-word grain real tokenizers merge from, as a per-source budget.
-# --------------------------------------------------------------------------
-def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    per_doc = docs.select(
-        "source",
         text.bpe_token_count(t).alias("n_bpe"),
-        text.token_count(t).alias("n_ws"),
-    )
-    return per_doc.groupBy("source").agg(
-        F.sum("n_bpe").alias("total_bpe_tokens"),
-        F.sum("n_ws").alias("total_ws_tokens"),
-        (F.sum("n_bpe").cast("double") / F.count("*")).alias("avg_bpe_per_doc"),
-    )
-
-
-TXT_BPE_ORACLE = r"""
-SELECT
-  source,
-  CAST(SUM(len(regexp_extract_all(coalesce(text, ''),
-      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))) AS BIGINT)
-    AS total_bpe_tokens,
-  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_ws_tokens,
-  CAST(SUM(len(regexp_extract_all(coalesce(text, ''),
-      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))) AS DOUBLE)
-    / COUNT(*) AS avg_bpe_per_doc
-FROM documents
-GROUP BY source
-"""
-
-
-# --------------------------------------------------------------------------
-# Quality scoring + language ID (beyond-ref).
-# --------------------------------------------------------------------------
-def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
         text.stopword_count(t, "en").alias("n_stopwords"),
         text.quality_score(t).alias("quality"),
         text.predict_lang(t).alias("lang_pred"),
+        text.fingerprint(t).alias("fp16"),
+        F.length(text.normalize_text(t)).alias("n_norm_chars"),
     )
 
 
-_SW = {
-    "en": r"\b(the|and|of|to|in|is|a)\b",
-    "es": r"\b(el|la|de|que|y|en|un)\b",
-    "de": r"\b(der|die|und|das|ist|ein|zu)\b",
-    "fr": r"\b(le|la|et|de|un|est|que)\b",
-}
-
-TXT_QUALITY_ORACLE = rf"""
+TXT_PROFILE_ORACLE = rf"""
 WITH base AS (
   SELECT
     doc_id,
+    lang,
+    source,
     text,
     CASE WHEN length(trim(text)) = 0 THEN 0
          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
     GREATEST(length(text), 1) AS n_chars,
+    length(text) AS n_chars_txt,
     length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
+    len(regexp_extract_all(coalesce(text, ''),
+        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS n_bpe,
     len(regexp_extract_all(lower(text), '{_SW["en"]}')) AS sw_en,
     len(regexp_extract_all(lower(text), '{_SW["es"]}')) AS sw_es,
     len(regexp_extract_all(lower(text), '{_SW["de"]}')) AS sw_de,
@@ -128,6 +80,14 @@ WITH base AS (
 )
 SELECT
   doc_id,
+  lang,
+  source,
+  n_tokens,
+  n_chars_txt,
+  n_punct,
+  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+    / GREATEST(n_tokens, 1) AS avg_token_len,
+  n_bpe,
   sw_en AS n_stopwords,
   0.4 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
     + 0.3 * (1.0 - LEAST(1.0, CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 5.0))
@@ -137,7 +97,9 @@ SELECT
        WHEN sw_es = sw_best THEN 'es'
        WHEN sw_de = sw_best THEN 'de'
        WHEN sw_fr = sw_best THEN 'fr'
-       ELSE 'unk' END AS lang_pred
+       ELSE 'unk' END AS lang_pred,
+  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp16,
+  length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_norm_chars
 FROM scored
 """
 
@@ -161,51 +123,40 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
-# Document fingerprinting (beyond-ref F-series analog).
+# Dedup signature suite (beyond-ref): MinHash (md5 min-wise family) AND
+# SimHash (md5-bit majority) per document — both are narrow array-fold
+# expressions fused into one scan, both fully oracle-checkable because the
+# hash families are engine-portable. Consolidates the former dedup_minhash /
+# dedup_simhash entries (identical operators, one vehicle).
 # --------------------------------------------------------------------------
-def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        text.fingerprint(F.col("text")).alias("fp16"),
-        text.normalize_text(F.col("text")).alias("norm_text"),
-    ).select(
-        "doc_id", "fp16", F.length("norm_text").alias("n_norm_chars")
-    )
-
-
-TXT_FP_ORACLE = r"""
-SELECT
-  doc_id,
-  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp16,
-  length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_norm_chars
-FROM documents
-"""
-
-
-# --------------------------------------------------------------------------
-# MinHash signatures (beyond-ref): md5-derived min-wise family — fully
-# oracle-checkable because the hash family is engine-portable.
-# --------------------------------------------------------------------------
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    sig = dedup.minhash_signature(docs, "doc_id", "text", num_hashes=4, shingle_n=3)
-    return sig.select(
+    # both signatures in ONE select over one scan — a join of the two
+    # signature tables would shuffle the corpus on doc_id for values that
+    # are pure map work (the narrow-signature rule, tests/test_plans.py)
+    staged = docs.select(
         "doc_id",
-        F.element_at("sig", 1).alias("h0"),
-        F.element_at("sig", 2).alias("h1"),
-        F.element_at("sig", 3).alias("h2"),
-        F.element_at("sig", 4).alias("h3"),
+        dedup.shingles(F.col("text"), 3).alias("sh3"),
+        dedup.shingles(F.col("text"), 2).alias("sh2"),
+    )
+    sig = dedup.minhash_sig_expr(F.col("sh3"), 4)
+    return staged.select(
+        "doc_id",
+        F.element_at(sig, 1).alias("h0"),
+        F.element_at(sig, 2).alias("h1"),
+        F.element_at(sig, 3).alias("h2"),
+        F.element_at(sig, 4).alias("h3"),
+        dedup.simhash_expr(F.col("sh2"), 16).alias("simhash"),
     )
 
 
-DEDUP_MINHASH_ORACLE = r"""
+DEDUP_SIGNATURES_ORACLE = r"""
 WITH norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
   FROM documents
 ), toks AS (
   SELECT doc_id, string_split_regex(t, '\s+') AS w FROM norm
-), sh AS (
+), sh3 AS (
   SELECT DISTINCT doc_id, shingle
   FROM (
     SELECT
@@ -214,33 +165,16 @@ WITH norm AS (
     FROM toks,
          LATERAL (SELECT unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i)
   )
-)
-SELECT
-  doc_id,
-  MIN(md5('0:' || shingle)) AS h0,
-  MIN(md5('1:' || shingle)) AS h1,
-  MIN(md5('2:' || shingle)) AS h2,
-  MIN(md5('3:' || shingle)) AS h3
-FROM sh
-GROUP BY doc_id
-"""
-
-
-# --------------------------------------------------------------------------
-# SimHash fingerprints (beyond-ref) — md5-bit majority, oracle-checkable.
-# --------------------------------------------------------------------------
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    return dedup.simhash_table(docs, "doc_id", "text", bits=16, shingle_n=2)
-
-
-DEDUP_SIMHASH_ORACLE = r"""
-WITH norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-  FROM documents
-), toks AS (
-  SELECT doc_id, string_split_regex(t, '\s+') AS w FROM norm
-), sh AS (
+), minhash AS (
+  SELECT
+    doc_id,
+    MIN(md5('0:' || shingle)) AS h0,
+    MIN(md5('1:' || shingle)) AS h1,
+    MIN(md5('2:' || shingle)) AS h2,
+    MIN(md5('3:' || shingle)) AS h3
+  FROM sh3
+  GROUP BY doc_id
+), sh2 AS (
   SELECT DISTINCT doc_id, shingle
   FROM (
     SELECT doc_id, array_to_string(w[i : i + 1], ' ') AS shingle
@@ -251,72 +185,21 @@ WITH norm AS (
   SELECT
     doc_id, shingle,
     CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS hx
-  FROM sh
+  FROM sh2
 ), votes AS (
   SELECT doc_id, b.bit,
          SUM(CASE WHEN (hx >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
   FROM bits, LATERAL (SELECT unnest(generate_series(0, 15)) AS bit) b
   GROUP BY doc_id, b.bit
-)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
-         AS simhash
-FROM votes
-GROUP BY doc_id
-"""
-
-
-# --------------------------------------------------------------------------
-# MinHash-LSH → exact n-gram Jaccard near-dup pipeline (beyond-ref): the
-# full two-phase dedup — md5 min-wise signatures, 2-band buckets, candidate
-# self-join within buckets only, exact shingle-set Jaccard ≥ threshold.
-# Every stage is md5/integer-deterministic, so the whole pipeline is
-# oracle-checkable end to end.
-# --------------------------------------------------------------------------
-def dedup_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    out = dedup.near_dup_pairs(
-        docs, "doc_id", "text", threshold=0.4, num_hashes=4, bands=2, shingle_n=3
-    )
-    return out.select(
-        "doc_a", "doc_b", F.round(F.col("jaccard"), 6).alias("jaccard_r6")
-    )
-
-
-DEDUP_NEARDUP_ORACLE = r"""
-WITH norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-  FROM documents
-), toks AS (
-  SELECT doc_id, string_split_regex(t, '\s+') AS w FROM norm
-), sh AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id, array_to_string(w[i : i + 2], ' ') AS shingle
-    FROM toks,
-         LATERAL (SELECT unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i))
-), sig AS (
+), simhash AS (
   SELECT doc_id,
-         MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
-         MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3
-  FROM sh GROUP BY doc_id
-), buckets AS (
-  SELECT doc_id, md5('0|' || h0 || '|' || h1) AS bucket FROM sig
-  UNION ALL
-  SELECT doc_id, md5('1|' || h2 || '|' || h3) FROM sig
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-), shl AS (
-  SELECT doc_id, list(shingle) AS sl FROM sh GROUP BY doc_id
+         CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes
+  GROUP BY doc_id
 )
-SELECT doc_a, doc_b,
-       ROUND(CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
-             / len(list_distinct(list_concat(x.sl, y.sl))), 6) AS jaccard_r6
-FROM cand
-JOIN shl x ON x.doc_id = cand.doc_a
-JOIN shl y ON y.doc_id = cand.doc_b
-WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
-      / len(list_distinct(list_concat(x.sl, y.sl))) >= 0.4
+SELECT m.doc_id, m.h0, m.h1, m.h2, m.h3, s.simhash
+FROM minhash m JOIN simhash s ON m.doc_id = s.doc_id
 """
 
 
@@ -601,42 +484,18 @@ WHERE doc_id NOT IN (SELECT doc_id FROM near_losers)
 """
 
 
-# --------------------------------------------------------------------------
-# LSH-bucketed approximate NN (scale path) — rows-only check: bucket
-# membership depends on the engine-side hyperplane literals.
-# --------------------------------------------------------------------------
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    out = similarity.ann_lsh_topk(emb, dims=64, k=3, planes=8)
-    return out.select(
-        "query_id", "neighbor_id", F.round(F.col("cos_sim"), 6).alias("cos_sim_r6"), "rk"
-    )
-
+# NOTE: the SRP-LSH ANN path (operators/similarity.ann_lsh_topk, 12-band
+# OR-amplified) is no longer a catalog entry: its driver check was rows-only
+# by necessity (hyperplane literals live engine-side), which the quantified
+# recall@3 ≥ 0.75 floor in tests/test_similarity_scale.py strictly dominates.
 
 QUERIES: dict[str, Q] = {
-    "txt_token_stats": Q(
-        txt_token_stats,
-        TXT_TOKEN_ORACLE,
-        ("F8", "beyond:text"),
-        "token/char/punct statistics per document",
-    ),
-    "txt_quality": Q(
-        txt_quality,
-        TXT_QUALITY_ORACLE,
-        ("beyond:text", "F23"),
-        "quality scoring + stopword-vote language ID",
-    ),
-    "txt_bpe_tokens": Q(
-        txt_bpe_tokens,
-        TXT_BPE_ORACLE,
-        ("beyond:text",),
-        "BPE-style pretokenizer token budget per source",
-    ),
-    "txt_fingerprint": Q(
-        txt_fingerprint,
-        TXT_FP_ORACLE,
-        ("beyond:text", "F1", "F3"),
-        "normalized-content md5 fingerprint",
+    "txt_profile": Q(
+        txt_profile,
+        TXT_PROFILE_ORACLE,
+        ("F1", "F3", "F8", "F23", "beyond:text"),
+        "per-doc text profile: tokens/chars/punct, BPE budget, quality, "
+        "langID, fingerprint (one scan)",
     ),
     "dedup_exact": Q(
         dedup_exact,
@@ -644,23 +503,18 @@ QUERIES: dict[str, Q] = {
         ("beyond:dedup", "S9"),
         "exact dedup via content-digest hash groupBy",
     ),
-    "dedup_minhash": Q(
-        dedup_minhash,
-        DEDUP_MINHASH_ORACLE,
+    "dedup_signatures": Q(
+        dedup_signatures,
+        DEDUP_SIGNATURES_ORACLE,
         ("beyond:dedup",),
-        "MinHash signatures over word shingles (md5 min-wise family)",
+        "MinHash (md5 min-wise) + SimHash (bit-majority) signatures per doc",
     ),
-    "dedup_simhash": Q(
-        dedup_simhash,
-        DEDUP_SIMHASH_ORACLE,
-        ("beyond:dedup",),
-        "SimHash bit-majority fingerprints",
-    ),
-    "dedup_neardup_jaccard": Q(
-        dedup_neardup_jaccard,
-        DEDUP_NEARDUP_ORACLE,
-        ("beyond:dedup",),
-        "MinHash-LSH candidates verified by exact n-gram Jaccard",
+    "dedup_survivors": Q(
+        dedup_survivors,
+        DEDUP_SURVIVORS_ORACLE,
+        ("beyond:dedup", "S9"),
+        "survivor set after exact + LSH/Jaccard near-dup removal "
+        "(oracle replicates both phases end to end)",
     ),
     "dedup_incremental": Q(
         dedup_incremental,
@@ -684,24 +538,12 @@ QUERIES: dict[str, Q] = {
         sim_cosine_topk,
         SIM_COSINE_ORACLE,
         ("beyond:similarity",),
-        "brute-force cosine top-k neighbors",
-    ),
-    "sim_ann_lsh": Q(
-        sim_ann_lsh,
-        None,  # hyperplane literals live engine-side → rows-only check
-        ("beyond:similarity",),
-        "SRP-LSH bucketed approximate top-k",
+        "blocked-corpus brute-force cosine top-k neighbors",
     ),
     "sim_ann_ivf": Q(
         sim_ann_ivf,
         SIM_IVF_ORACLE,
         ("beyond:similarity",),
         "IVF-style ANN: coarse quantizer + cell-restricted exact search",
-    ),
-    "dedup_survivors": Q(
-        dedup_survivors,
-        DEDUP_SURVIVORS_ORACLE,
-        ("beyond:dedup", "S9"),
-        "survivor set after exact + near-dup removal",
     ),
 }
