@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 from ..functions.banding import band_by_thresholds, count_band
 from ..functions.exact import dec
 from ..functions.sanitize import clamp_pct, sanitize_text, valid_name
-from ..operators.rollups import flag_rollup
 from ..sources.tables import load_table
 from .base import Q
 
@@ -124,18 +123,16 @@ FROM customer
 def a06_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    flags = flag_rollup(
-        orders,
-        "o_custkey",
-        {
-            "has_urgent": F.col("o_orderpriority") == "1-URGENT",
-            "has_open": F.col("o_orderstatus") == "O",
-            "has_big_order": F.col("o_totalprice") > 200000.0,
-        },
-    )
-    counts = orders.groupBy("o_custkey").agg(
+    flag = lambda pred: F.max(F.when(pred, 1).otherwise(0))
+    # counts + any-child flags in ONE groupBy (flag_rollup semantics inlined:
+    # a separate flags aggregate would scan and shuffle orders twice just to
+    # join it back on the same key)
+    rolled = orders.groupBy("o_custkey").agg(
         F.count("*").alias("n_orders"),
         F.sum(dec("o_totalprice")).cast("double").alias("total_spend"),
+        flag(F.col("o_orderpriority") == "1-URGENT").alias("has_urgent"),
+        flag(F.col("o_orderstatus") == "O").alias("has_open"),
+        flag(F.col("o_totalprice") > 200000.0).alias("has_big_order"),
     )
     name = F.col("c_name")
     digits = F.regexp_extract(name, r"Customer#(\d+)", 1)
@@ -152,8 +149,7 @@ def a06_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference quirk J5: the EXISTS helper returns True when NO row matches
     # (fun_mysql_query.py:124-126) — reproduced as the inverted flag.
     return (
-        counts.join(flags, "o_custkey")
-        .withColumn("no_urgent_inverted", 1 - F.col("has_urgent"))
+        rolled.withColumn("no_urgent_inverted", 1 - F.col("has_urgent"))
         .join(surgery, "o_custkey")
     )
 
