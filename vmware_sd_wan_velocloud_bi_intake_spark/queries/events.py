@@ -16,9 +16,7 @@ from ..functions.exact import dec
 from ..functions.temporal import month_key
 from ..operators.sequences import (
     discretize_state,
-    qoe_outage_summary,
-    transition_counts,
-    run_lengths,
+    island_table,
     tumbling_min_score,
 )
 from ..sources.tables import load_table
@@ -45,27 +43,49 @@ def _with_state(events: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 def w02_outage_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _with_state(load_table(spark, sf_dir, "events"))
-    outage = qoe_outage_summary(ev, "user_id", ORDER)
-    lag_counts = transition_counts(ev, "user_id", ORDER).select(
+    # everything derives from ONE islands pass (single scan of events; the
+    # three-operator join form scanned it three times). The lag-based W1
+    # transition counts are definitionally the island starts — a row with
+    # state=2 and prev=4 is exactly the first row of a red island whose
+    # island_prev is 4 — so lag_* equals the island counts engine-side; the
+    # DuckDB oracle still derives lag_* INDEPENDENTLY from row-level LAG,
+    # making the hash check a cross-proof of the two formulations.
+    islands = island_table(ev, "user_id", ORDER)
+    s, pv, rl = F.col("state"), F.col("island_prev"), F.col("run_len")
+    is_brown = (s == 2) & (pv == 4)
+    is_black = (s == 0) & pv.isNotNull() & (pv != 0)
+    is_red = s == 2
+    agg = islands.groupBy("user_id").agg(
+        F.sum(F.when(is_brown, 1).otherwise(0)).cast("long").alias("brownouts"),
+        F.sum(F.when(is_brown, rl).otherwise(0)).cast("long").alias("brownout_samples"),
+        F.sum(F.when(is_black, 1).otherwise(0)).cast("long").alias("blackouts"),
+        F.sum(F.when(is_black, rl).otherwise(0)).cast("long").alias("blackout_samples"),
+        F.sum(F.when(is_red, 1)).alias("n_red_runs"),
+        F.max(F.when(is_red, rl)).alias("max_run_len"),
+        F.sum(F.when(is_red, rl)).cast("long").alias("total_red_samples"),
+    )
+    return agg.select(
         "user_id",
+        "brownouts",
+        "brownout_samples",
+        ((F.col("brownout_samples") * F.lit(712)).cast("double") / F.lit(6000.0)).alias(
+            "brownout_minutes"
+        ),
+        "blackouts",
+        "blackout_samples",
+        ((F.col("blackout_samples") * F.lit(712)).cast("double") / F.lit(6000.0)).alias(
+            "blackout_minutes"
+        ),
         F.col("brownouts").alias("lag_brownouts"),
         F.col("blackouts").alias("lag_blackouts"),
+        "n_red_runs",
+        "max_run_len",
+        "total_red_samples",
+        # minutes at 7.12 min/sample, exact: n*712 then one division
+        ((F.col("max_run_len") * F.lit(712)).cast("double") / F.lit(100.0)).alias(
+            "max_run_minutes"
+        ),
     )
-    red_runs = (
-        run_lengths(ev, "user_id", ORDER)
-        .filter(F.col("state") == 2)
-        .groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_red_runs"),
-            F.max("run_len").alias("max_run_len"),
-            F.sum("run_len").cast("long").alias("total_red_samples"),
-            # minutes at 7.12 min/sample, exact: n*712 then one division
-            (
-                (F.max("run_len") * F.lit(712)).cast("double") / F.lit(100.0)
-            ).alias("max_run_minutes"),
-        )
-    )
-    return outage.join(lag_counts, "user_id").join(red_runs, "user_id", "left")
 
 
 W02_ORACLE = """
