@@ -129,3 +129,70 @@ def fingerprint(text: Column, length: int = 16) -> Column:
     fingerprints portable across systems.
     """
     return F.substring(F.md5(normalize_text(text)), 1, length)
+
+
+def pack_sequences(
+    df,
+    doc_id: str,
+    text: str,
+    budget: int,
+    partition_by: str | None = None,
+    drop_oversize: bool = False,
+):
+    """Concat-and-chunk token packing — assign each document its position in
+    the fixed-length training sequences a pretraining pipeline would emit.
+
+    The standard packing shape: documents are concatenated in a
+    deterministic order (doc_id within ``partition_by``) and the token
+    stream is cut into chunks of exactly ``budget`` tokens; a document is
+    assigned to the chunk its FIRST token lands in, with ``start_offset``
+    giving its position inside that chunk (documents may span into following
+    chunks — ``end_chunk`` marks the last one touched). A prefix sum
+    expresses this EXACTLY — chunk boundaries are pure functions of the
+    cumulative token count, so no sequential fold is needed:
+
+        pack_id      = floor(tokens_before / budget)
+        start_offset = tokens_before % budget
+
+    ``drop_oversize=True`` removes documents longer than the budget first
+    (the filter-long-docs policy some pipelines prefer to spanning).
+
+    At 100 TB: one shuffle on ``partition_by`` (or none beyond the scan when
+    packing per natural key), one window — no driver state, no iteration.
+    Packing locality vs parallelism trades off via the partition key grain.
+
+    Returns (doc_id, <partition_by>, n_tokens, pack_id, start_offset,
+    end_chunk, pack_seq).
+    """
+    from pyspark.sql import Window
+
+    key = partition_by
+    part_cols = [F.col(key)] if key else [F.lit(1)]
+    staged = df.select(
+        F.col(doc_id).alias("doc_id"),
+        *([F.col(key)] if key else []),
+        token_count(F.col(text)).alias("n_tokens"),
+    )
+    if drop_oversize:
+        staged = staged.filter(F.col("n_tokens") <= budget)
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    packed = staged.withColumn(
+        "pack_id", F.floor(before / F.lit(budget)).cast("long")
+    ).withColumn("start_offset", F.pmod(before, F.lit(budget)).cast("long"))
+    # last chunk this document touches (empty docs stay in their start chunk)
+    end_tok = before + F.greatest(F.col("n_tokens"), F.lit(1)) - F.lit(1)
+    packed = packed.withColumn(
+        "end_chunk", F.floor(end_tok / F.lit(budget)).cast("long")
+    )
+    w_pack = Window.partitionBy(*part_cols, "pack_id").orderBy("doc_id")
+    out_cols = ["doc_id"] + ([key] if key else []) + [
+        "n_tokens", "pack_id", "start_offset", "end_chunk",
+    ]
+    return packed.withColumn(
+        "pack_seq", F.row_number().over(w_pack)
+    ).select(*out_cols, "pack_seq")
