@@ -70,6 +70,25 @@ def test_no_cartesian_products_anywhere(spark, sf_smoke):
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_qoe_suite_is_one_scan_no_joins(spark, sf_smoke):
+    # w02 derives outage + lag + run-length columns from ONE islands pass;
+    # the three-operator join form scanned events three times
+    plan = _plan(spark, sf_smoke, "w02_outage_summary")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+
+
+def test_customer_rollup_single_orders_aggregate(spark, sf_smoke):
+    # counts + flags fold into one groupBy: exactly one aggregate exchange
+    # on o_custkey (plus the customer-side join), not two joined aggregates
+    plan = _plan(spark, sf_smoke, "a06_customer_rollup")
+    import re
+
+    aggs = len(re.findall(r"\) HashAggregate$", plan, re.M))
+    # partial + final for the single orders groupBy = 2 HashAggregate nodes
+    assert aggs <= 2, plan
+
+
 def test_rollup_aggregates_partially(spark, sf_smoke):
     # one groupBy pass replaces the reference's 8 EXISTS probes (J5/A6);
     # partial_ aggregation must appear below the exchange (map-side combine)
