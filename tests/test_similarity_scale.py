@@ -76,6 +76,36 @@ def test_ivf_assignment_is_partial_agg_not_window(spark, emb):
     assert len(re.findall(r"\) Window$", plan, re.M)) == 1, plan
 
 
+def test_int8_quantization_roundtrip_and_recall(spark, emb):
+    """float→int8→float must bound per-coordinate error by scale/2 and keep
+    brute-force cosine top-k ranking close to the float ground truth."""
+    from pyspark.sql import functions as FF
+
+    q = similarity.quantize_embeddings(emb)
+    # quantization is narrow: no exchange in the plan
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange hashpartitioning" not in plan
+    deq = q.select(
+        "vec_id",
+        similarity.dequantize_expr(FF.col("qvec"), FF.col("scale")).alias("embedding"),
+        "scale",
+    )
+    orig = {r["vec_id"]: r["embedding"] for r in emb.select("vec_id", "embedding").collect()}
+    for r in deq.collect():
+        ov = orig[r["vec_id"]]
+        bound = r["scale"] / 2 + 1e-12
+        assert all(abs(a - float(b)) <= bound for a, b in zip(r["embedding"], ov))
+    truth = similarity.cosine_topk_pairs_hof(emb, k=3).collect()
+    qtop = similarity.cosine_topk_pairs_hof(
+        deq.select("vec_id", "embedding"), k=3
+    ).collect()
+    r_q = _recall_at_k(qtop, truth, 3)
+    print(f"\nint8-quantized brute-force recall@3 vs float: {r_q:.3f}")
+    assert r_q >= 0.9, r_q  # 4x memory cut, marginal ranking loss
+
+
 def _recall_at_k(approx_rows, truth_rows, k):
     truth: dict[int, set] = {}
     for r in truth_rows:

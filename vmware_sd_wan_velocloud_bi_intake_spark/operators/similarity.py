@@ -540,6 +540,49 @@ def ann_ivf_query(
     )
 
 
+def quantize_embeddings(
+    emb: DataFrame,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column.
+
+    The standard memory step for vector corpora at 100 TB: float32 → int8
+    cuts the stored/shuffled bytes 4× while cosine ranking degrades only
+    marginally (per-vector max-abs scaling keeps relative magnitudes). Pure
+    array expressions — quantization fuses into the scan, no Python, no
+    shuffle:
+
+        scale = max(|v_i|) / 127        (0-vectors keep scale 0)
+        q_i   = round(v_i / scale)      as tinyint in [-127, 127]
+
+    Returns (vec_id, qvec array<tinyint>, scale double); reconstruct with
+    :func:`dequantize_expr` (q_i · scale). Quantization error is bounded by
+    scale/2 per coordinate — the recall impact is measured, not assumed, in
+    tests/test_similarity_scale.py.
+    """
+    v = as_double_array(F.col(embedding))
+    scale = (
+        F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+        / F.lit(127.0)
+    )
+    staged = emb.select(
+        F.col(vec_id).alias("vec_id"), v.alias("v"), scale.alias("scale")
+    )
+    qvec = F.transform(
+        F.col("v"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.round(x / F.col("scale")))
+        .cast("tinyint"),
+    )
+    return staged.select("vec_id", qvec.alias("qvec"), "scale")
+
+
+def dequantize_expr(qvec: Column, scale: Column) -> Column:
+    """Reconstruct a double array from (qvec, scale)."""
+    return F.transform(qvec, lambda q: q.cast("double") * scale)
+
+
 def _hyperplane(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane coefficient in [-1, 1).
 
