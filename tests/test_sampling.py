@@ -1,0 +1,46 @@
+"""Deterministic stratified sampling (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import collections
+import math
+
+from vmware_sd_wan_velocloud_bi_intake_spark.operators.sampling import (
+    stratified_cap,
+    stratified_fraction,
+)
+from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+
+def _counts(rows, col):
+    return collections.Counter(r[col] for r in rows)
+
+
+def test_cap_bounds_every_stratum_and_passes_small_ones(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    full = _counts(docs.select("source").collect(), "source")
+    capped = stratified_cap(docs, "source", "doc_id", 50).collect()
+    got = _counts(capped, "source")
+    for src, n in full.items():
+        assert got[src] == min(n, 50), (src, n, got[src])
+
+
+def test_cap_is_deterministic_across_runs_and_layouts(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    a = {r["doc_id"] for r in stratified_cap(docs, "source", "doc_id", 30).collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_cap(
+            docs.repartition(13), "source", "doc_id", 30
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_fraction_is_exact_per_stratum(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    full = _counts(docs.select("source").collect(), "source")
+    kept = stratified_fraction(docs, "source", "doc_id", 0.25).collect()
+    got = _counts(kept, "source")
+    for src, n in full.items():
+        assert got[src] == math.ceil(n * 0.25), (src, n, got[src])

@@ -1,0 +1,55 @@
+"""Deterministic stratified sampling — the dataset-mixture step of a
+training-data pipeline (cap each source/language/label stratum, or take an
+exact per-stratum fraction) without ``random()``.
+
+Beyond-reference surface (same discipline as the O4 hash-bucket sample the
+reference's probabilistic refresh became): order inside each stratum by
+``md5(id)`` — a deterministic pseudo-random permutation, stable across
+runs, engines, and cluster layouts — then keep by rank. Ranking is one
+window per stratum key: a single shuffle, no driver state, no RNG seeds to
+ship. At 100 TB the stratum key is the partition key; skewed strata behave
+like any other window (AQE/salting applies as usual).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _rank_in_stratum(df: DataFrame, stratum: str, id_col: str) -> DataFrame:
+    w = Window.partitionBy(stratum).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return df.withColumn("__rk", F.row_number().over(w))
+
+
+def stratified_cap(
+    df: DataFrame, stratum: str, id_col: str, cap: int
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum (deterministic md5 order).
+
+    The balancing shape: a dominant source/language stops drowning the
+    mixture; strata smaller than the cap pass through whole.
+    """
+    return _rank_in_stratum(df, stratum, id_col).where(
+        F.col("__rk") <= cap
+    ).drop("__rk")
+
+
+def stratified_fraction(
+    df: DataFrame, stratum: str, id_col: str, fraction: float
+) -> DataFrame:
+    """Keep an EXACT per-stratum fraction: ⌈n_stratum · fraction⌉ rows.
+
+    Unlike ``df.sample`` (Bernoulli, per-run variance, non-reproducible
+    across layouts) the kept set is exact and deterministic. Costs one
+    extra windowed count over the same partitioning (no second shuffle).
+    """
+    ranked = _rank_in_stratum(df, stratum, id_col)
+    n = F.count("*").over(Window.partitionBy(stratum))
+    return (
+        ranked.withColumn("__n", n)
+        .where(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .drop("__rk", "__n")
+    )
