@@ -61,6 +61,31 @@ def test_packing_is_partitioned_and_deterministic(spark, sf_smoke):
             before += r["n_tokens"]
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=90), min_size=1, max_size=25),
+    budget=st.integers(min_value=1, max_value=64),
+)
+def test_packing_matches_model_on_arbitrary_inputs(spark, sizes, budget):
+    # includes empty docs (0 tokens: stay at the cursor, consume nothing)
+    # and docs far larger than the budget (span multiple chunks)
+    rows = [(i, "t " * n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["pack_id"], r["start_offset"], r["end_chunk"])
+        for r in pack_sequences(df, "doc_id", "text", budget).collect()
+    }
+    assert got == _model(list(enumerate(sizes)), budget)
+
+
 def test_drop_oversize_filters_long_docs(spark):
     rows = [(1, "a " * 10), (2, "b " * 100), (3, "c " * 10)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
