@@ -248,3 +248,29 @@ def test_stream_offsets_monotone_after_checkpoint_restart():
     assert parts[0].start_ms == 3000
     nxt = r.latestOffset()
     assert nxt["ms"] >= 3500  # monotone: 3000 (clamped) + advance
+
+
+def test_restart_offset_rewind_never_refetches_processed_span():
+    """Worst restart ordering: the last batch WAS committed, so Spark's first
+    call is latestOffset() — the fresh reader regresses (1500 < committed
+    3000) and that value lands in the offset log. The _floor clamp must keep
+    the rewound span [1500, 3000) out of every subsequent slice."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.datasource import (
+        VeloCloudStreamReader,
+    )
+
+    r = VeloCloudStreamReader(
+        {"fleet": "vco0", "n_enterprises": "1", "start_ms": "1000",
+         "advance_ms": "500", "end_ms": "10000"}
+    )
+    assert r.latestOffset() == {"ms": 1500}  # regressed: logged by Spark
+    # batch 1: (committed=3000, regressed latest=1500) -> inverted; slices
+    # clamp to the floor and the empty interval fetches nothing
+    p1 = r.partitions({"ms": 3000}, {"ms": 1500})
+    assert all(p.start_ms == 3000 and p.end_ms <= p.start_ms for p in p1)
+    # batch 2 starts from the rewound log position 1500 — the clamp must
+    # hold the slice start at the committed floor, skipping [1500, 3000)
+    nxt = r.latestOffset()
+    assert nxt["ms"] >= 3500
+    p2 = r.partitions({"ms": 1500}, nxt)
+    assert all(p.start_ms == 3000 for p in p2)

@@ -40,7 +40,11 @@ def test_cap_is_deterministic_across_runs_and_layouts(spark, sf_smoke):
 def test_fraction_is_exact_per_stratum(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents")
     full = _counts(docs.select("source").collect(), "source")
-    kept = stratified_fraction(docs, "source", "doc_id", 0.25).collect()
-    got = _counts(kept, "source")
-    for src, n in full.items():
-        assert got[src] == math.ceil(n * 0.25), (src, n, got[src])
+    # 0.07 regression-tests the float-ceil guard: 100 * 0.07 is
+    # 7.000000000000001 in doubles and naive ceil would keep 8 rows
+    for frac in (0.25, 0.07):
+        kept = stratified_fraction(docs, "source", "doc_id", frac).collect()
+        got = _counts(kept, "source")
+        for src, n in full.items():
+            exact = math.ceil(round(n * frac, 9))
+            assert got[src] == exact, (frac, src, n, got[src])

@@ -96,3 +96,45 @@ def test_outage_goldens(spark, seq, brownouts, brown_dur, blackouts, black_dur):
         got["blackouts"],
         got["blackout_samples"],
     ) == (brownouts, brown_dur, blackouts, black_dur)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.floats(min_value=0.0, max_value=200.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_a09_quirk_fold_matches_sequential_model(spark, values):
+    """U3: the order-dependent Score fold — engine `aggregate` fold over the
+    ordered series must reproduce the reference's sequential recurrence
+      score_k = ((score_{k-1} * (k-1)) + v_k) * 12.5 / k
+    bit-for-bit (same operation order, double arithmetic)."""
+    import datetime as dt
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.queries.events import (
+        a09_score_quirk,
+    )
+
+    rows = [
+        (i, 7, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), "view", float(v), "{}")
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = a09_score_quirk(spark, d).collect()
+    assert len(got) == 1
+    score = 0.0
+    for k, v in enumerate(values, start=1):
+        score = ((score * (k - 1)) + float(v)) * 12.5 / k
+    assert got[0]["score_quirk"] == pytest.approx(score, rel=0, abs=0)
+    assert got[0]["n_samples"] == len(values)

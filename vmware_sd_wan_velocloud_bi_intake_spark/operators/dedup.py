@@ -197,6 +197,7 @@ def oversized_buckets(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int = 1024,
+    band_rows: DataFrame | None = None,
 ) -> DataFrame:
     """The sideline channel for :func:`near_dup_pairs`'s degenerate-bucket cap.
 
@@ -205,8 +206,13 @@ def oversized_buckets(
     refused to go quadratic on. Pipelines log/inspect these (they are almost
     always a single boilerplate string) and rely on exact dedup for their
     members.
+
+    Pass ``band_rows`` (a precomputed :func:`lsh_bucket_table` — ideally
+    persisted and shared with the near_dup_pairs run) to skip recomputing
+    the corpus-wide signature stage, the dominant cost at scale.
     """
-    band_rows = lsh_bucket_table(df, doc_id, text, num_hashes, bands, shingle_n)
+    if band_rows is None:
+        band_rows = lsh_bucket_table(df, doc_id, text, num_hashes, bands, shingle_n)
     return (
         band_rows.groupBy("bucket")
         .agg(

@@ -48,8 +48,14 @@ def stratified_fraction(
     """
     ranked = _rank_in_stratum(df, stratum, id_col)
     n = F.count("*").over(Window.partitionBy(stratum))
+    # epsilon guard: n·fraction computed in doubles can land a hair ABOVE an
+    # exact integer (100 × 0.07 = 7.000000000000001), and ceil would then
+    # keep one row too many; true fractional products sit far above 1e-9
     return (
         ranked.withColumn("__n", n)
-        .where(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .where(
+            F.col("__rk")
+            <= F.ceil(F.col("__n") * F.lit(fraction) - F.lit(1e-9))
+        )
         .drop("__rk", "__n")
     )

@@ -151,6 +151,10 @@ def cosine_topk_pairs(
         partials.append(qside.mapInPandas(block_topk(bc), schema=out_schema))
     if n_blocks > 1:
         corpus.unpersist()  # block matrices are already collected
+    if not partials:  # empty corpus: no neighbors for anyone
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rk int"
+        )
 
     merged = reduce(DataFrame.unionAll, partials)
     w = Window.partitionBy("query_id").orderBy(
@@ -620,6 +624,12 @@ def srp_band_keys(embedding: Column, dims: int, planes: int, bands: int) -> Colu
     → higher recall; more bits per band → smaller buckets (less work).
     Returns an array of ``bands`` string keys ("band:signature").
     """
+    if bands < 1 or bands > planes or planes % bands != 0:
+        raise ValueError(
+            f"bands must divide planes with bands <= planes; got "
+            f"planes={planes}, bands={bands} (a silent remainder would drop "
+            f"hyperplanes; bands > planes would collide every vector)"
+        )
     bpb = planes // bands
     keys = []
     for b in range(bands):

@@ -166,22 +166,6 @@ def a10_series_zipsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-A10_ORACLE = """
-WITH p AS (
-  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events WHERE event_type = 'purchase'
-), vv AS (
-  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events WHERE event_type = 'view'
-)
-SELECT
-  COALESCE(p.user_id, vv.user_id) AS user_id,
-  CAST(COALESCE(p.rn, vv.rn) AS INT) AS pos,
-  CAST(COALESCE(p.v, 0) + COALESCE(vv.v, 0) AS DOUBLE) AS bw
-FROM p FULL OUTER JOIN vv ON p.user_id = vv.user_id AND p.rn = vv.rn
-"""
 
 
 # --------------------------------------------------------------------------
@@ -230,35 +214,6 @@ SELECT
   CAST(MAX(CASE WHEN rk = 10 THEN bw END) AS DOUBLE) AS top10
 FROM ranked
 GROUP BY user_id
-"""
-
-
-# --------------------------------------------------------------------------
-# J6/F21: explode an array back into a relation table with concat keys.
-# Reference: connectedEdgeList explode → gatewayrelation
-# gateway_script.py:305-322; LinkID concat powerbi_main_fun.py:1629.
-# --------------------------------------------------------------------------
-def j06_explode_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    nested = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_suppkey")).alias("suppkeys")
-    )
-    rel = nested.select(
-        "l_orderkey", F.explode("suppkeys").alias("suppkey")
-    )
-    return rel.select(
-        "l_orderkey",
-        "suppkey",
-        F.concat_ws("-", F.col("l_orderkey"), F.col("suppkey")).alias("rel_id"),
-    )
-
-
-J06_ORACLE = """
-SELECT DISTINCT
-  l_orderkey,
-  l_suppkey AS suppkey,
-  l_orderkey || '-' || l_suppkey AS rel_id
-FROM lineitem
 """
 
 

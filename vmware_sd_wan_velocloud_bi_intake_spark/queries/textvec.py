@@ -466,9 +466,15 @@ WITH norm AS (
   SELECT doc_id, md5('0|' || h0 || '|' || h1) AS bucket FROM sig
   UNION ALL
   SELECT doc_id, md5('1|' || h2 || '|' || h3) FROM sig
+), ok_buckets AS (
+  -- mirror the engine's degenerate-bucket cap (near_dup_pairs max_bucket):
+  -- buckets larger than 1024 are sidelined, not expanded
+  SELECT bucket FROM buckets GROUP BY bucket HAVING COUNT(*) <= 1024
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  FROM buckets a
+  JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  JOIN ok_buckets ob ON ob.bucket = a.bucket
 ), shl AS (
   SELECT doc_id, list(shingle) AS sl FROM sh GROUP BY doc_id
 ), near_losers AS (

@@ -288,6 +288,10 @@ class VeloCloudStreamReader(DataSourceStreamReader):
         self.cap_ms = int(options.get("end_ms", str(2**53)))
         self.transport_spec = options.get("transport")
         self._latest = self.start_ms
+        # high-water mark of committed progress, learned from the start
+        # offsets Spark hands partitions(); slice starts clamp to it so an
+        # offset-log rewind after restart can never re-deliver a window
+        self._floor = self.start_ms
 
     def initialOffset(self) -> dict:
         return {"ms": self.start_ms}
@@ -298,13 +302,21 @@ class VeloCloudStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[StreamSlice]:
         # After a checkpoint restart this reader object is fresh, so _latest
-        # would regress to start_ms + advance_ms — behind the committed
-        # offset — yielding inverted/empty intervals and replaying processed
-        # windows. Clamp forward from the committed start Spark hands us so
-        # offsets are monotone across restarts.
-        self._latest = max(self._latest, start["ms"])
+        # regresses behind the committed offset. Two guards make restarts
+        # replay-free regardless of call order:
+        # 1. _latest clamps forward from the committed start Spark hands us,
+        #    so subsequent latestOffset() calls are monotone.
+        # 2. When the FIRST post-restart call was latestOffset() (last batch
+        #    committed), its regressed value lands in the offset log and the
+        #    next batch's start rewinds behind the true progress; _floor —
+        #    the max committed start ever observed — clamps every slice
+        #    start, so the rewound span [start, _floor) is never re-fetched
+        #    (an inverted/empty interval yields no rows at the transport).
+        eff_start = max(start["ms"], self._floor)
+        self._floor = eff_start
+        self._latest = max(self._latest, eff_start)
         return [
-            StreamSlice(vco=v, enterprise_id=e, start_ms=start["ms"], end_ms=end["ms"])
+            StreamSlice(vco=v, enterprise_id=e, start_ms=eff_start, end_ms=end["ms"])
             for v in self.fleet
             for e in range(self.n_enterprises)
         ]

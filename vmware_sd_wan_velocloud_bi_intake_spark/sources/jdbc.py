@@ -88,6 +88,13 @@ def jdbc_snapshot(
     ``where`` is an extra pushed predicate ANDed into every partition (the
     analog of the reference's per-query filters — e.g. restrict the state
     snapshot to one VCO before it ever leaves the database).
+
+    ``schema`` is authoritative on BOTH paths: the production read coerces
+    the database-inferred columns to the declared types (select + cast), so
+    switching between the JDBC and DBAPI transports never changes downstream
+    dtypes. Set ``dialect='mysql'`` against MySQL — the default ANSI
+    double-quoted identifiers in stride predicates would otherwise parse as
+    string literals there (backticks are required unless ANSI_QUOTES is on).
     """
     struct = (
         T._parse_datatype_string(schema) if isinstance(schema, str) else schema
@@ -107,9 +114,14 @@ def jdbc_snapshot(
     if connection_factory is None:
         if url is None:
             raise ValueError("need url (production) or connection_factory (injected)")
-        return spark.read.jdbc(
+        from pyspark.sql import functions as SF
+
+        raw = spark.read.jdbc(
             url=url, table=table, predicates=list(predicates),
             properties=properties or {},
+        )
+        return raw.select(
+            *[SF.col(f.name).cast(f.dataType) for f in struct.fields]
         )
 
     cols = [f.name for f in struct.fields]
