@@ -73,6 +73,11 @@ def cosine_topk_pairs(
     driver is too much (truly unbounded both sides), use ``ann_ivf_topk`` /
     ``ann_lsh_topk`` — brute force at that scale is the wrong operator.
 
+    Lifecycle: the per-block broadcasts live until the returned DataFrame is
+    garbage-collected (they back its lazy partials) — a long-lived service
+    looping over corpora should drop references promptly (Spark's
+    ContextCleaner then reclaims them) or call ``ann_ivf_topk`` instead.
+
     ``queries`` defaults to the corpus itself (all-pairs kNN, self excluded).
     Returns (query_id, neighbor_id, cos_sim, rk), rk 1-based with
     neighbor_id tiebreak.
@@ -337,7 +342,10 @@ def ann_ivf_topk(
     if n_cells is None:
         # the count doubles as the cache materializer: base is read three
         # more times below (centroids, assignment, scoring) — cached, those
-        # are memory reads, so sizing costs no extra source scan
+        # are memory reads, so sizing costs no extra source scan. The cache
+        # lives while the result DataFrame does (it backs the lazy plan);
+        # MEMORY_AND_DISK + LRU bound repeated-call pressure, and callers
+        # that know n can pass n_cells to skip the persist entirely.
         base.persist()
         n_cells = max(8, math.ceil(math.sqrt(base.count())))
     cents = base.orderBy("vid").limit(n_cells).select(
