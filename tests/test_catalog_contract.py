@@ -57,6 +57,6 @@ def test_round1_unchecked_block_leads_the_window():
 def test_every_entry_is_oracle_checked_or_documented():
     cat = all_queries()
     rows_only = [n for n, q in cat.items() if q.oracle is None]
-    # the only sanctioned rows-only entry: sketch estimates are
-    # engine-specific (accuracy pinned vs exact anchors in test_sketches.py)
-    assert rows_only == ["a22_sketch_stats"], rows_only
+    # every catalog entry is oracle-checked (a22 became hash-checkable in
+    # round 3 via within-tolerance booleans)
+    assert rows_only == [], rows_only

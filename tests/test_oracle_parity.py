@@ -20,6 +20,9 @@ def test_oracle_parity(spark, sf_correct, name):
     q = CATALOG[name]
     spark_df = q.fn(spark, sf_correct)
     oracle_pdf = run_oracle(q.oracle, sf_correct)
+    # A 0-row match passes all three driver checks without verifying any
+    # logic (the round-2 j11 lesson) — every catalog oracle must produce rows.
+    assert oracle_pdf.shape[0] > 0, f"{name}: vacuous oracle (0 rows)"
     issues = compare(spark_df, oracle_pdf)
     assert not issues, f"{name}: " + " | ".join(issues)
 

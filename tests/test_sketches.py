@@ -1,8 +1,9 @@
-"""Accuracy bounds for the sketch query (a22) against its exact anchors.
+"""Accuracy bounds for the sketch aggregation against its exact anchors.
 
-a22 has no SQL oracle by design (sketches are engine-specific); instead its
-estimates must land within tolerance of the hash-checked exact queries
-(a20 distinct counts, exact percentile for the same column).
+The a22 catalog entry hash-checks within-tolerance BOOLEANS (estimates are
+engine-specific, so raw values can't be oracle-compared); this suite pins the
+raw production shape (``sketch_stats_raw``) against the hash-checked exact
+queries (a19 distinct counts, exact percentile for the same column).
 """
 
 from __future__ import annotations
@@ -10,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from vmware_sd_wan_velocloud_bi_intake_spark.queries import all_queries
+from vmware_sd_wan_velocloud_bi_intake_spark.queries.beyond import sketch_stats_raw
 from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
 
 CATALOG = all_queries()
@@ -18,7 +20,7 @@ CATALOG = all_queries()
 def test_sketch_distinct_within_rsd(spark, sf_correct):
     approx = {
         r["l_returnflag"]: (r["n_supp_approx"], r["n_part_approx"])
-        for r in CATALOG["a22_sketch_stats"].fn(spark, sf_correct).collect()
+        for r in sketch_stats_raw(spark, sf_correct).collect()
     }
     # exact anchors: the rollup's per-returnflag subtotal level
     # (grouping_level 1 = l_returnflag only, l_linestatus rolled up)
@@ -36,7 +38,7 @@ def test_sketch_distinct_within_rsd(spark, sf_correct):
 def test_sketch_percentiles_within_tolerance(spark, sf_correct):
     approx = {
         r["l_returnflag"]: (r["p50_approx"], r["p90_approx"])
-        for r in CATALOG["a22_sketch_stats"].fn(spark, sf_correct).collect()
+        for r in sketch_stats_raw(spark, sf_correct).collect()
     }
     exact = {
         r["l_returnflag"]: (r["p50"], r["p90"])

@@ -149,37 +149,40 @@ WHERE rk <= 3
 
 
 # --------------------------------------------------------------------------
-# J11: range join with an equi anchor — events within 30 days after the
-# customer's order date. The equi key keeps the physical plan a hash join
-# (range predicate applied post-match), so no cartesian blow-up at scale.
+# J11: range join with an equi anchor — line items shipped within 90 days of
+# their order's date. The equi key (orderkey) keeps the physical plan a hash
+# join with the range condition applied post-match, so no cartesian blow-up
+# at scale. (Anchored on lineitem×orders rather than events×orders: the
+# synthetic events table's timestamps never overlap order dates, which made
+# the earlier form pass vacuously with zero rows.)
 # --------------------------------------------------------------------------
 def j11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cond = (
-        (events.user_id == orders.o_custkey)
-        & (events.ts >= orders.o_orderdate)
-        & (events.ts < F.date_add(orders.o_orderdate, 30))
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate < orders.o_orderdate + F.expr("INTERVAL 90 DAYS"))
     )
     return (
-        events.join(orders, cond, "inner")
+        li.join(orders, cond, "inner")
         .groupBy("o_orderkey")
         .agg(
-            F.count("*").alias("n_events"),
-            F.sum(dec("value", 18)).cast("double").alias("sum_value"),
+            F.count("*").alias("n_items"),
+            F.sum(dec("l_extendedprice", 18)).cast("double").alias("sum_value"),
         )
     )
 
 
 J11_ORACLE = """
 SELECT o_orderkey,
-       COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-FROM events e
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM lineitem l
 JOIN orders o
-  ON e.user_id = o.o_custkey
- AND e.ts >= o.o_orderdate
- AND e.ts < o.o_orderdate + INTERVAL 30 DAY
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
 GROUP BY o_orderkey
 """
 
@@ -302,14 +305,21 @@ SELECT key, 'events_only' FROM (
 # distinct counts and quantile-sketch percentiles are single-pass, fixed-
 # memory, associative partial aggregates: at scale they replace the exact
 # expand-based distinct (shuffle per distinct column) and the exact
-# percentile (full sort per group). No oracle by design: sketch estimates
-# are engine-specific (DuckDB's HLL/quantile sketches round differently), so
-# the driver records the rows-only check; the EXACT counterparts a20/a21 are
-# the hash-checked correctness anchors and this query's estimates are
-# asserted within rtol=5% of them in tests/test_oracle_parity.py-adjacent
-# suite (test_sketches.py).
+# percentile (full sort per group).
+#
+# Oracle anchoring: sketch ESTIMATES are engine-specific (DuckDB's HLL /
+# quantile sketches round differently), so the raw estimates cannot be
+# hash-compared. The catalog entry instead emits within-tolerance BOOLEANS —
+# |est − exact| ≤ rtol·exact with both sides computed Spark-side in the same
+# aggregation — plus the exact group cardinalities. The DuckDB oracle derives
+# the identical schema from its own exact computation (its "estimate" is the
+# exact value, trivially within bound), so all columns hash-match iff every
+# Spark sketch lands within tolerance. ``sketch_stats_raw`` keeps the
+# production sketch-only shape (no exact anchors, no expand) for callers and
+# for the accuracy suite in tests/test_sketches.py.
 # --------------------------------------------------------------------------
-def a22_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sketch_stats_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production shape: sketch-only aggregation, no exact anchors."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supp_approx"),
@@ -318,6 +328,49 @@ def a22_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("p90_approx"),
         F.count("*").alias("n_rows"),
     )
+
+
+def a22_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("supp_est"),
+        F.countDistinct("l_suppkey").alias("supp_exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("part_est"),
+        F.countDistinct("l_partkey").alias("part_exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50_est"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("p90_est"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_exact"),
+        F.count("*").alias("n_rows"),
+    )
+
+    def within(est: str, exact: str, rtol: float):
+        return F.abs(F.col(est) - F.col(exact)) <= F.lit(rtol) * F.abs(F.col(exact))
+
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("supp_exact").alias("n_supp"),
+        F.col("part_exact").alias("n_part"),
+        within("supp_est", "supp_exact", 0.05).alias("supp_within_5pct"),
+        within("part_est", "part_exact", 0.05).alias("part_within_5pct"),
+        within("p50_est", "p50_exact", 0.02).alias("p50_within_2pct"),
+        within("p90_est", "p90_exact", 0.02).alias("p90_within_2pct"),
+    )
+
+
+A22_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_partkey) AS n_part,
+       TRUE AS supp_within_5pct,
+       TRUE AS part_within_5pct,
+       TRUE AS p50_within_2pct,
+       TRUE AS p90_within_2pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 QUERIES: dict[str, Q] = {
@@ -343,7 +396,7 @@ QUERIES: dict[str, Q] = {
         fn=j11_range_join,
         oracle=J11_ORACLE,
         ops=("J1", "P13"),
-        doc="equi-anchored range join: events within 30 days of order date",
+        doc="equi-anchored range join: items shipped within 90 days of order date",
     ),
     "j12_full_outer": Q(
         fn=j12_full_outer,
@@ -365,8 +418,8 @@ QUERIES: dict[str, Q] = {
     ),
     "a22_sketch_stats": Q(
         fn=a22_sketch_stats,
-        oracle=None,  # sketch estimates are engine-specific; accuracy vs the
-        # exact anchors a20/a21 is asserted in tests/test_sketches.py
+        oracle=A22_ORACLE,  # hash-checkable via within-tolerance booleans;
+        # raw sketch accuracy is additionally pinned in tests/test_sketches.py
         ops=("A15",),
         doc="HLL++ distinct + quantile-sketch percentiles (scale path)",
     ),
