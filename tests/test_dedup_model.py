@@ -159,3 +159,49 @@ def test_incremental_near_dups_match_full_cross_pairs(spark, sf_correct):
     got = {(r["new_doc"], r["corpus_doc"]) for r in inc.collect()}
     assert got == cross
     docs.unpersist()
+
+
+def test_incremental_cap_mirrors_full_path_on_degenerate_bucket(spark):
+    """A viral-boilerplate bucket in the persisted index must be sidelined by
+    the SAME combined-membership cap as the full path: without it each new
+    doc joins every corpus member of the bucket (the quadratic blowup the
+    cap exists for), and full vs incremental results diverge."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.dedup import (
+        lsh_bucket_table,
+        near_dup_pairs,
+        near_dup_pairs_incremental,
+        oversized_buckets,
+    )
+
+    n = 300
+    viral = "the same viral boilerplate line " * 4
+    docs = spark.createDataFrame(
+        [(i, viral) for i in range(n)]
+        + [(n, "alpha beta gamma delta"), (n + 1, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    params = dict(num_hashes=4, bands=2, shingle_n=3, max_bucket=100)
+
+    full = near_dup_pairs(docs, "doc_id", "text", threshold=0.5, **params)
+    cross_full = {
+        (max(r["doc_a"], r["doc_b"]), min(r["doc_a"], r["doc_b"]))
+        for r in full.collect()
+        if (r["doc_a"] % 2) != (r["doc_b"] % 2)
+    }
+
+    index = lsh_bucket_table(old, "doc_id", "text", 4, 2, 3)
+    inc = near_dup_pairs_incremental(
+        new, index, "doc_id", "text", threshold=0.5, **params
+    )
+    got = {(r["new_doc"], r["corpus_doc"]) for r in inc.collect()}
+    # the small pair survives, the viral bucket is sidelined on both paths
+    assert got == cross_full == {(n + 1, n)}
+    # and the sideline is reportable over the combined band rows
+    new_rows = lsh_bucket_table(new, "doc_id", "text", 4, 2, 3)
+    over = oversized_buckets(
+        docs, "doc_id", "text", band_rows=index.unionByName(new_rows),
+        max_bucket=100,
+    ).collect()
+    assert len(over) > 0 and all(r["n_members"] == n for r in over)

@@ -122,3 +122,29 @@ def test_snapshot_feeds_staleness_gate(spark, tmp_path):
 def test_snapshot_production_path_requires_url(spark):
     with pytest.raises(ValueError, match="url"):
         jdbc_snapshot(spark, "t", "id long")
+
+
+def test_injected_path_coerces_to_declared_schema(spark, tmp_path):
+    """The declared schema COERCES on the injected path (mirror of the
+    production select+cast): sqlite's dynamic typing hands back ints for
+    REAL columns and floats where a long is declared — createDataFrame's
+    verifier would raise, the coercion must cast instead."""
+    db = str(tmp_path / "mixed.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE m (id INTEGER, score REAL, label TEXT)")
+        # id row 2 stored as float, score row 1 stored as int, label as int
+        conn.executemany(
+            "INSERT INTO m VALUES (?, ?, ?)",
+            [(1, 5, "a"), (2.0, 7.5, 3)],
+        )
+    df = jdbc_snapshot(
+        spark,
+        "m",
+        "id long, score double, label string",
+        connection_factory=lambda: sqlite3.connect(db),
+    )
+    rows = {r["id"]: (r["score"], r["label"]) for r in df.collect()}
+    assert rows == {1: (5.0, "a"), 2: (7.5, "3")}
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "double", "string",
+    ]

@@ -86,6 +86,35 @@ def test_packing_matches_model_on_arbitrary_inputs(spark, sizes, budget):
     assert got == _model(list(enumerate(sizes)), budget)
 
 
+def test_global_packing_is_distributed_and_deterministic(spark, sf_smoke):
+    """partition_by=None must NOT funnel the corpus through one window task:
+    the two-pass path (range partition → per-partition prefix + broadcast
+    offsets) has to reproduce the exact global model, stably across runs."""
+    docs = load_table(spark, sf_smoke, "documents")
+    out = pack_sequences(docs, "doc_id", "text", 256)
+    # no constant-partitioned window in the plan (the single-task shape)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY" in plan.upper() or "rangepartitioning" in plan.lower()
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, pack_sequences(docs, "doc_id", "text", 256).collect()))
+    assert a == b  # partition ids and offsets are deterministic across runs
+    # global cumulative reconstruction in doc_id order
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    before = 0
+    for r in rows:
+        assert r["start_offset"] == before % 256
+        assert r["pack_id"] == before // 256
+        assert r["end_chunk"] == (before + max(r["n_tokens"], 1) - 1) // 256
+        before += r["n_tokens"]
+    # pack_seq numbers docs 1..m within each global chunk even when a chunk
+    # spans two physical partitions
+    by_pack: dict = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r["pack_seq"])
+    for seqs in by_pack.values():
+        assert sorted(seqs) == list(range(1, len(seqs) + 1))
+
+
 def test_drop_oversize_filters_long_docs(spark):
     rows = [(1, "a " * 10), (2, "b " * 100), (3, "c " * 10)]
     df = spark.createDataFrame(rows, "doc_id long, text string")

@@ -232,6 +232,7 @@ def near_dup_pairs_incremental(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Near-dups of a NEW batch against an existing corpus index.
 
@@ -243,11 +244,30 @@ def near_dup_pairs_incremental(
     index was written bucketed on ``bucket`` (sinks.bucketed), the join
     doesn't even shuffle the corpus side.
 
+    **Degenerate-bucket cap** — same contract as :func:`near_dup_pairs`:
+    a bucket whose combined membership (corpus + new batch) exceeds
+    ``max_bucket`` is sidelined, not joined, so a viral-boilerplate bucket
+    in the persisted index cannot fan every new doc out against unbounded
+    corpus members. Counting the UNION keeps full and incremental runs
+    equivalent: splitting a corpus and deduping one half against the other
+    half's index sidelines exactly the buckets the full run would. Report
+    sidelined buckets via :func:`oversized_buckets` with
+    ``band_rows=corpus_index.unionByName(new_rows)``.
+
     Returns (new_doc, corpus_doc, jaccard) pairs with jaccard ≥ threshold.
     """
     new_rows = lsh_bucket_table(new_df, doc_id, text, num_hashes, bands, shingle_n)
-    joined = new_rows.alias("n").join(
-        corpus_index.alias("c"), F.col("n.bucket") == F.col("c.bucket")
+    combined = corpus_index.select("bucket").unionAll(new_rows.select("bucket"))
+    ok_buckets = (
+        combined.groupBy("bucket")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= F.lit(max_bucket))
+        .select("bucket")
+    )
+    joined = (
+        new_rows.join(ok_buckets, "bucket", "left_semi")
+        .alias("n")
+        .join(corpus_index.alias("c"), F.col("n.bucket") == F.col("c.bucket"))
     )
     return (
         joined.select(

@@ -50,12 +50,13 @@ def stratified_fraction(
     n = F.count("*").over(Window.partitionBy(stratum))
     # epsilon guard: n·fraction computed in doubles can land a hair ABOVE an
     # exact integer (100 × 0.07 = 7.000000000000001), and ceil would then
-    # keep one row too many; true fractional products sit far above 1e-9
+    # keep one row too many. The slack must scale WITH the product: double
+    # rounding error is ~ulp(x) ≈ 2.2e-16·x, so a fixed 1e-9 stops covering
+    # strata past ~1e7·fraction rows (exactly the 100 TB regime), while
+    # 1e-12·x always sits between the ulp noise and any true fractional part
+    x = F.col("__n") * F.lit(fraction)
     return (
         ranked.withColumn("__n", n)
-        .where(
-            F.col("__rk")
-            <= F.ceil(F.col("__n") * F.lit(fraction) - F.lit(1e-9))
-        )
+        .where(F.col("__rk") <= F.ceil(x - F.abs(x) * F.lit(1e-12)))
         .drop("__rk", "__n")
     )

@@ -77,6 +77,10 @@ def cosine_topk_pairs(
     garbage-collected (they back its lazy partials) — a long-lived service
     looping over corpora should drop references promptly (Spark's
     ContextCleaner then reclaims them) or call ``ann_ivf_topk`` instead.
+    With more than one block the query side is ``persist()``-ed (each block
+    contributes a mapInPandas stage over it — without the cache the query
+    scan repeats once per block); it stays cached until the caller
+    unpersists or the LRU store evicts it, same lifecycle as the broadcasts.
 
     ``queries`` defaults to the corpus itself (all-pairs kNN, self excluded).
     Returns (query_id, neighbor_id, cos_sim, rk), rk 1-based with
@@ -104,6 +108,8 @@ def cosine_topk_pairs(
         F.col(vec_id).alias("query_id"),
         as_double_array(F.col(embedding)).alias("qv"),
     )
+    if n_blocks > 1:
+        qside.persist()  # scanned once per block otherwise (see docstring)
     kk = k
     out_schema = "query_id long, neighbor_id long, cos_sim double"
 

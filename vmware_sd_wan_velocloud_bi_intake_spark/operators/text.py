@@ -157,9 +157,15 @@ def pack_sequences(
     ``drop_oversize=True`` removes documents longer than the budget first
     (the filter-long-docs policy some pipelines prefer to spanning).
 
-    At 100 TB: one shuffle on ``partition_by`` (or none beyond the scan when
-    packing per natural key), one window — no driver state, no iteration.
-    Packing locality vs parallelism trades off via the partition key grain.
+    At 100 TB: with ``partition_by`` the whole computation is one shuffle on
+    the key plus one window — no driver state, no iteration. WITHOUT a key
+    the order is global, and a naive ``Window.partitionBy(lit(1))`` would
+    funnel the corpus through ONE task; instead the global path is a
+    distributed two-pass prefix sum — range-partition by doc_id, prefix-sum
+    within each physical partition, and add each partition's starting offset
+    (a per-partition-totals cumulative, #partitions rows, broadcast back).
+    Extra cost vs the keyed path is the range shuffle plus a tiny broadcast;
+    every stage stays parallel.
 
     Returns (doc_id, <partition_by>, n_tokens, pack_id, start_offset,
     end_chunk, pack_seq).
@@ -167,7 +173,6 @@ def pack_sequences(
     from pyspark.sql import Window
 
     key = partition_by
-    part_cols = [F.col(key)] if key else [F.lit(1)]
     staged = df.select(
         F.col(doc_id).alias("doc_id"),
         *([F.col(key)] if key else []),
@@ -175,12 +180,33 @@ def pack_sequences(
     )
     if drop_oversize:
         staged = staged.filter(F.col("n_tokens") <= budget)
+    if key:
+        part_cols = [F.col(key)]
+        base = F.lit(0).cast("long")
+    else:
+        # two-pass global prefix sum: identical subtrees below share one
+        # range exchange (ReusedExchange); partition ids are deterministic
+        # (RangePartitioner samples with fixed per-partition seeds)
+        staged = staged.repartitionByRange(F.col("doc_id")).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        totals = staged.groupBy("__pid").agg(F.sum("n_tokens").alias("__pt"))
+        w_off = (
+            Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.withColumn(
+            "__off", F.coalesce(F.sum("__pt").over(w_off), F.lit(0)).cast("long")
+        ).select("__pid", "__off")
+        staged = staged.join(F.broadcast(offsets), "__pid")
+        part_cols = [F.col("__pid")]
+        base = F.col("__off")
     w = (
         Window.partitionBy(*part_cols)
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    before = base + F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
     packed = staged.withColumn(
         "pack_id", F.floor(before / F.lit(budget)).cast("long")
     ).withColumn("start_offset", F.pmod(before, F.lit(budget)).cast("long"))
@@ -189,7 +215,15 @@ def pack_sequences(
     packed = packed.withColumn(
         "end_chunk", F.floor(end_tok / F.lit(budget)).cast("long")
     )
-    w_pack = Window.partitionBy(*part_cols, "pack_id").orderBy("doc_id")
+    # pack_seq partitions on pack_id alone in the global path: a pack can
+    # span two physical partitions, and (__pid, pack_id) would restart the
+    # sequence at the boundary. Pack membership is bounded by the budget
+    # (every non-empty doc holds ≥1 token), so the pack_id shuffle is safe.
+    w_pack = (
+        Window.partitionBy(F.col(key), "pack_id").orderBy("doc_id")
+        if key
+        else Window.partitionBy("pack_id").orderBy("doc_id")
+    )
     out_cols = ["doc_id"] + ([key] if key else []) + [
         "n_tokens", "pack_id", "start_offset", "end_chunk",
     ]

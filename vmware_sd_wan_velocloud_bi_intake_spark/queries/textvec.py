@@ -245,9 +245,14 @@ WITH norm AS (
   SELECT doc_id, md5('0|' || h0 || '|' || h1) AS bucket FROM sig
   UNION ALL
   SELECT doc_id, md5('1|' || h2 || '|' || h3) FROM sig
+), ok_buckets AS (
+  -- mirror the engine's degenerate-bucket cap (combined corpus+batch
+  -- membership, same contract as the full near_dup_pairs path)
+  SELECT bucket FROM buckets GROUP BY bucket HAVING COUNT(*) <= 1024
 ), cand AS (
   SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
   FROM buckets n JOIN buckets c ON n.bucket = c.bucket
+  JOIN ok_buckets ok ON n.bucket = ok.bucket
   WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
 ), shl AS (
   SELECT doc_id, list(shingle) AS sl FROM sh GROUP BY doc_id

@@ -67,6 +67,29 @@ def stride_predicates(
     return preds
 
 
+def _dbapi_coercer(dt: T.DataType):
+    """Per-field cast for the injected DBAPI path — mirrors the production
+    path's select+cast so the declared schema coerces rather than validates
+    (DBAPI drivers return whatever the database stored: sqlite hands back
+    ints for REAL columns holding whole numbers, floats for INTEGER
+    affinity overflow, etc.)."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return lambda v: None if v is None else int(v)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return lambda v: None if v is None else float(v)
+    if isinstance(dt, T.StringType):
+        return lambda v: None if v is None else str(v)
+    if isinstance(dt, T.BooleanType):
+        return lambda v: None if v is None else bool(v)
+    if isinstance(dt, T.DecimalType):
+        from decimal import Decimal
+
+        return lambda v: (
+            None if v is None else v if isinstance(v, Decimal) else Decimal(str(v))
+        )
+    return lambda v: v  # temporal/binary/complex: pass through to the verifier
+
+
 def jdbc_snapshot(
     spark: SparkSession,
     table: str,
@@ -90,9 +113,11 @@ def jdbc_snapshot(
     snapshot to one VCO before it ever leaves the database).
 
     ``schema`` is authoritative on BOTH paths: the production read coerces
-    the database-inferred columns to the declared types (select + cast), so
-    switching between the JDBC and DBAPI transports never changes downstream
-    dtypes. Set ``dialect='mysql'`` against MySQL — the default ANSI
+    the database-inferred columns to the declared types (select + cast), and
+    the injected path applies the equivalent per-field coercion to the raw
+    DBAPI values before ``createDataFrame`` (whose verifier would otherwise
+    RAISE on e.g. a REAL column declared long), so switching between the
+    JDBC and DBAPI transports never changes downstream dtypes. Set ``dialect='mysql'`` against MySQL — the default ANSI
     double-quoted identifiers in stride predicates would otherwise parse as
     string literals there (backticks are required unless ANSI_QUOTES is on).
     """
@@ -128,6 +153,7 @@ def jdbc_snapshot(
     col_list = ", ".join(quote_ident(c, dialect) for c in cols)
     tbl = quote_ident(table, dialect)
     factory = connection_factory
+    coercers = [_dbapi_coercer(f.dataType) for f in struct.fields]
 
     def read_partition(preds_iter):
         for pred in preds_iter:
@@ -140,7 +166,7 @@ def jdbc_snapshot(
                     if not rows:
                         break
                     for r in rows:
-                        yield tuple(r)
+                        yield tuple(c(v) for c, v in zip(coercers, r))
             finally:
                 conn.close()
 
