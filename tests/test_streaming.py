@@ -6,7 +6,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import (
+    load_table,
+    normalize_event_ts,
+)
 from vmware_sd_wan_velocloud_bi_intake_spark.streaming.incremental import (
     staleness_filter,
 )
@@ -23,12 +26,11 @@ def events_stream(spark, sf_smoke, tmp_path):
     stream_dir = tmp_path / "events_stream"
     stream_dir.mkdir()
     (stream_dir / "events.parquet").symlink_to(f"{sf_smoke}/events.parquet")
-    # ts arrives as nanos-long and is normalized exactly like the batch loader
+    # ts arrives as nanos-long / TIMESTAMP / TIMESTAMP_NTZ depending on the
+    # fixture generation — normalize exactly like the batch loader does
     raw_schema = spark.read.parquet(f"{sf_smoke}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(str(stream_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(str(stream_dir))
     )
     return batch, stream
 

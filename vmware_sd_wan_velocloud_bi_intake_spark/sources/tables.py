@@ -43,29 +43,57 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SPREAD_MAX_BYTES = 256 * 1024 * 1024
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-zoned TIMESTAMP.
+
+    The driver's ``events.parquet`` fixture has shipped THREE physical
+    encodings across rounds, and a foreign harness session can surface any of
+    them depending on its parquet confs:
+
+    - ``bigint`` epoch-nanos (TIMESTAMP(NANOS) read under
+      ``spark.sql.legacy.parquet.nanosAsLong``) → ``timestamp_micros(ns/1000)``
+      (exact — fixtures carry at most microsecond precision);
+    - ``timestamp_ntz`` (plain ``timestamp[us]`` under Spark 4's
+      ``parquet.inferTimestampNTZ``) → ``cast("timestamp")`` (fixture times
+      are UTC wall-clock and every session here runs with UTC session tz, so
+      the reinterpretation is value-preserving);
+    - ``timestamp`` → already normalized, pass through.
+
+    Dispatch is dtype-driven so the same call is safe on all three.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
     """Read one fixture table. Columnar scan; filters/projections push down.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as epoch-nanos long
-    and is normalized here to a microsecond timestamp (exact — fixture
-    timestamps carry at most microsecond precision).
+    ``events.ts`` arrives in one of three physical encodings (see
+    :func:`normalize_event_ts`); both parquet confs below are runtime-settable,
+    so harden here for sessions not built by ``session.get_spark`` (e.g. a
+    driver harness session) instead of relying on builder-time config.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
-        # rejects outright; the legacy conf is runtime-settable, so harden
-        # here for sessions not built by session.get_spark (e.g. a driver
-        # harness session) instead of relying on builder-time config
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass  # conf locked (e.g. marked static) — builder-time value applies
+        for conf, value in (
+            # TIMESTAMP(NANOS) fixtures: vectorized reader rejects them
+            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+            # timestamp[us] fixtures: keep them TIMESTAMP, not TIMESTAMP_NTZ
+            ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ):
+            try:
+                spark.conf.set(conf, value)
+            except Exception:
+                pass  # conf locked (e.g. marked static) — builder value applies
     df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     if spread:
         try:
             small = os.path.getsize(path) <= SPREAD_MAX_BYTES
