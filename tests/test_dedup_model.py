@@ -198,6 +198,15 @@ def test_incremental_cap_mirrors_full_path_on_degenerate_bucket(spark):
     got = {(r["new_doc"], r["corpus_doc"]) for r in inc.collect()}
     # the small pair survives, the viral bucket is sidelined on both paths
     assert got == cross_full == {(n + 1, n)}
+    # the writer-maintained summary path must sideline identically: the cap
+    # total is corpus_n + batch_n either way (same arithmetic, O(|batch|))
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.dedup import bucket_summary
+
+    inc_sum = near_dup_pairs_incremental(
+        new, index, "doc_id", "text", threshold=0.5,
+        corpus_summary=bucket_summary(index), **params
+    )
+    assert {(r["new_doc"], r["corpus_doc"]) for r in inc_sum.collect()} == got
     # and the sideline is reportable over the combined band rows
     new_rows = lsh_bucket_table(new, "doc_id", "text", 4, 2, 3)
     over = oversized_buckets(

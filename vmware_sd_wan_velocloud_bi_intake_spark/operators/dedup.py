@@ -223,6 +223,21 @@ def oversized_buckets(
     )
 
 
+def bucket_summary(band_rows: DataFrame) -> DataFrame:
+    """(bucket, n_members) membership summary of an LSH index.
+
+    Computed ONCE when the index is written (sinks.bucketed.write_lsh_index
+    co-writes it next to the index) and maintained additively on appends —
+    membership counts are associative, so a batch writer just sums its own
+    per-bucket counts into the summary. Incremental dedup runs then evaluate
+    the degenerate-bucket cap against this compact table instead of
+    re-aggregating the full index: O(|batch|) per run, not O(corpus).
+    """
+    return band_rows.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+
+
 def near_dup_pairs_incremental(
     new_df: DataFrame,
     corpus_index: DataFrame,
@@ -233,6 +248,7 @@ def near_dup_pairs_incremental(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int = 1024,
+    corpus_summary: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dups of a NEW batch against an existing corpus index.
 
@@ -248,20 +264,38 @@ def near_dup_pairs_incremental(
     a bucket whose combined membership (corpus + new batch) exceeds
     ``max_bucket`` is sidelined, not joined, so a viral-boilerplate bucket
     in the persisted index cannot fan every new doc out against unbounded
-    corpus members. Counting the UNION keeps full and incremental runs
-    equivalent: splitting a corpus and deduping one half against the other
-    half's index sidelines exactly the buckets the full run would. Report
-    sidelined buckets via :func:`oversized_buckets` with
+    corpus members. The cap counts the combined membership — this keeps full
+    and incremental runs equivalent: splitting a corpus and deduping one
+    half against the other half's index sidelines exactly the buckets the
+    full run would.
+
+    Pass ``corpus_summary`` — the persisted :func:`bucket_summary` the index
+    writer maintains — and the cap becomes a join of the batch's per-bucket
+    counts against the summary: per-run cost O(|batch|), no aggregation of
+    the corpus index. ``corpus_n + batch_n`` is arithmetically the same
+    total the union count produced, so the equivalence property is
+    unchanged. Without it the summary is derived from ``corpus_index``
+    in-plan (correct, but re-aggregates the index every run — the shape the
+    summary exists to avoid at scale). Report sidelined buckets via
+    :func:`oversized_buckets` with
     ``band_rows=corpus_index.unionByName(new_rows)``.
 
     Returns (new_doc, corpus_doc, jaccard) pairs with jaccard ≥ threshold.
     """
     new_rows = lsh_bucket_table(new_df, doc_id, text, num_hashes, bands, shingle_n)
-    combined = corpus_index.select("bucket").unionAll(new_rows.select("bucket"))
+    if corpus_summary is None:
+        corpus_summary = bucket_summary(corpus_index)
+    # cap = batch counts + writer-maintained corpus counts; buckets absent
+    # from the batch never reach the join below, so only batch buckets need
+    # evaluating — the left join keeps this O(|batch|) rows wide
     ok_buckets = (
-        combined.groupBy("bucket")
-        .agg(F.count("*").alias("_n"))
-        .where(F.col("_n") <= F.lit(max_bucket))
+        new_rows.groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("_n_new"))
+        .join(corpus_summary, "bucket", "left")
+        .where(
+            F.col("_n_new") + F.coalesce(F.col("n_members"), F.lit(0))
+            <= F.lit(max_bucket)
+        )
         .select("bucket")
     )
     joined = (

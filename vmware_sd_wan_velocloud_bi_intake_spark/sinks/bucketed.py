@@ -48,3 +48,33 @@ def write_bucketed(
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back (bucket metadata comes from the catalog)."""
     return spark.table(table)
+
+
+def write_lsh_index(
+    band_rows: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 32,
+) -> None:
+    """Persist an LSH dedup index WITH its membership summary.
+
+    Writes two tables: ``table`` — the (doc_id, sh, bucket) band rows,
+    hash-bucketed on ``bucket`` so incremental batch joins are
+    exchange-free on the corpus side — and ``table + "_summary"`` — the
+    (bucket, n_members) :func:`~..operators.dedup.bucket_summary` the
+    degenerate-bucket cap reads instead of re-aggregating the index
+    (operators.dedup.near_dup_pairs_incremental's ``corpus_summary``).
+    Counts are associative, so an appending writer maintains the summary by
+    adding its own batch's per-bucket counts; this overwrite form
+    recomputes both in full.
+    """
+    from ..operators.dedup import bucket_summary
+
+    write_bucketed(band_rows, table, path, ["bucket"], n_buckets)
+    (
+        bucket_summary(band_rows.sparkSession.table(table))
+        .write.format("parquet")
+        .mode("overwrite")
+        .option("path", path.rstrip("/") + "_summary")
+        .saveAsTable(table + "_summary")
+    )
