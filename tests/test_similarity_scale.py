@@ -158,3 +158,14 @@ def test_ann_recall_floors_vs_brute_force(spark, emb):
     assert r_t1 > r_ivf, (r_t1, r_ivf)  # training helps (measured .26 vs .18)
     assert r_t4 >= r_t1, (r_t4, r_t1)   # probing more cells never hurts
     assert r_t4 >= 0.45, r_t4           # measured 0.554
+
+    # the catalog vehicle's exact knobs (quantized Lloyd, 4 iters, rounded
+    # assignment): the oracle-checkable TRAINED quantizer must still beat
+    # the lowest-id stand-in — reproducibility rounding must not eat the
+    # training gain
+    trained_cat = similarity.ann_ivf_topk_trained(
+        emb, n_cells=None, k=3, train_iters=4, round_decimals=6
+    ).collect()
+    r_cat = _recall_at_k(trained_cat, truth, 3)
+    print(f"ANN recall@3 ivf trained (catalog knobs, quantized): {r_cat:.3f}")
+    assert r_cat > r_ivf, (r_cat, r_ivf)

@@ -278,7 +278,9 @@ def cosine_neardup_pairs(
     )
 
 
-def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_cells(
+    base: DataFrame, cents: DataFrame, round_decimals: int | None = None
+) -> DataFrame:
     """Argmax-cosine cell per vector via map-side partial aggregation.
 
     The broadcast join emits n × n_cells candidate rows, but ``max_by`` is a
@@ -289,12 +291,22 @@ def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
     centroid id via the (cell_cos, -cell) struct ordering. Carries (v, nrm)
     through the aggregate so callers need no join back to the corpus.
 
+    ``round_decimals`` rounds the assignment cosine before the argmax —
+    pair it with :func:`train_centroids`' quantized training and the whole
+    cell assignment becomes reproducible across engines (ulp-level
+    differences in dot-product accumulation can no longer flip a cell),
+    which is what lets a TRAINED index stay oracle-hash-checkable.
+
     Returns (vid, cell, v, nrm).
     """
     cand = base.join(F.broadcast(cents)).withColumn(
         "cell_cos",
         dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")),
     )
+    if round_decimals is not None:
+        cand = cand.withColumn(
+            "cell_cos", F.round(F.col("cell_cos"), round_decimals)
+        )
     picked = cand.groupBy("vid").agg(
         F.max_by(
             F.struct("cell", "v", "nrm"),
@@ -303,6 +315,50 @@ def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
     )
     return picked.select(
         "vid", "best.cell", F.col("best.v").alias("v"), F.col("best.nrm").alias("nrm")
+    )
+
+
+def _cell_topk(assigned: DataFrame, k: int) -> DataFrame:
+    """In-cell exact-cosine top-k over (vid, cell, v, nrm) assignments.
+
+    Vectors ride WITH their ids through the cell groupBy (the
+    near_dup_pairs pattern): in-cell pairs expand and score in-array, so
+    the probe is ONE wide dependency — no join back to the corpus.
+    """
+    groups = (
+        assigned.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("vid", "v", "nrm"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    ms = F.col("ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x: F.filter(
+                F.transform(
+                    ms,
+                    lambda y: F.struct(
+                        x["vid"].alias("query_id"),
+                        y["vid"].alias("neighbor_id"),
+                        (dot(x["v"], y["v"]) / (x["nrm"] * y["nrm"])).alias(
+                            "cos_sim"
+                        ),
+                    ),
+                ),
+                lambda p: p["query_id"] != p["neighbor_id"],
+            ),
+        )
+    )
+    scored = groups.select(F.explode(pair_structs).alias("p")).select(
+        "p.query_id", "p.neighbor_id", "p.cos_sim"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
 
 
@@ -360,45 +416,58 @@ def ann_ivf_topk(
         F.col("nrm").alias("cnrm"),
     )
     assigned = _assign_cells(base, cents)
-    # vectors ride WITH their ids through the cell groupBy (the near_dup_pairs
-    # pattern): in-cell pairs expand and score in-array, so the probe is ONE
-    # wide dependency — no join back to the corpus, no second/third shuffle
-    # of the Σ cell² pair space
-    groups = (
-        assigned.groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("vid", "v", "nrm"))).alias("ms"))
-        .where(F.size("ms") > 1)
-    )
-    ms = F.col("ms")
-    pair_structs = F.flatten(
-        F.transform(
-            ms,
-            lambda x: F.filter(
-                F.transform(
-                    ms,
-                    lambda y: F.struct(
-                        x["vid"].alias("query_id"),
-                        y["vid"].alias("neighbor_id"),
-                        (dot(x["v"], y["v"]) / (x["nrm"] * y["nrm"])).alias(
-                            "cos_sim"
-                        ),
-                    ),
-                ),
-                lambda p: p["query_id"] != p["neighbor_id"],
-            ),
+    # the probe: one wide dependency over the Σ cell² pair space (see
+    # _cell_topk), shared with the trained variant
+    return _cell_topk(assigned, k)
+
+
+def ann_ivf_topk_trained(
+    emb: DataFrame,
+    n_cells: int | None = None,
+    k: int = 3,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+    train_iters: int = 4,
+    round_decimals: int | None = 6,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """IVF kNN with a TRAINED (sample k-means) coarse quantizer.
+
+    Same index structure and probe as :func:`ann_ivf_topk`, but the cells
+    come from :func:`train_centroids` — better-shaped cells buy measurably
+    higher recall at identical query cost (quantified against the untrained
+    quantizer in tests/test_similarity_scale.py).
+
+    With the default ``round_decimals``, training runs in QUANTIZED
+    arithmetic: assignment cosines and recentred centroids round to 6
+    decimals at every step, and the final corpus assignment rounds its
+    cosine the same way. That makes the entire trained index a
+    deterministic function of the input bytes — any engine replaying the
+    same rounded Lloyd steps builds the identical index, which is what
+    keeps the catalog vehicle per-row oracle-checkable even though the
+    quantizer is genuinely trained. Accuracy cost of the rounding is
+    nil at cosine scale (1e-6 on values in [-1, 1]).
+    """
+    import math
+
+    base = emb.select(
+        F.col(vec_id).alias("vid"),
+        as_double_array(F.col(embedding)).alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    if cents is None:
+        if n_cells is None:
+            base.persist()  # sizing count doubles as the cache materializer
+            n_cells = max(8, math.ceil(math.sqrt(base.count())))
+        cents = train_centroids(
+            emb,
+            n_cells,
+            vec_id=vec_id,
+            embedding=embedding,
+            iters=train_iters,
+            round_decimals=round_decimals,
         )
-    )
-    scored = groups.select(F.explode(pair_structs).alias("p")).select(
-        "p.query_id", "p.neighbor_id", "p.cos_sim"
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
-    )
+    assigned = _assign_cells(base, cents, round_decimals=round_decimals)
+    return _cell_topk(assigned, k)
 
 
 def train_centroids(
@@ -408,6 +477,7 @@ def train_centroids(
     embedding: str = "embedding",
     iters: int = 8,
     sample_rows: int = 16384,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """Spherical k-means centroid training on a bounded deterministic sample.
 
@@ -420,6 +490,14 @@ def train_centroids(
     iterations run in numpy on cosine distance (assign to argmax-cosine
     centroid, recenter on the mean, empty cells keep their previous
     centroid).
+
+    ``round_decimals`` switches to QUANTIZED Lloyd: each iteration rounds
+    the assignment cosines before the argmax (ties → lowest cell, matching
+    ``ROW_NUMBER ... ORDER BY cos DESC, cell``) and rounds every recentred
+    coordinate. Each step then depends only on rounded values, so a replay
+    in any engine — numpy here, unrolled SQL in the DuckDB oracle —
+    produces bit-identical centroids; ulp-level accumulation differences
+    are absorbed by the rounding instead of compounding across iterations.
 
     Returns a broadcastable (cell, cv, cnrm) DataFrame compatible with
     :func:`ann_ivf_query` / :func:`_assign_cells`; cells are 0..n_cells-1.
@@ -441,11 +519,20 @@ def train_centroids(
     C = X[:n_cells].copy()  # md5-order heads: a deterministic random init
     for _ in range(iters):
         Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-        assign = np.argmax(Xn @ Cn.T, axis=1)
+        sims = Xn @ Cn.T
+        if round_decimals is not None:
+            sims = np.round(sims, round_decimals)
+        # np.argmax takes the FIRST max — lowest cell on (rounded) ties
+        assign = np.argmax(sims, axis=1)
         for c in range(n_cells):
             members = X[assign == c]
             if len(members):
-                C[c] = members.mean(axis=0)
+                mean = members.mean(axis=0)
+                if round_decimals is not None:
+                    mean = np.round(mean, round_decimals)
+                C[c] = mean
+            # empty cells keep their previous value (raw init or a prior
+            # rounded mean) — the oracle's COALESCE mirrors this exactly
     spark = emb.sparkSession
     rows = [
         (int(i), [float(x) for x in C[i]], float(np.linalg.norm(C[i])))

