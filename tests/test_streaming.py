@@ -27,7 +27,10 @@ def events_stream(spark, sf_smoke, tmp_path):
     stream_dir.mkdir()
     (stream_dir / "events.parquet").symlink_to(f"{sf_smoke}/events.parquet")
     # ts arrives as nanos-long / TIMESTAMP / TIMESTAMP_NTZ depending on the
-    # fixture generation — normalize exactly like the batch loader does
+    # fixture generation — normalize exactly like the batch loader does.
+    # ORDER MATTERS: the load_table call above already hardened the parquet
+    # confs (nanosAsLong, inferTimestampNTZ) as a side effect; this bare
+    # schema read would throw on TIMESTAMP(NANOS) fixtures without it.
     raw_schema = spark.read.parquet(f"{sf_smoke}/events.parquet").schema
     stream = normalize_event_ts(
         spark.readStream.schema(raw_schema).parquet(str(stream_dir))

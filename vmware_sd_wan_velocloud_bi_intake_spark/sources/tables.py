@@ -54,9 +54,13 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
       ``spark.sql.legacy.parquet.nanosAsLong``) → ``timestamp_micros(ns/1000)``
       (exact — fixtures carry at most microsecond precision);
     - ``timestamp_ntz`` (plain ``timestamp[us]`` under Spark 4's
-      ``parquet.inferTimestampNTZ``) → ``cast("timestamp")`` (fixture times
-      are UTC wall-clock and every session here runs with UTC session tz, so
-      the reinterpretation is value-preserving);
+      ``parquet.inferTimestampNTZ``) → NTZ ``timestampdiff`` from the NTZ
+      epoch, then ``timestamp_micros``: the fixture wall-clock is UTC, and
+      NTZ-to-NTZ arithmetic never consults ``spark.sql.session.timeZone``,
+      so the epoch is pinned even in a foreign session running a non-UTC
+      zone (where a bare ``cast("timestamp")`` — or ``to_utc_timestamp``,
+      which casts through the session zone first — would shift it relative
+      to the bigint-nanos path for the same fixture);
     - ``timestamp`` → already normalized, pass through.
 
     Dispatch is dtype-driven so the same call is safe on all three.
@@ -65,7 +69,15 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     if dtype == "bigint":
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     if dtype == "timestamp_ntz":
-        return df.withColumn(col, F.col(col).cast("timestamp"))
+        return df.withColumn(
+            col,
+            F.timestamp_micros(
+                F.expr(
+                    f"timestampdiff(MICROSECOND, "
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+                )
+            ),
+        )
     return df
 
 
