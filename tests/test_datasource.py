@@ -274,3 +274,48 @@ def test_restart_offset_rewind_never_refetches_processed_span():
     assert nxt["ms"] >= 3500
     p2 = r.partitions({"ms": 1500}, nxt)
     assert all(p.start_ms == 3000 for p in p2)
+
+
+def test_degrade_and_retry_on_failed_heavy_call(spark):
+    """S2 (Functions/vco_calls.py:178-199): when the full-projection edge
+    call fails, the scan retries minus the degradable sub-objects — rows
+    arrive with the heavy column null instead of the enterprise vanishing."""
+    df = _edges(
+        spark,
+        fleet="vco0",
+        n_enterprises=2,
+        projection="site,recentLinks,licenses",
+        transport=(
+            "vmware_sd_wan_velocloud_bi_intake_spark.sources.fake_transport"
+            ":flaky_license_transport"
+        ),
+    )
+    rows = df.collect()
+    assert len(rows) == 2 * 4  # nothing lost to the failing heavy call
+    assert all(r["licenses"] is None for r in rows)  # degraded away
+    assert all(r["site"] is not None for r in rows)  # the rest survived
+    # same options against the healthy transport: licenses present — the
+    # degradation is the transport's doing, not a projection bug
+    healthy = _edges(
+        spark, fleet="vco0", n_enterprises=2,
+        projection="site,recentLinks,licenses",
+    ).collect()
+    assert all(r["licenses"] is not None for r in healthy)
+
+
+def test_degrade_disabled_surfaces_task_error(spark):
+    # with the degradable list emptied, the failure must surface as a task
+    # error, never as silently-empty partitions
+    df = _edges(
+        spark,
+        fleet="vco0",
+        n_enterprises=1,
+        projection="licenses",
+        degradable="",
+        transport=(
+            "vmware_sd_wan_velocloud_bi_intake_spark.sources.fake_transport"
+            ":flaky_license_transport"
+        ),
+    )
+    with pytest.raises(Exception, match="edges fetch failed"):
+        df.collect()

@@ -115,3 +115,55 @@ def test_naming_conformance(spark):
         "edgeId",
         "edgeState",
     ]
+
+
+def test_fetch_payloads_degrade_records_side_channel(spark):
+    """S2 at the fetch layer: the degradation is recorded per row in the
+    status column (the reference's msg channel), and the payload arrives
+    minus the degraded sub-object."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.api import (
+        build_params,
+        fetch_payloads,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.fake_transport import (
+        flaky_license_transport,
+    )
+    import json
+
+    out = fetch_payloads(
+        spark,
+        endpoints=[{"vco": "vco0", "enterpriseId": e} for e in range(3)],
+        method="enterprise/getEnterpriseEdges",
+        params=build_params(
+            projection=["site", "recentLinks", "licenses"]
+        ),
+        transport_factory=flaky_license_transport,
+        degradable=["licenses"],
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert "with licenses failed - got without licenses" in r["status"]
+        edges = json.loads(r["payload"])
+        assert len(edges) == 4
+        assert all("licenses" not in e for e in edges)
+        assert all("site" in e for e in edges)
+
+
+def test_fetch_payloads_clean_status_is_null(spark):
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.api import (
+        build_params,
+        fetch_payloads,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.fake_transport import (
+        FakeVcoTransport,
+    )
+
+    out = fetch_payloads(
+        spark,
+        endpoints=[{"vco": "vco0", "enterpriseId": 0}],
+        method="enterprise/getEnterpriseEdges",
+        params=build_params(projection=["site", "licenses"]),
+        transport_factory=FakeVcoTransport,
+        degradable=["licenses"],
+    ).collect()
+    assert len(out) == 1 and out[0]["status"] is None

@@ -84,13 +84,26 @@ def fetch_payloads(
     transport_factory: Callable[[], Transport],
     rate_limit_s: float = 0.0,
     max_parallelism: int = 10,
+    degradable: list[str] | None = None,
 ) -> DataFrame:
     """Fan the endpoint list across partitions and fetch one payload each.
 
-    Returns columns (endpoint: string JSON, payload: string JSON). The
-    transport factory runs once per task (connection reuse within a
-    partition, like the reference's per-thread clients at
-    ``powerbi_main_fun.py:99-102``).
+    Returns columns (endpoint: string JSON, payload: string JSON,
+    status: string). ``status`` is the per-row error side-channel: null for
+    a clean full-projection fetch, a degradation record when the heavy call
+    failed and the narrowed retry succeeded, or the error text when even
+    the retry failed (payload then holds JSON ``null`` — the row arrives,
+    typed, instead of vanishing). The transport factory runs once per task
+    (connection reuse within a partition, like the reference's per-thread
+    clients at ``powerbi_main_fun.py:99-102``).
+
+    **Degrade-and-retry (S2)**: ``degradable`` names the projection entries
+    that may be dropped when the full call fails — the reference's
+    ``get_customer_edges`` contract (``Functions/vco_calls.py:178-199``:
+    retry ``getEnterpriseEdges`` without ``licenses`` on ApiException,
+    record ``"... with licenses failed - got without license"``). One heavy
+    sub-object failing no longer silently loses a whole endpoint's rows;
+    they arrive minus the degraded columns with the degradation recorded.
     """
     import pandas as pd
 
@@ -102,19 +115,64 @@ def fetch_payloads(
     method_ = method
     params_json = json.dumps(params, sort_keys=True)
     rl_s = rate_limit_s
+    degradable_ = list(degradable or [])
 
     def fetch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         transport = transport_factory()
         bucket = TokenBucket(rl_s)
         req_params = json.loads(params_json)
         for pdf in batches:
-            out_ep, out_pl = [], []
+            out_ep, out_pl, out_st = [], [], []
             for ep_json in pdf["endpoint"]:
                 endpoint = json.loads(ep_json)
                 bucket.acquire()
-                result = transport(method_, {**req_params, "endpoint": endpoint})
+                result, status = _call_with_degrade(
+                    transport, method_, {**req_params, "endpoint": endpoint},
+                    degradable_, bucket,
+                )
                 out_ep.append(ep_json)
                 out_pl.append(json.dumps(result, sort_keys=True))
-            yield pd.DataFrame({"endpoint": out_ep, "payload": out_pl})
+                out_st.append(status)
+            yield pd.DataFrame(
+                {"endpoint": out_ep, "payload": out_pl, "status": out_st}
+            )
 
-    return eps.mapInPandas(fetch, schema="endpoint string, payload string")
+    return eps.mapInPandas(
+        fetch, schema="endpoint string, payload string, status string"
+    )
+
+
+def _call_with_degrade(
+    transport: Transport,
+    method: str,
+    params: dict,
+    degradable: list[str],
+    bucket: TokenBucket | None = None,
+) -> tuple[object, str | None]:
+    """(payload, status) with the reference's narrower-projection retry.
+
+    Mirrors ``Functions/vco_calls.py:178-199``: the full-projection call is
+    attempted once; on failure, if any ``degradable`` entries are present in
+    the request's ``with:`` list, the call retries with them removed. The
+    returned status mirrors the reference's message shape
+    (``"getEnterpriseEdges with licenses failed - got without license"``).
+    """
+    try:
+        return transport(method, params), None
+    except Exception as exc:  # noqa: BLE001 — transport errors are data here
+        dropped = [w for w in degradable if w in (params.get("with") or [])]
+        if not dropped:
+            return None, f"{method} failed: {exc}"
+        narrowed = dict(params)
+        narrowed["with"] = [w for w in params["with"] if w not in dropped]
+        if bucket is not None:
+            bucket.acquire()
+        try:
+            result = transport(method, narrowed)
+        except Exception as exc2:  # noqa: BLE001
+            return None, f"{method} failed even without {'/'.join(dropped)}: {exc2}"
+        return (
+            result,
+            f"{method} with {'/'.join(dropped)} failed - got without "
+            f"{'/'.join(dropped)}",
+        )

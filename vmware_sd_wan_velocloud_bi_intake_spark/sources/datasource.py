@@ -116,6 +116,10 @@ class VeloCloudReader(DataSourceReader):
         ]
         self.limit = int(options["limit"]) if "limit" in options else None
         self.transport_spec = options.get("transport")
+        # projection entries droppable by the S2 degrade-and-retry path
+        self.degradable = [
+            d for d in options.get("degradable", "licenses").split(",") if d
+        ]
         # pushed-down state, filled by pushFilters during planning
         self.interval_start_ms: int | None = None
         self.interval_end_ms: int | None = None
@@ -194,7 +198,21 @@ class VeloCloudReader(DataSourceReader):
         if self.edge_states is not None:
             # API-side state predicate: applied before rows leave the source
             params["filter"] = {"edgeState": self.edge_states}
-        edges = transport("enterprise/getEnterpriseEdges", params)
+        # S2 degrade-and-retry (Functions/vco_calls.py:178-199): a failed
+        # heavy call retries with the degradable sub-objects dropped from
+        # the projection, so one heavy column failing cannot silently lose
+        # the whole enterprise's rows — they arrive with those columns null
+        # (from_json-style absence), the same contract the reference's
+        # "got without license" path provides
+        from .api import _call_with_degrade
+
+        edges, status = _call_with_degrade(
+            transport, "enterprise/getEnterpriseEdges", params, self.degradable
+        )
+        if edges is None:
+            raise RuntimeError(
+                f"edges fetch failed for {endpoint}: {status}"
+            )  # no silent empty partitions — a task error is retryable/visible
         for e in edges:
             if self.edge_states is not None and e.get("edgeState") not in self.edge_states:
                 continue  # transports without server-side filters still honor the contract

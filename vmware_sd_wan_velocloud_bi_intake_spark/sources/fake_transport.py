@@ -173,3 +173,28 @@ def _ms_to_iso(ms: int) -> str:
 
     dt = datetime.datetime.fromtimestamp(ms / 1000.0, tz=datetime.timezone.utc)
     return dt.strftime("%Y-%m-%dT%H:%M:%S.000Z")
+
+
+class FlakyLicenseTransport(FakeVcoTransport):
+    """Fake transport whose heavy edge call fails — the S2 test double.
+
+    ``getEnterpriseEdges`` raises whenever the projection includes
+    ``licenses`` (the reference's observed ApiException shape on older VCOs,
+    ``Functions/vco_calls.py:178-186``); every other call behaves like
+    :class:`FakeVcoTransport`. Deterministic, hermetic, importable on
+    executors via the ``transport`` option.
+    """
+
+    def __call__(self, method: str, params: dict) -> object:
+        if (
+            method == "enterprise/getEnterpriseEdges"
+            and "licenses" in (params.get("with") or [])
+        ):
+            self.calls.append((method, params))
+            raise RuntimeError("ApiException: licenses not supported")
+        return super().__call__(method, params)
+
+
+def flaky_license_transport() -> FlakyLicenseTransport:
+    """Factory for the ``transport`` option (``module:callable`` spec)."""
+    return FlakyLicenseTransport()
