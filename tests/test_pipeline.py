@@ -167,3 +167,39 @@ def test_fetch_payloads_clean_status_is_null(spark):
         degradable=["licenses"],
     ).collect()
     assert len(out) == 1 and out[0]["status"] is None
+
+
+def test_plan_layer_never_collects(spark, monkeypatch):
+    """The per-entity fan-out (edges/events per enterprise, metrics per
+    gateway) must be planned distributed — a driver-side collect over the
+    discovered fleet is a funnel at 100x fleet size. Plan construction runs
+    with DataFrame.collect forbidden, then the plans must still evaluate."""
+    import pyspark.sql
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.plans.gateway import (
+        bronze_gateways,
+        gateway_metrics_max,
+        silver_gateways,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.plans.velocloud import (
+        run_pipeline,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.fake_transport import (
+        FakeVcoTransport,
+    )
+
+    def boom(self):
+        raise AssertionError("driver-side collect in the plan layer")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", boom)
+    try:
+        out = run_pipeline(spark, ["vco0", "vco1"], FakeVcoTransport)
+        gws = silver_gateways(bronze_gateways(spark, ["vco0"], FakeVcoTransport))
+        metrics = gateway_metrics_max(
+            spark, gws, FakeVcoTransport, (1704067200000, 1704153600000)
+        )
+    finally:
+        monkeypatch.undo()
+    assert out.edges.count() == 2 * 5 * 4
+    assert out.events.count() > 0
+    assert metrics.count() > 0

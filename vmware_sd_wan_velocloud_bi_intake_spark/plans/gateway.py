@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.api import build_params, fetch_payloads
+from ..sources.api import build_params, fetch_payloads, fetch_payloads_from
 
 GATEWAY_SCHEMA = T.ArrayType(
     T.StructType(
@@ -135,12 +135,14 @@ def gateway_metrics_max(
     One fetch task per (vco, gateway) with the interval pushed down (S4);
     the rollup is a single groupBy keyed by gateway.
     """
-    eps = [
-        {"vco": r["vco"], "gatewayId": r["gateway_id"]}
-        for r in gateways.select("vco", "gateway_id").collect()
-    ]
-    raw = fetch_payloads(
-        spark,
+    # endpoint COLUMN straight from the silver gateways DataFrame — the
+    # per-gateway fan-out is planned distributed, no driver round-trip
+    eps = gateways.select(
+        F.to_json(
+            F.struct(F.col("vco"), F.col("gateway_id").alias("gatewayId"))
+        ).alias("endpoint")
+    )
+    raw = fetch_payloads_from(
         eps,
         "metrics/getGatewayStatusMetrics",
         build_params(interval=interval_ms),

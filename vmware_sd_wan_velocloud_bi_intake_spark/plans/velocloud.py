@@ -30,7 +30,12 @@ from pyspark.sql import types as T
 
 from ..functions.sanitize import valid_name
 from ..sinks.upsert import insert_ignore_parquet, upsert_parquet
-from ..sources.api import Transport, build_params, fetch_payloads
+from ..sources.api import (
+    Transport,
+    build_params,
+    fetch_payloads,
+    fetch_payloads_from,
+)
 
 # ---------------------------------------------------------------------------
 # Declared nested schemas for the API payloads (SURVEY.md §1.4: explicit
@@ -151,17 +156,20 @@ def bronze_edges(
     spark: SparkSession, enterprises: DataFrame, transport_factory
 ) -> DataFrame:
     # one fetch task per (vco, enterprise) — the reference's nested loops
-    # become a partitioned endpoint list (T6)
-    eps = [
-        {"vco": r["vco"], "enterpriseId": r["enterprise_id"]}
-        for r in enterprises.select("vco", "enterprise_id").collect()
-    ]
+    # become a partitioned endpoint COLUMN (T6): the discovered fleet flows
+    # straight from the bronze enterprises DataFrame into the fetch stage,
+    # no driver round-trip (a collect here is a funnel at 100× fleet)
+    eps = enterprises.select(
+        F.to_json(
+            F.struct(F.col("vco"), F.col("enterprise_id").alias("enterpriseId"))
+        ).alias("endpoint")
+    )
     params = build_params(
         base_params={},
         projection=["site", "recentLinks", "licenses"],  # S3 projection push
     )
-    raw = fetch_payloads(
-        spark, eps, "enterprise/getEnterpriseEdges", params, transport_factory,
+    raw = fetch_payloads_from(
+        eps, "enterprise/getEnterpriseEdges", params, transport_factory,
         max_parallelism=32,
     )
     return raw.select(
@@ -179,14 +187,15 @@ def bronze_events(
     transport_factory,
     interval_ms: tuple[int, int],
 ) -> DataFrame:
-    eps = [
-        {"vco": r["vco"], "enterpriseId": r["enterprise_id"]}
-        for r in enterprises.select("vco", "enterprise_id").collect()
-    ]
+    eps = enterprises.select(
+        F.to_json(
+            F.struct(F.col("vco"), F.col("enterprise_id").alias("enterpriseId"))
+        ).alias("endpoint")
+    )
     # NOTE: enterpriseId rides in the endpoint; interval is pushed down (S4)
     params = build_params(interval=interval_ms)
-    raw = fetch_payloads(
-        spark, eps, "event/getEnterpriseEvents", params, transport_factory,
+    raw = fetch_payloads_from(
+        eps, "event/getEnterpriseEvents", params, transport_factory,
         max_parallelism=32,
     )
     return raw.select(

@@ -105,12 +105,49 @@ def fetch_payloads(
     sub-object failing no longer silently loses a whole endpoint's rows;
     they arrive minus the degraded columns with the degradation recorded.
     """
-    import pandas as pd
-
     n_parts = max(1, min(len(endpoints), max_parallelism))
     eps = spark.createDataFrame(
         [(json.dumps(e, sort_keys=True),) for e in endpoints], "endpoint string"
     ).repartition(n_parts)
+    return _fetch_over(
+        eps, method, params, transport_factory, rate_limit_s, degradable
+    )
+
+
+def fetch_payloads_from(
+    endpoints_df: DataFrame,
+    method: str,
+    params: dict,
+    transport_factory: Callable[[], Transport],
+    rate_limit_s: float = 0.0,
+    max_parallelism: int = 10,
+    degradable: list[str] | None = None,
+) -> DataFrame:
+    """DataFrame-native :func:`fetch_payloads`: endpoints stay distributed.
+
+    ``endpoints_df`` carries one JSON-string ``endpoint`` column (build it
+    with ``F.to_json(F.struct(...))`` from any parent DataFrame). The
+    fan-out is a repartition of that column — the endpoint list never
+    round-trips through the driver, so planning per-entity work over a
+    discovered fleet costs the same at 10 enterprises and at 10 million
+    (the list form's ``collect()`` is a driver funnel at 100× fleet).
+    Same output contract as :func:`fetch_payloads`.
+    """
+    eps = endpoints_df.select("endpoint").repartition(max_parallelism)
+    return _fetch_over(
+        eps, method, params, transport_factory, rate_limit_s, degradable
+    )
+
+
+def _fetch_over(
+    eps: DataFrame,
+    method: str,
+    params: dict,
+    transport_factory: Callable[[], Transport],
+    rate_limit_s: float,
+    degradable: list[str] | None,
+) -> DataFrame:
+    import pandas as pd
 
     method_ = method
     params_json = json.dumps(params, sort_keys=True)
