@@ -59,7 +59,10 @@ def test_semi_and_anti_joins_both_physical(spark, sf_smoke):
 # - a15_census: cross of two SINGLE-ROW global aggregates (scalar stitching)
 # - sim_ann_ivf: every vector × an 8-row broadcast centroid table (IVF
 #   coarse assignment — k-row broadcast fan-out, never n×n)
-_SCALAR_CROSS_OK = {"a15_census", "sim_ann_ivf"}
+# - a19_grouping_rollup: the grand-total tier stitches three SINGLE-ROW
+#   global aggregates (two-pass rollup — the price of dropping the 9x
+#   rollup×distinct expand)
+_SCALAR_CROSS_OK = {"a15_census", "sim_ann_ivf", "a19_grouping_rollup"}
 
 
 def test_no_cartesian_products_anywhere(spark, sf_smoke):
@@ -140,3 +143,19 @@ def test_multiway_joins_broadcast_dims_no_bnlj(spark, sf_smoke, name):
     # dim sides broadcast at this SF; big-fact joins may legitimately become
     # SortMergeJoin at scale, but something must broadcast here
     assert "BroadcastHashJoin" in plan, name
+
+
+def test_a19_and_a22_have_no_expand(spark, sf_smoke):
+    """The multi-distinct restructures must hold in the physical plan: no
+    Expand node anywhere — distinct counts come from narrow projected
+    dedups (a19 two-pass rollup) or their own plain countDistinct-free
+    branches, never from expand-replicated rows riding a percentile or
+    rollup aggregate. (a22's cd branch IS a multi-distinct expand, but a
+    cheap standalone one — allow Expand only there.)"""
+    plan19 = _plan(spark, sf_smoke, "a19_grouping_rollup")
+    assert "Expand" not in plan19, plan19
+    # a22: the expand, if planned, must not coexist with a sort aggregate
+    # over percentile buffers in the same exchange chain — weaker check:
+    # the sketch branch's ObjectHashAggregate must exist independently
+    plan22 = _plan(spark, sf_smoke, "a22_sketch_stats")
+    assert "ObjectHashAggregate" in plan22

@@ -79,23 +79,81 @@ FROM w WHERE tag = 1
 
 # --------------------------------------------------------------------------
 # A19 + A20: rollup / grouping sets WITH distinct aggregates — subtotals +
-# grand total + per-level COUNT(DISTINCT) in one pass. Both absent from the
-# reference (SURVEY §2.4 closing note). Expand-based distinct aggregation
-# composes with the rollup expand: still one shuffle, partial aggregation
-# map-side, no driver involvement. Consolidates the former a20_distinct_agg
+# grand total + per-level COUNT(DISTINCT). Both absent from the reference
+# (SURVEY §2.4 closing note). Consolidates the former a20_distinct_agg
 # entry.
+#
+# NOT the naive `rollup().agg(countDistinct, countDistinct)` form: that
+# composes the 3-way rollup expand with the 3-way multi-distinct expand, so
+# every lineitem row is replicated ~9x before the exchange (measured 3.1 s
+# at sf0.1, and the replication factor is what dominates at 100x). The
+# two-pass form instead exploits that distinct sets PROJECT even though
+# distinct counts don't add: the distinct (flag, status, key) triples —
+# computed once per key column with map-side combine, no row expand — yield
+# every rollup level by re-projection + dedup of the already-tiny triple
+# set. The additive aggregates (sum, count) roll up from the 6-row base
+# level for free. Three narrow shuffles of 2–3-column projections replace
+# one 9x-replicated shuffle; everything downstream of them touches at most
+# |distinct triples| rows. Crossover documented in SCALE.md.
 # --------------------------------------------------------------------------
 def a19_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(dec("l_quantity", 12)).cast("double").alias("sum_qty"),
-            F.count("*").alias("n_rows"),
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct("l_partkey").alias("n_part"),
-            F.grouping_id("l_returnflag", "l_linestatus").alias("grouping_level"),
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_suppkey", "l_partkey"
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+    base = li.groupBy(*keys).agg(
+        F.sum(dec("l_quantity", 12)).alias("_qty"),  # exact decimal until the end
+        F.count("*").alias("n_rows"),
+    )
+    trip_s = li.select(*keys, "l_suppkey").distinct()
+    trip_p = li.select(*keys, "l_partkey").distinct()
+
+    def counts(trip: DataFrame, key: str, alias: str, level: list[str]) -> DataFrame:
+        d = trip.select(*level, key).distinct() if level != keys else trip
+        if level:
+            return d.groupBy(*level).agg(F.count("*").alias(alias))
+        return d.agg(F.count("*").alias(alias))
+
+    def qty_rows(level: list[str]) -> DataFrame:
+        if level == keys:
+            return base
+        if level:
+            return base.groupBy(*level).agg(
+                F.sum("_qty").alias("_qty"), F.sum("n_rows").alias("n_rows")
+            )
+        return base.agg(F.sum("_qty").alias("_qty"), F.sum("n_rows").alias("n_rows"))
+
+    def tier(level: list[str], gid: int) -> DataFrame:
+        b = qty_rows(level)
+        s = counts(trip_s, "l_suppkey", "n_supp", level)
+        p = counts(trip_p, "l_partkey", "n_part", level)
+        out = (
+            b.join(s, level).join(p, level)
+            if level
+            else b.crossJoin(s).crossJoin(p)  # all three are single rows
         )
+        return out.select(
+            (
+                F.col("l_returnflag")
+                if "l_returnflag" in level
+                else F.lit(None).cast("string").alias("l_returnflag")
+            ),
+            (
+                F.col("l_linestatus")
+                if "l_linestatus" in level
+                else F.lit(None).cast("string").alias("l_linestatus")
+            ),
+            F.col("_qty").cast("double").alias("sum_qty"),
+            "n_rows",
+            "n_supp",
+            "n_part",
+            F.lit(gid).cast("bigint").alias("grouping_level"),
+        )
+
+    return (
+        tier(keys, 0)
+        .unionByName(tier(["l_returnflag"], 1))
+        .unionByName(tier([], 3))
     )
 
 
