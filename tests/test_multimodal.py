@@ -40,11 +40,17 @@ def test_extract_features_with_fake_decoder(spark, sf_smoke):
         assert list(got["byte_hist"]) == expected["byte_hist"]
 
 
-def test_extract_features_requires_decoder(spark, sf_smoke):
+def test_extract_features_default_rejects_unknown_formats(spark, sf_smoke):
+    # the default decoder is REAL for PPM/BMP; anything else (here: raw
+    # text payloads) still raises the documented NotImplementedError — at
+    # execution, surfaced through the Spark task
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
     docs = load_table(spark, sf_smoke, "documents").limit(1)
     media = attach_binary_payload(docs, "doc_id", "text")
-    with pytest.raises(NotImplementedError):
-        extract_features(media)
+    with pytest.raises((PythonException, Py4JJavaError), match="NotImplementedError"):
+        extract_features(media).collect()
 
 
 def test_frame_sample_indices(spark):
@@ -83,16 +89,100 @@ def test_resize_media_with_fake_resizer(spark, sf_smoke):
         assert r["meta"]["mime"] == "application/octet-stream"  # rest of meta preserved
 
 
-def test_resize_media_requires_resizer(spark, sf_smoke):
-    import pytest as _pytest
+def test_resize_media_default_rejects_unknown_formats(spark, sf_smoke):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
 
     from vmware_sd_wan_velocloud_bi_intake_spark.operators.multimodal import (
-        attach_binary_payload,
         resize_media,
     )
-    from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_smoke, "documents").limit(1)
     media = attach_binary_payload(docs, "doc_id", "text")
-    with _pytest.raises(NotImplementedError):
-        resize_media(media, 8, 8)
+    with pytest.raises((PythonException, Py4JJavaError), match="NotImplementedError"):
+        resize_media(media, 8, 8).collect()
+
+
+# ---------------------------------------------------------------------------
+# Real codecs: PPM/BMP decode to actual pixel bytes, PPM resizes for real.
+# ---------------------------------------------------------------------------
+
+# 2x2 RGB image: red, green / blue, white
+_PX_2X2 = bytes(
+    [255, 0, 0, 0, 255, 0,
+     0, 0, 255, 255, 255, 255]
+)
+_PPM_2X2 = b"P6\n# a comment\n2 2\n255\n" + _PX_2X2
+
+
+def _bmp_2x2() -> bytes:
+    import struct
+
+    # rows bottom-up, BGR, padded to 4 bytes (2*3=6 -> pad 2)
+    row_bottom = bytes([255, 0, 0, 255, 255, 255]) + b"\x00\x00"  # blue, white
+    row_top = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"  # red, green
+    raster = row_bottom + row_top
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 14 + 40)
+    return header + info + raster
+
+
+def test_ppm_decode_real_pixels():
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.multimodal import ppm_decode
+
+    img = ppm_decode(_PPM_2X2)
+    assert (img["width"], img["height"], img["maxval"]) == (2, 2, 255)
+    assert img["pixels"] == _PX_2X2  # the actual raster, comment skipped
+
+
+def test_bmp_decode_real_pixels():
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.multimodal import bmp_decode
+
+    img = bmp_decode(_bmp_2x2())
+    assert (img["width"], img["height"]) == (2, 2)
+    # bottom-up BGR container decodes to the same top-down RGB raster
+    assert img["pixels"] == _PX_2X2
+
+
+def test_extract_features_decodes_ppm_and_bmp_for_real(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(_PPM_2X2)), (2, bytearray(_bmp_2x2()))],
+        "media_id long, content binary",
+    )
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    # stats are over the DECODED raster (12 pixel bytes), not the container
+    for mid in (1, 2):
+        assert feats[mid]["n_bytes"] == 12
+        assert feats[mid]["byte_mean"] == pytest.approx(sum(_PX_2X2) / 12)
+    # same image through two containers → identical features
+    assert feats[1].asDict(True) | {"media_id": 0} == feats[2].asDict(True) | {
+        "media_id": 0
+    }
+
+
+def test_ppm_resize_real_nearest_neighbor(spark):
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.multimodal import (
+        ppm_decode,
+        resize_media,
+    )
+
+    media = spark.createDataFrame(
+        [(7, bytearray(_PPM_2X2), None)],
+        "media_id long, content binary, "
+        "meta struct<mime string, width int, height int, duration_ms long, codec string>",
+    )
+    out = resize_media(media, 4, 4).collect()[0]
+    assert out["meta"]["width"] == 4 and out["meta"]["height"] == 4
+    img = ppm_decode(bytes(out["content"]))
+    assert (img["width"], img["height"]) == (4, 4)
+    # nearest-neighbor: each source pixel becomes a 2x2 block
+    px = img["pixels"]
+
+    def at(x, y):
+        o = (y * 4 + x) * 3
+        return tuple(px[o : o + 3])
+
+    assert at(0, 0) == at(1, 1) == (255, 0, 0)  # red block
+    assert at(2, 0) == at(3, 1) == (0, 255, 0)  # green block
+    assert at(0, 2) == at(1, 3) == (0, 0, 255)  # blue block
+    assert at(2, 2) == at(3, 3) == (255, 255, 255)  # white block
