@@ -169,3 +169,24 @@ def test_ann_recall_floors_vs_brute_force(spark, emb):
     r_cat = _recall_at_k(trained_cat, truth, 3)
     print(f"ANN recall@3 ivf trained (catalog knobs, quantized): {r_cat:.3f}")
     assert r_cat > r_ivf, (r_cat, r_ivf)
+
+
+def test_distributed_training_matches_driver_side_exactly(spark, emb):
+    """Quantized Lloyd makes the distributed (posexplode+avg recentring,
+    broadcast assignment) and driver-side (numpy) trainers produce
+    BIT-IDENTICAL centroids: every step depends only on values rounded to
+    6 decimals, so ulp-level accumulation differences between the two
+    execution strategies cannot survive a step boundary."""
+    a = sorted(
+        (r["cell"], tuple(r["cv"]))
+        for r in similarity.train_centroids(
+            emb, 12, iters=3, round_decimals=6
+        ).collect()
+    )
+    b = sorted(
+        (r["cell"], tuple(r["cv"]))
+        for r in similarity.train_centroids_distributed(
+            emb, 12, iters=3, round_decimals=6
+        ).collect()
+    )
+    assert a == b

@@ -541,12 +541,96 @@ def train_centroids(
     return spark.createDataFrame(rows, "cell long, cv array<double>, cnrm double")
 
 
+def train_centroids_distributed(
+    emb: DataFrame,
+    n_cells: int,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+    iters: int = 8,
+    sample_rows: int | None = 16384,
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """Fully distributed spherical k-means — no training funnel at all.
+
+    :func:`train_centroids` is driver-resident by bounded contract (the
+    faiss sample discipline); this form removes even that: every Lloyd
+    iteration is Spark jobs — broadcast-centroid assignment via
+    :func:`_assign_cells` (map-side ``max_by``, n rows to the exchange)
+    and element-wise recentring via ``posexplode`` + ``avg`` (one keyed
+    shuffle of (cell, dim) partials). Only the ``n_cells`` centroid rows
+    ever reach the driver, once per iteration (they must materialize
+    anyway to seed the next broadcast). ``sample_rows=None`` trains on
+    the FULL corpus — the option the driver-side form cannot offer.
+
+    With ``round_decimals`` set, each step depends only on rounded values
+    (same quantized-Lloyd contract as the driver-side form), so the two
+    implementations produce BIT-IDENTICAL centroids — asserted in
+    tests/test_similarity_scale.py — and either can be swapped in under
+    the oracle-checked catalog vehicle.
+
+    Returns (cell, cv, cnrm), cells 0..n_cells-1.
+    """
+    import math
+
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(vec_id).alias("vid"),
+        as_double_array(F.col(embedding)).alias("v"),
+    )
+    ordered = base.orderBy(F.md5(F.col("vid").cast("string")), F.col("vid"))
+    sample = (
+        ordered.limit(sample_rows) if sample_rows is not None else ordered
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    if sample_rows is not None and sample_rows <= 4 * 16384:
+        sample = sample.persist()  # bounded; reused iters+1 times below
+
+    init = sample.limit(n_cells).select("v").collect()  # n_cells rows only
+    n_cells = min(n_cells, len(init))
+    cent_rows = [(i, list(init[i]["v"])) for i in range(n_cells)]
+
+    def cents_df(rows):
+        return spark.createDataFrame(
+            [(c, v, math.sqrt(sum(x * x for x in v)) or 1e-12) for c, v in rows],
+            "cell long, cv array<double>, cnrm double",
+        )
+
+    for _ in range(iters):
+        assigned = _assign_cells(sample, cents_df(cent_rows), round_decimals)
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        if round_decimals is not None:
+            means = means.withColumn("m", F.round("m", round_decimals))
+        new_cv = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("cv"))
+        )
+        updated = {r["cell"]: list(r["cv"]) for r in new_cv.collect()}  # ≤ n_cells
+        # empty cells keep their previous centroid — same contract as the
+        # driver-side form and its oracle replay
+        cent_rows = [(c, updated.get(c, v)) for c, v in cent_rows]
+
+    import numpy as np
+
+    return spark.createDataFrame(
+        [
+            (c, v, float(np.linalg.norm(np.asarray(v))))
+            for c, v in cent_rows
+        ],
+        "cell long, cv array<double>, cnrm double",
+    )
+
+
 def ivf_index(
     emb: DataFrame,
     n_cells: int | None = None,
     vec_id: str = "vec_id",
     embedding: str = "embedding",
     train_iters: int = 0,
+    distributed_training: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the persistable IVF index: (centroids, members).
 
@@ -572,7 +656,10 @@ def ivf_index(
         base.persist()  # sizing count doubles as the cache materializer
         n_cells = max(8, math.ceil(math.sqrt(base.count())))
     if train_iters > 0:
-        cents = train_centroids(
+        trainer = (
+            train_centroids_distributed if distributed_training else train_centroids
+        )
+        cents = trainer(
             emb, n_cells, vec_id=vec_id, embedding=embedding, iters=train_iters
         )
     else:
