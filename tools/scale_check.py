@@ -30,10 +30,13 @@ QUERIES = [
     "dedup_exact",
     "dedup_signatures",
     "dedup_survivors",
+    "dedup_incremental",
     "sim_ann_ivf",
     "sim_cosine_topk",
     "a06_customer_rollup",
     "a08_pricing_summary",
+    "a19_grouping_rollup",
+    "a22_sketch_stats",
     "w02_outage_summary",
     "w07_sessionize",
     "j01_metrics_join",

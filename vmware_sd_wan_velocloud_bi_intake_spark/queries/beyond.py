@@ -299,11 +299,24 @@ FROM o FULL OUTER JOIN e ON o.key = e.key
 # --------------------------------------------------------------------------
 def a21_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
-        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
-        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
-        F.count("*").alias("n_orders"),
+    # ONE value buffer evaluated at all three fractions — each scalar
+    # percentile() call builds its own per-group buffer (measured ~2.5x
+    # dearer on the a22 restructure; same aggregate, same sort, shared)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "percentile(o_totalprice, array(0.5, 0.9, 0.99))"
+            ).alias("_p"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            F.element_at("_p", 1).alias("p50"),
+            F.element_at("_p", 2).alias("p90"),
+            F.element_at("_p", 3).alias("p99"),
+            "n_orders",
+        )
     )
 
 
