@@ -1,6 +1,7 @@
-"""Multimodal binary-column plumbing: schema, batch UDF shape, frame plan.
-The codec itself is stubbed (not available here) — the Spark-side contract
-is what's under test."""
+"""Multimodal binary-column plumbing and codecs: schema, batch UDF shape,
+frame plan, and the REAL pure-Python PPM/BMP decode + PPM resize paths
+(asserted on actual pixel bytes). Formats needing an absent codec library
+still raise the documented NotImplementedError."""
 
 from __future__ import annotations
 
@@ -186,3 +187,34 @@ def test_ppm_resize_real_nearest_neighbor(spark):
     assert at(2, 0) == at(3, 1) == (0, 255, 0)  # green block
     assert at(0, 2) == at(1, 3) == (0, 0, 255)  # blue block
     assert at(2, 2) == at(3, 3) == (255, 255, 255)  # white block
+
+
+def test_ppm_codec_roundtrip_properties():
+    """Property: encode→decode is identity on the raster, and a same-size
+    nearest-neighbor resize is the identity transform (canonical header)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.multimodal import (
+        ppm_decode,
+        ppm_encode,
+        ppm_resize,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 8),
+        h=st.integers(1, 8),
+        seed=st.integers(0, 2**32 - 1),
+    )
+    def check(w, h, seed):
+        import random
+
+        rng = random.Random(seed)
+        px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        enc = ppm_encode(w, h, px)
+        img = ppm_decode(enc)
+        assert (img["width"], img["height"], img["pixels"]) == (w, h, px)
+        assert ppm_resize(enc, w, h) == enc
+
+    check()
