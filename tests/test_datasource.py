@@ -305,7 +305,8 @@ def test_degrade_and_retry_on_failed_heavy_call(spark):
 
 def test_degrade_disabled_surfaces_task_error(spark):
     # with the degradable list emptied, the failure must surface as a task
-    # error, never as silently-empty partitions
+    # error (the transport exception propagates), never as silently-empty
+    # partitions
     df = _edges(
         spark,
         fleet="vco0",
@@ -317,5 +318,5 @@ def test_degrade_disabled_surfaces_task_error(spark):
             ":flaky_license_transport"
         ),
     )
-    with pytest.raises(Exception, match="edges fetch failed"):
+    with pytest.raises(Exception, match="ApiException"):
         df.collect()

@@ -89,6 +89,12 @@ def ppm_decode(content: bytes) -> dict:
         vals.append(int(content[start:idx]))
     idx += 1  # exactly one whitespace byte separates maxval from the raster
     width, height, maxval = vals
+    if not 1 <= maxval <= 255:
+        # netpbm permits maxval up to 65535 (2 bytes per sample); decoding
+        # that as 1-byte samples would return confidently wrong pixels
+        raise NotImplementedError(
+            f"only 1-byte-per-sample PPM is supported (maxval={maxval})"
+        )
     n = width * height * 3
     pixels = content[idx : idx + n]
     if len(pixels) < n:
@@ -125,15 +131,19 @@ def bmp_decode(content: bytes) -> dict:
     top_down = height < 0
     height = abs(height)
     row_size = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
-    out = bytearray()
+    out = bytearray(width * height * 3)
     for row in range(height):
         src_row = row if top_down else height - 1 - row
         start = offset + src_row * row_size
         rowbytes = content[start : start + width * 3]
         if len(rowbytes) < width * 3:
             raise ValueError("truncated BMP raster")
-        for i in range(0, width * 3, 3):  # BGR → RGB
-            out += bytes((rowbytes[i + 2], rowbytes[i + 1], rowbytes[i]))
+        # BGR → RGB via strided slice assignment — no per-pixel objects
+        # (a megapixel image decoded per-pixel would dominate UDF time)
+        base = row * width * 3
+        out[base + 0 : base + width * 3 : 3] = rowbytes[2::3]
+        out[base + 1 : base + width * 3 : 3] = rowbytes[1::3]
+        out[base + 2 : base + width * 3 : 3] = rowbytes[0::3]
     return {"width": width, "height": height, "maxval": 255, "pixels": bytes(out)}
 
 

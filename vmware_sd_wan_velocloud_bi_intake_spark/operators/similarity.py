@@ -581,7 +581,8 @@ def train_centroids_distributed(
     sample = (
         ordered.limit(sample_rows) if sample_rows is not None else ordered
     ).withColumn("nrm", l2_norm(F.col("v")))
-    if sample_rows is not None and sample_rows <= 4 * 16384:
+    persisted = sample_rows is not None and sample_rows <= 4 * 16384
+    if persisted:
         sample = sample.persist()  # bounded; reused iters+1 times below
 
     init = sample.limit(n_cells).select("v").collect()  # n_cells rows only
@@ -612,6 +613,12 @@ def train_centroids_distributed(
         # empty cells keep their previous centroid — same contract as the
         # driver-side form and its oracle replay
         cent_rows = [(c, updated.get(c, v)) for c, v in cent_rows]
+
+    if persisted:
+        # the iterations fully consumed the sample; don't pin it for the
+        # session's lifetime (a quantizer-training service would otherwise
+        # accumulate a cached sample per corpus)
+        sample.unpersist()
 
     import numpy as np
 

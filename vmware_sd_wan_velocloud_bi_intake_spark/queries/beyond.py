@@ -105,8 +105,18 @@ def a19_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("l_quantity", 12)).alias("_qty"),  # exact decimal until the end
         F.count("*").alias("n_rows"),
     )
-    trip_s = li.select(*keys, "l_suppkey").distinct()
-    trip_p = li.select(*keys, "l_partkey").distinct()
+    # COUNT(DISTINCT col) ignores NULL values of the counted column — the
+    # triple tables must too, or an all-NULL group would over-count by one
+    trip_s = (
+        li.where(F.col("l_suppkey").isNotNull())
+        .select(*keys, "l_suppkey")
+        .distinct()
+    )
+    trip_p = (
+        li.where(F.col("l_partkey").isNotNull())
+        .select(*keys, "l_partkey")
+        .distinct()
+    )
 
     def counts(trip: DataFrame, key: str, alias: str, level: list[str]) -> DataFrame:
         d = trip.select(*level, key).distinct() if level != keys else trip
@@ -124,14 +134,32 @@ def a19_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return base.agg(F.sum("_qty").alias("_qty"), F.sum("n_rows").alias("n_rows"))
 
     def tier(level: list[str], gid: int) -> DataFrame:
-        b = qty_rows(level)
-        s = counts(trip_s, "l_suppkey", "n_supp", level)
-        p = counts(trip_p, "l_partkey", "n_part", level)
-        out = (
-            b.join(s, level).join(p, level)
-            if level
-            else b.crossJoin(s).crossJoin(p)  # all three are single rows
-        )
+        # null-safe LEFT joins: GROUP BY treats NULL keys as a real group
+        # (rollup emitted data rows for them), so a plain equi-join would
+        # silently drop them, and a group whose key values are all NULL has
+        # no triple rows at all — its distinct counts coalesce to 0, which
+        # is exactly what COUNT(DISTINCT) returns there
+        out = qty_rows(level)
+        for cnt, alias in (
+            (counts(trip_s, "l_suppkey", "n_supp", level), "n_supp"),
+            (counts(trip_p, "l_partkey", "n_part", level), "n_part"),
+        ):
+            if level:
+                renamed = cnt.select(
+                    *[F.col(c).alias(f"_k_{c}") for c in level], alias
+                )
+                cond = None
+                for c in level:
+                    e = out[c].eqNullSafe(renamed[f"_k_{c}"])
+                    cond = e if cond is None else (cond & e)
+                out = out.join(renamed, cond, "left").drop(
+                    *[f"_k_{c}" for c in level]
+                )
+            else:
+                out = out.crossJoin(cnt)  # single-row global aggregates
+            out = out.withColumn(
+                alias, F.coalesce(F.col(alias), F.lit(0).cast("long"))
+            )
         return out.select(
             (
                 F.col("l_returnflag")
@@ -479,7 +507,16 @@ def a22_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("_px", 2).alias("p90_exact"),
         )
     )
-    agg = est.join(cd, "l_returnflag").join(pct, "l_returnflag")
+    # null-safe joins: all three branches are groupBys, so each carries the
+    # NULL-flag group (if any); a plain equi-join would silently drop it
+    cd_r = cd.withColumnRenamed("l_returnflag", "_rf_cd")
+    pct_r = pct.withColumnRenamed("l_returnflag", "_rf_px")
+    agg = (
+        est.join(cd_r, F.col("l_returnflag").eqNullSafe(F.col("_rf_cd")))
+        .drop("_rf_cd")
+        .join(pct_r, F.col("l_returnflag").eqNullSafe(F.col("_rf_px")))
+        .drop("_rf_px")
+    )
 
     def within(est_c: str, exact_c: str, rtol: float):
         return F.abs(F.col(est_c) - F.col(exact_c)) <= F.lit(rtol) * F.abs(

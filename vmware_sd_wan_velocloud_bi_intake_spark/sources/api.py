@@ -89,13 +89,14 @@ def fetch_payloads(
     """Fan the endpoint list across partitions and fetch one payload each.
 
     Returns columns (endpoint: string JSON, payload: string JSON,
-    status: string). ``status`` is the per-row error side-channel: null for
-    a clean full-projection fetch, a degradation record when the heavy call
-    failed and the narrowed retry succeeded, or the error text when even
-    the retry failed (payload then holds JSON ``null`` — the row arrives,
-    typed, instead of vanishing). The transport factory runs once per task
-    (connection reuse within a partition, like the reference's per-thread
-    clients at ``powerbi_main_fun.py:99-102``).
+    status: string). ``status`` is the per-row side-channel: null for a
+    clean full-projection fetch, a degradation record when the heavy call
+    failed and the narrowed retry succeeded. Failures degradation cannot
+    answer RAISE (a visible, Spark-retryable task error) rather than
+    producing a null payload a downstream ``explode`` would silently drop.
+    The transport factory runs once per non-empty task (connection reuse
+    within a partition, like the reference's per-thread clients at
+    ``powerbi_main_fun.py:99-102``).
 
     **Degrade-and-retry (S2)**: ``degradable`` names the projection entries
     that may be dropped when the full call fails — the reference's
@@ -155,12 +156,17 @@ def _fetch_over(
     degradable_ = list(degradable or [])
 
     def fetch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        transport = transport_factory()
+        # lazily constructed: repartition-to-cap can produce empty
+        # partitions (the DataFrame form doesn't know the endpoint count at
+        # plan time) and those must not open useless connections
+        transport = None
         bucket = TokenBucket(rl_s)
         req_params = json.loads(params_json)
         for pdf in batches:
             out_ep, out_pl, out_st = [], [], []
             for ep_json in pdf["endpoint"]:
+                if transport is None:
+                    transport = transport_factory()
                 endpoint = json.loads(ep_json)
                 bucket.acquire()
                 result, status = _call_with_degrade(
@@ -193,21 +199,26 @@ def _call_with_degrade(
     the request's ``with:`` list, the call retries with them removed. The
     returned status mirrors the reference's message shape
     (``"getEnterpriseEdges with licenses failed - got without license"``).
+
+    Failures that degradation cannot answer — no degradable entry in the
+    request, or the narrowed retry failing too — RE-RAISE. Swallowing them
+    into a null payload would let ``explode(from_json(null))`` silently
+    delete the endpoint's rows downstream while the job reports success;
+    raising makes the failure a visible, Spark-retryable task error (the
+    pre-degradation contract). ``status`` therefore records exactly one
+    thing: a successful degradation.
     """
     try:
         return transport(method, params), None
-    except Exception as exc:  # noqa: BLE001 — transport errors are data here
+    except Exception:
         dropped = [w for w in degradable if w in (params.get("with") or [])]
         if not dropped:
-            return None, f"{method} failed: {exc}"
+            raise  # not a degradation case — fail loud, not silently empty
         narrowed = dict(params)
         narrowed["with"] = [w for w in params["with"] if w not in dropped]
         if bucket is not None:
             bucket.acquire()
-        try:
-            result = transport(method, narrowed)
-        except Exception as exc2:  # noqa: BLE001
-            return None, f"{method} failed even without {'/'.join(dropped)}: {exc2}"
+        result = transport(method, narrowed)  # still failing? raise that too
         return (
             result,
             f"{method} with {'/'.join(dropped)} failed - got without "

@@ -203,16 +203,20 @@ class VeloCloudReader(DataSourceReader):
         # the projection, so one heavy column failing cannot silently lose
         # the whole enterprise's rows — they arrive with those columns null
         # (from_json-style absence), the same contract the reference's
-        # "got without license" path provides
+        # "got without license" path provides. Failures degradation cannot
+        # answer raise out of _call_with_degrade: a visible task error,
+        # never a silently empty partition. The schema has no status
+        # column, so a successful degradation is recorded to the executor
+        # log (the reference logs its msg the same way).
+        import logging
+
         from .api import _call_with_degrade
 
         edges, status = _call_with_degrade(
             transport, "enterprise/getEnterpriseEdges", params, self.degradable
         )
-        if edges is None:
-            raise RuntimeError(
-                f"edges fetch failed for {endpoint}: {status}"
-            )  # no silent empty partitions — a task error is retryable/visible
+        if status is not None:
+            logging.getLogger(__name__).warning("%s: %s", endpoint, status)
         for e in edges:
             if self.edge_states is not None and e.get("edgeState") not in self.edge_states:
                 continue  # transports without server-side filters still honor the contract
