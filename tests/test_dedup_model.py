@@ -214,3 +214,16 @@ def test_incremental_cap_mirrors_full_path_on_degenerate_bucket(spark):
         max_bucket=100,
     ).collect()
     assert len(over) > 0 and all(r["n_members"] == n for r in over)
+    # the O(batch) report (summary + batch counts, same inputs as the cap)
+    # must name the same sidelined buckets with the same combined counts
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.dedup import (
+        bucket_summary,
+        oversized_buckets_incremental,
+    )
+
+    inc_over = oversized_buckets_incremental(
+        new_rows, bucket_summary(index), max_bucket=100
+    ).collect()
+    assert sorted((r["bucket"], r["n_members"]) for r in inc_over) == sorted(
+        (r["bucket"], r["n_members"]) for r in over
+    )

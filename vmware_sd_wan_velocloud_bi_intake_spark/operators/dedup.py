@@ -238,6 +238,40 @@ def bucket_summary(band_rows: DataFrame) -> DataFrame:
     )
 
 
+def oversized_buckets_incremental(
+    new_rows: DataFrame,
+    corpus_summary: DataFrame,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """O(batch) sideline report for an incremental run.
+
+    The incremental cap sidelines buckets the BATCH touches whose combined
+    membership (writer-maintained summary + batch counts) exceeds
+    ``max_bucket``; this reports exactly those, from the same inputs the
+    cap reads — no corpus band rows needed (the full-run
+    :func:`oversized_buckets` over the unioned band rows, restricted to
+    batch-present buckets, agrees; asserted in tests).
+
+    Returns (bucket, n_members, sample_doc_id), n_members the combined
+    count, sample_doc_id from the batch side.
+    """
+    new_counts = new_rows.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("_n_new"),
+        F.min("doc_id").alias("sample_doc_id"),
+    )
+    return (
+        new_counts.join(corpus_summary, "bucket", "left")
+        .select(
+            "bucket",
+            (F.coalesce(F.col("n_members"), F.lit(0)) + F.col("_n_new")).alias(
+                "n_members"
+            ),
+            "sample_doc_id",
+        )
+        .where(F.col("n_members") > max_bucket)
+    )
+
+
 def near_dup_pairs_incremental(
     new_df: DataFrame,
     corpus_index: DataFrame,
