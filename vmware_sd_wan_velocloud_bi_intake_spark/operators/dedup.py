@@ -392,3 +392,49 @@ def simhash_table(df: DataFrame, doc_id: str, text: str, bits: int = 32, shingle
     return df.select(
         F.col(doc_id).alias("doc_id"), shingles(F.col(text), shingle_n).alias("_sh")
     ).select("doc_id", simhash_expr(F.col("_sh"), bits).alias("simhash"))
+
+
+def contamination_ratios(
+    suspects: DataFrame,
+    blocklist: DataFrame,
+    doc_id: str,
+    text: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: n-gram overlap of each suspect document
+    against the distinct shingle set of a blocklist corpus.
+
+    The standard test-set-leakage check a pretraining pipeline runs before
+    packing: ``overlap = |shingles(doc) ∩ B| / |shingles(doc)|`` where ``B``
+    is the union of distinct blocklist shingles; documents above a caller-
+    chosen threshold are dropped (or flagged) as contaminated.
+
+    Scale shape: the blocklist (benchmark suites) is small at any corpus
+    size → its distinct shingle set BROADCASTS, the suspect side explodes
+    shingles map-side against it, and the only wide dependency is ONE
+    shuffle on doc_id for the per-doc counts. Never an all-pairs join, never
+    a corpus-sized build side.
+
+    Returns (doc_id, n_shingles, n_hit, overlap) — one row per suspect doc.
+    """
+    b = (
+        blocklist.select(F.explode(shingles(F.col(text), shingle_n)).alias("shingle"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    s = suspects.select(
+        F.col(doc_id).alias("doc_id"),
+        F.explode(shingles(F.col(text), shingle_n)).alias("shingle"),
+    )
+    return (
+        s.join(F.broadcast(b), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "overlap",
+            F.col("n_hit").cast("double") / F.col("n_shingles").cast("double"),
+        )
+    )

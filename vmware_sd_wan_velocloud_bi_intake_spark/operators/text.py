@@ -121,6 +121,79 @@ def predict_lang(text: Column) -> Column:
     return expr.otherwise(F.lit("unk"))
 
 
+# PII redaction patterns, applied IN ORDER (email before IP before phone
+# before bare digit runs, so composite strings redact deterministically).
+# Plain RE2/Java-compatible syntax — the identical pattern string runs in
+# Spark's regexp_replace and the DuckDB oracle, and replacements introduce
+# no digits, so sequential application is order-stable across engines.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("PHONE", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+    ("NUM", r"\b\d{9,19}\b"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4s, separator phones, and long digit runs with
+    ``<KIND>`` placeholders — the standard scrubbing pass a training-data
+    pipeline runs before anything else sees the text.
+
+    Pure ``regexp_replace`` chain: JVM-side, codegen'd, fuses into the scan.
+    """
+    out = text
+    for kind, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{kind}>")
+    return out
+
+
+def pii_count(text: Column) -> Column:
+    """Total PII matches, counted per pattern against the progressively
+    redacted text (identical sequencing to :func:`redact_pii`, so overlapping
+    patterns never double-count)."""
+    total = F.lit(0)
+    cur = text
+    for kind, pat in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, f"<{kind}>")
+    return total
+
+
+def dup_token_fraction(text: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token — the
+    Gopher-style repetition signal (high → boilerplate / spam).
+
+    ``split`` always yields ≥1 element (empty text → ``[""]``), so the
+    divisor never hits zero and empty docs score 0.0.
+    """
+    toks = F.split(normalize_text(text), " ")
+    n = F.size(toks)
+    return (n - F.size(F.array_distinct(toks))).cast("double") / n.cast("double")
+
+
+def top_bigram_fraction(text: Column) -> Column:
+    """Fraction of all word-bigram occurrences taken by the single most
+    frequent bigram (Gopher repetition filter; high → looping text).
+
+    O(b²) array expressions per row — b is the per-document bigram count, so
+    the cost is bounded by document length and fully fuses into the scan.
+    """
+    toks = F.split(normalize_text(text), " ")
+    n = F.size(toks)
+    g = F.transform(
+        F.slice(toks, 1, F.greatest(n - F.lit(1), F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(g), lambda d: F.size(F.filter(g, lambda y: y == d))
+        )
+    )
+    return F.coalesce(top, F.lit(0)).cast("double") / F.greatest(
+        F.size(g), F.lit(1)
+    ).cast("double")
+
+
 def fingerprint(text: Column, length: int = 16) -> Column:
     """Deterministic document fingerprint: md5 of normalized text, truncated.
 
