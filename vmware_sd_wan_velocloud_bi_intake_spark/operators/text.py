@@ -175,19 +175,40 @@ def top_bigram_fraction(text: Column) -> Column:
     """Fraction of all word-bigram occurrences taken by the single most
     frequent bigram (Gopher repetition filter; high → looping text).
 
-    O(b²) array expressions per row — b is the per-document bigram count, so
-    the cost is bounded by document length and fully fuses into the scan.
+    Built WITHOUT outer-capturing lambdas: higher-order functions re-evaluate
+    any captured outer expression per element (no CSE across the lambda
+    boundary), so a ``transform(distinct(g), d -> size(filter(g, …)))`` form
+    re-runs the normalize+split of the whole document O(b²) times per row —
+    measured 245 s vs 2 s on 5k docs at sf0.1. Instead: bigrams via
+    ``zip_with`` over two slices (lambda args only), then the max duplicate
+    count from a sorted-run fold — O(b log b) per row, fused into the scan.
     """
     toks = F.split(normalize_text(text), " ")
     n = F.size(toks)
-    g = F.transform(
-        F.slice(toks, 1, F.greatest(n - F.lit(1), F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
+    m = F.greatest(n - F.lit(1), F.lit(0))
+    g = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(g), lambda d: F.size(F.filter(g, lambda y: y == d))
-        )
+    # longest run of equal adjacent elements in the sorted bigram array =
+    # the most frequent bigram's occurrence count
+    top = F.aggregate(
+        F.array_sort(g),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(1).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(1),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return F.coalesce(top, F.lit(0)).cast("double") / F.greatest(
         F.size(g), F.lit(1)
