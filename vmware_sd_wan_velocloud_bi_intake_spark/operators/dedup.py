@@ -43,15 +43,24 @@ def exact_dedup_keys(df: DataFrame, doc_id: str, text: str) -> DataFrame:
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct) from normalized text.
 
-    Built with ``split`` + ``transform`` over index ``sequence`` — no UDF.
-    Documents shorter than ``n`` tokens contribute their full token string.
+    Built as a ``zip_with`` fold over ``n`` shifted slices of the token
+    array — no UDF, and no outer-capturing lambdas: a
+    ``transform(sequence(...), i -> slice(toks, ...))`` form would
+    re-evaluate the normalize+split of the whole document once per shingle
+    (higher-order functions re-run captured outer expressions per element;
+    no CSE crosses the lambda boundary). ``zip_with`` pads the shorter
+    slice with nulls and ``concat_ws`` skips them, so documents shorter
+    than ``n`` tokens contribute their full token string, exactly like the
+    index-slice form.
     """
     toks = F.split(normalize_text(text), r"\s+")
-    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), n_sh - F.lit(1))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    out = F.slice(toks, 1, m)
+    for k in range(2, n + 1):
+        out = F.zip_with(
+            out, F.slice(toks, k, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.array_distinct(out)
 
 
 def minhash_sig_expr(sh: Column, num_hashes: int) -> Column:
@@ -358,19 +367,26 @@ def simhash_expr(sh: Column, bits: int) -> Column:
     are already co-located in the row).
     """
 
-    def bitvec(s: Column) -> Column:
-        hx = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-        # 2^i via pow (exact in double for i < 53); shiftleft/right need
-        # Python-int bit counts and can't take the lambda-bound index column
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda i: F.when(
-                hx.bitwiseAND(F.pow(F.lit(2.0), i).cast("long")) != 0, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-
+    # One md5 per shingle, materialized by its own transform: deriving the
+    # hash inside the per-bit lambda would capture it from the outer scope
+    # and re-run the md5 once per bit (HOF lambdas re-evaluate captured
+    # expressions per element; no CSE crosses the lambda boundary). The
+    # per-bit masks are Python-int literals, constant-folded by Catalyst.
+    hxs = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
     votes = F.aggregate(
-        F.transform(sh, bitvec),
+        F.transform(
+            hxs,
+            lambda h: F.array(
+                *[
+                    F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(
+                        F.lit(-1)
+                    )
+                    for i in range(bits)
+                ]
+            ),
+        ),
         F.array_repeat(F.lit(0), bits),
         lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
     )
