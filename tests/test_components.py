@@ -1,0 +1,117 @@
+"""Connected-components over duplicate-pair graphs vs a union-find oracle.
+
+The Spark implementation is distributed label propagation
+(hash-min + pointer jumping); the oracle is a direct single-process
+union-find over the same edge list — independent algorithm, same answer.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from vmware_sd_wan_velocloud_bi_intake_spark.operators import dedup
+
+
+def union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """vertex -> min vertex id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def spark_components(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = dedup.duplicate_components(df).collect()
+    return {r["doc_id"]: r["component"] for r in out}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2)],
+        [(1, 2), (2, 3), (3, 4)],  # chain → one cluster labeled 1
+        [(10, 11), (20, 21), (30, 31)],  # disjoint pairs
+        [(5, 1), (5, 2), (5, 3), (5, 4)],  # star, hub not the min
+        [(2, 1), (4, 3), (3, 2)],  # merge through a late edge
+        [(7, 7), (8, 9)],  # self-loop degenerate
+    ],
+)
+def test_components_match_union_find(spark, edges):
+    assert spark_components(spark, edges) == union_find_components(edges)
+
+
+def test_components_random_graph_matches_union_find(spark):
+    rng = random.Random(42)
+    nodes = list(range(400))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(300)
+    ]
+    assert spark_components(spark, edges) == union_find_components(edges)
+
+
+def test_long_chain_converges_within_log_rounds(spark):
+    # pointer jumping must handle a diameter-100 path without O(diameter)
+    # rounds: max_iters=12 > log2(101) + slack, far below 100
+    edges = [(i, i + 1) for i in range(100)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = dedup.duplicate_components(df, max_iters=12).collect()
+    assert {r["component"] for r in out} == {0}
+    assert len(out) == 101
+
+
+def test_component_survivors_stable_under_chains(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    # chain 1~2~3 plus pair 5~4 written "backwards": directional doc_b
+    # dropping would keep {1, 5}; cluster-canonical keeps {1, 4}
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4)], "doc_a long, doc_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.component_survivors(docs, pairs).collect()
+    )
+    assert kept == [1, 4, 6]
+
+
+def test_survivors_over_real_near_dup_pairs(spark, sf_smoke):
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    pairs = dedup.near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.4, num_hashes=4, bands=2, shingle_n=3
+    )
+    edge_list = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert edge_list, "fixture should contain near-dup pairs"
+    oracle = union_find_components(edge_list)
+    losers = {v for v, c in oracle.items() if v != c}
+    expected = sorted(
+        r["doc_id"]
+        for r in docs.select("doc_id").collect()
+        if r["doc_id"] not in losers
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.component_survivors(docs, pairs).collect()
+    )
+    assert kept == expected
+
+
+def test_unconverged_graph_raises(spark):
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="no convergence"):
+        dedup.duplicate_components(df, max_iters=1)

@@ -454,3 +454,106 @@ def contamination_ratios(
             F.col("n_hit").cast("double") / F.col("n_shingles").cast("double"),
         )
     )
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph.
+
+    Pairwise dedup (``near_dup_pairs``) yields edges, but duplicates are
+    transitive in practice: A~B and B~C means {A, B, C} is one duplicate
+    cluster even when A~C itself misses the similarity threshold. Survivor
+    selection must therefore operate on COMPONENTS, not directed pairs —
+    the standard last step of every large-scale near-dedup pipeline.
+
+    Distributed label propagation: every vertex starts labeled with its own
+    id; each round takes the min over {own label} ∪ {neighbor labels}
+    (hash-min), then compresses one pointer-jump step (label ← label of
+    label), which turns O(diameter) convergence into O(log n) rounds. Each
+    round is a fixed number of key-partitioned joins/aggregations — no
+    driver-side graph state, no collect. ``localCheckpoint`` truncates the
+    lineage each round so the plan does not grow with the iteration count
+    (the classic iterative-DataFrame failure mode); on a cluster where
+    executor loss matters mid-computation, set a reliable checkpoint dir
+    and swap in ``checkpoint`` at the call site.
+
+    Convergence is detected with an existence probe (``limit(1).count()``)
+    — one cheap job per round, early-exit. Raises if the graph has not
+    converged after ``max_iters`` rounds (duplicate clusters have tiny
+    diameters; hitting the cap means the input is not a dedup graph).
+
+    Returns (doc_id, component) for every vertex that appears in ``pairs``;
+    ``component`` is the minimum doc_id of the cluster. Vertices that occur
+    in no pair are absent (they are their own singleton components).
+    """
+    sym = (
+        pairs.select(F.col(doc_a).alias("u"), F.col(doc_b).alias("v"))
+        .unionByName(pairs.select(F.col(doc_b).alias("u"), F.col(doc_a).alias("v")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = sym.join(
+            labels.select(F.col("id").alias("v"), "label"), "v"
+        ).select(F.col("u").alias("id"), "label")
+        merged = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        hop = merged.select(
+            F.col("id").alias("_jid"), F.col("label").alias("_jlabel")
+        )
+        jumped = (
+            merged.join(hop, merged["label"] == hop["_jid"], "left")
+            .select(
+                "id", F.coalesce("_jlabel", "label").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels.select(
+                F.col("id").alias("doc_id"), F.col("label").alias("component")
+            )
+    raise RuntimeError(
+        f"duplicate_components: no convergence after {max_iters} rounds — "
+        "input does not look like a dedup pair graph"
+    )
+
+
+def component_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    doc_id: str = "doc_id",
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+) -> DataFrame:
+    """One surviving doc_id per duplicate cluster (cluster-canonical dedup).
+
+    Keeps the minimum doc_id of every connected component plus every doc
+    that appears in no pair. Unlike dropping each pair's ``doc_b`` (the
+    directional form), this is stable under chains: A~B, B~C keeps exactly
+    A whichever order pairs arrive in.
+    """
+    comp = duplicate_components(pairs, doc_a, doc_b)
+    losers = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.select(F.col(doc_id).alias("doc_id")).join(
+        losers, "doc_id", "left_anti"
+    )
