@@ -1,0 +1,126 @@
+"""End-to-end corpus curation pipeline over the documents fixture.
+
+Each stage's contract is re-verified independently of the operators'
+own tests: redaction leaves no matchable PII, gates are exactly the
+predicate, dedup survivors match a single-process union-find over the
+same pairs, decontamination drops exactly the over-threshold docs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from vmware_sd_wan_velocloud_bi_intake_spark.operators import dedup, text
+from vmware_sd_wan_velocloud_bi_intake_spark.plans.curation import curate_corpus
+from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+from .test_components import union_find_components
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke):
+    base = load_table(spark, sf_smoke, "documents")
+    # salt a few rows with PII so redaction has real work
+    return base.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach me at u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@corp.example or 10.0.0."),
+                (F.col("doc_id") % 200).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
+@pytest.fixture(scope="module")
+def blocklist(docs):
+    return docs.where("doc_id % 31 = 0").select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def suspects(docs, blocklist):
+    # inject shifted-id copies of a few blocklist docs so decontamination
+    # deterministically has true positives to drop
+    leaked = blocklist.where("doc_id % 3 = 0").select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        "text",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return docs.where("doc_id % 31 != 0").unionByName(
+        leaked, allowMissingColumns=False
+    )
+
+
+@pytest.fixture(scope="module")
+def result(suspects, blocklist):
+    return curate_corpus(
+        suspects, blocklist=blocklist, min_quality=0.2, decon_threshold=0.5
+    )
+
+
+def test_stage_counts_monotone_and_audit_consistent(result):
+    audit = {r["stage"]: r["n_docs"] for r in result.audit().collect()}
+    assert (
+        audit["redacted"]
+        >= audit["gated"]
+        >= audit["exact_kept"]
+        >= audit["near_kept"]
+        >= audit["curated"]
+    )
+    assert audit["curated"] > 0
+
+
+def test_redaction_removes_all_pii(result):
+    rows = result.curated.select("text").collect()
+    pats = [re.compile(p) for _, p in text.PII_PATTERNS]
+    for r in rows:
+        for p in pats:
+            assert not p.search(r["text"]), r["text"][:120]
+
+
+def test_gate_is_exactly_the_predicate(result):
+    bad = result.gated.where(
+        text.quality_score(F.col("text")) < F.lit(0.2)
+    ).count()
+    assert bad == 0
+
+
+def test_near_dup_survivors_match_union_find(result):
+    pairs = dedup.near_dup_pairs(
+        result.exact_kept, "doc_id", "text", threshold=0.4,
+        num_hashes=4, bands=2, shingle_n=3,
+    )
+    edges = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    losers = {v for v, c in union_find_components(edges).items() if v != c}
+    expected = {
+        r["doc_id"] for r in result.exact_kept.select("doc_id").collect()
+    } - losers
+    got = {r["doc_id"] for r in result.near_kept.select("doc_id").collect()}
+    assert got == expected
+
+
+def test_decontamination_drops_exactly_over_threshold(result, blocklist):
+    ratios = dedup.contamination_ratios(
+        result.near_kept, blocklist, "doc_id", "text", shingle_n=3
+    )
+    over = {
+        r["doc_id"] for r in ratios.where("overlap >= 0.5").collect()
+    }
+    kept = {r["doc_id"] for r in result.curated.select("doc_id").collect()}
+    near = {r["doc_id"] for r in result.near_kept.select("doc_id").collect()}
+    assert kept == near - over
+    assert over, "salted fixture should contaminate at least one doc"
+
+
+def test_curated_ids_unique(result):
+    n = result.curated.count()
+    assert result.curated.select("doc_id").distinct().count() == n

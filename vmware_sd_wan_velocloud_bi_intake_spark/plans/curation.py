@@ -1,0 +1,135 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+Chains the engine's text/dedup operators into the standard curation order a
+large-scale pretraining pipeline runs (PII scrub → quality & language gate →
+exact dedup → near-dup clustering → benchmark decontamination), returning
+both the curated corpus and a per-stage audit so drops are attributable —
+a silent filter is indistinguishable from a bug at 100 TB.
+
+Scale shape: every stage is one of the already-audited operator shapes —
+redaction and scoring fuse into the scan; exact dedup is one digest-keyed
+shuffle; near-dup is the bucketed LSH pipeline (never all-pairs) plus
+O(log n) component rounds; decontamination broadcasts the blocklist shingle
+set. Stages compose lazily — Catalyst sees one DAG, so the quality gate
+prunes rows BEFORE the dedup shuffles move them.
+
+Beyond-reference surface (SURVEY.md §7 step 10); no reference analog — the
+reference pipeline (powerbi_main_fun.py) has no corpus-curation stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup, text
+
+
+@dataclass
+class CurationResult:
+    """Curated corpus plus the lazy per-stage frames that produced it."""
+
+    curated: DataFrame
+    redacted: DataFrame
+    gated: DataFrame
+    exact_kept: DataFrame
+    near_kept: DataFrame
+    stages: list[str] = field(default_factory=list)
+
+    def audit(self) -> DataFrame:
+        """(stage, n_docs) — evaluate to see where rows went. One job per
+        stage; counts are actions, so call this deliberately, not per-batch.
+        """
+        frames = [
+            self.redacted.select(F.lit("redacted").alias("stage"), "doc_id"),
+            self.gated.select(F.lit("gated").alias("stage"), "doc_id"),
+            self.exact_kept.select(F.lit("exact_kept").alias("stage"), "doc_id"),
+            self.near_kept.select(F.lit("near_kept").alias("stage"), "doc_id"),
+            self.curated.select(F.lit("curated").alias("stage"), "doc_id"),
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.groupBy("stage").agg(F.count("*").cast("long").alias("n_docs"))
+
+
+def curate_corpus(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_quality: float = 0.3,
+    allowed_langs: tuple[str, ...] | None = None,
+    near_dup_threshold: float = 0.4,
+    num_hashes: int = 4,
+    bands: int = 2,
+    shingle_n: int = 3,
+    blocklist: DataFrame | None = None,
+    decon_threshold: float = 0.5,
+) -> CurationResult:
+    """Run the full curation pipeline over a documents table.
+
+    1. **Redact** PII in place (``text`` column is replaced; the raw text
+       never flows further — scrub-first is the standard ordering so no
+       later stage can leak it).
+    2. **Gate** on quality score and (optionally) predicted language.
+    3. **Exact dedup**: keep the minimum doc_id per normalized digest.
+    4. **Near-dup clustering**: LSH candidate pairs → Jaccard verify →
+       connected components → cluster-canonical survivors.
+    5. **Decontaminate** (optional): drop docs whose shingle overlap with
+       the ``blocklist`` corpus reaches ``decon_threshold``.
+
+    Returns a :class:`CurationResult`; nothing is evaluated until the
+    caller acts on ``curated`` (or ``audit()``).
+    """
+    base = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        *[c for c in docs.columns if c not in (doc_id, text_col)],
+    )
+    redacted = base.withColumn("text", text.redact_pii(F.col("text")))
+
+    gate = text.quality_score(F.col("text")) >= F.lit(min_quality)
+    if allowed_langs is not None:
+        gate = gate & text.predict_lang(F.col("text")).isin(*allowed_langs)
+    gated = redacted.where(gate)
+
+    exact = dedup.exact_dedup_keys(gated, "doc_id", "text")
+    exact_kept = gated.join(
+        exact.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+
+    pairs = dedup.near_dup_pairs(
+        exact_kept,
+        "doc_id",
+        "text",
+        threshold=near_dup_threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
+    near_kept = exact_kept.join(
+        dedup.component_survivors(exact_kept, pairs), "doc_id", "left_semi"
+    )
+
+    curated = near_kept
+    if blocklist is not None:
+        contaminated = (
+            dedup.contamination_ratios(
+                near_kept, blocklist, "doc_id", "text", shingle_n=shingle_n
+            )
+            .where(F.col("overlap") >= F.lit(decon_threshold))
+            .select("doc_id")
+        )
+        curated = near_kept.join(contaminated, "doc_id", "left_anti")
+
+    return CurationResult(
+        curated=curated,
+        redacted=redacted,
+        gated=gated,
+        exact_kept=exact_kept,
+        near_kept=near_kept,
+        stages=["redacted", "gated", "exact_kept", "near_kept", "curated"],
+    )
