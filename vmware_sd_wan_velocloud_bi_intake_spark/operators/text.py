@@ -42,10 +42,16 @@ def normalize_text(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count; empty/blank text counts 0."""
-    t = F.trim(text)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, TOKEN_SPLIT))
+    """Whitespace token count; empty/blank text counts 0.
+
+    Counts non-whitespace runs directly: the ``trim`` + ``split``
+    formulation miscounts when the text starts or ends with tabs/newlines
+    (``trim`` strips only spaces, so a leading ``\\t`` yields a phantom
+    empty token — found by the Python-model property test). Null counts 0
+    (``size`` of a null array is -1 under the non-ANSI default).
+    """
+    return F.size(
+        F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(r"\S+"), 0)
     )
 
 

@@ -131,8 +131,7 @@ WITH base AS (
       || CAST(doc_id % 250 AS VARCHAR)
       || ' card 4111222233334444 tel 555-123-4567 raw +15551234567' AS aug,
     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w,
-    CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+    len(regexp_extract_all(coalesce(text, ''), '\S+')) AS n_tokens,
     GREATEST(length(text), 1) AS n_chars,
     length(text) AS n_chars_txt,
     length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
