@@ -23,7 +23,6 @@ STOPWORDS = {
     "fr": ["le", "la", "et", "de", "un", "est", "que"],
 }
 
-TOKEN_SPLIT = r"\s+"
 NON_ALNUM = r"[^A-Za-z0-9\s]"
 
 # BPE-style pretokenizer (GPT-2-family shape): contractions, space-prefixed
