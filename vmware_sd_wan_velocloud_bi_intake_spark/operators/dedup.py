@@ -490,10 +490,14 @@ def duplicate_components(
     ``component`` is the minimum doc_id of the cluster. Vertices that occur
     in no pair are absent (they are their own singleton components).
     """
+    # checkpoint the edge list too: it is joined in EVERY round, and
+    # `pairs` is typically the whole LSH near-dup pipeline — left lazy, each
+    # round would re-run shingling/minhash/bucket-join from scratch
     sym = (
         pairs.select(F.col(doc_a).alias("u"), F.col(doc_b).alias("v"))
         .unionByName(pairs.select(F.col(doc_b).alias("u"), F.col(doc_a).alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("u").alias("id"))

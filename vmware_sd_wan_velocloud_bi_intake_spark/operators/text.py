@@ -46,8 +46,9 @@ def token_count(text: Column) -> Column:
     Counts non-whitespace runs directly: the ``trim`` + ``split``
     formulation miscounts when the text starts or ends with tabs/newlines
     (``trim`` strips only spaces, so a leading ``\\t`` yields a phantom
-    empty token — found by the Python-model property test). Null counts 0
-    (``size`` of a null array is -1 under the non-ANSI default).
+    empty token — found by the Python-model property test). The coalesce
+    makes null text count 0 instead of propagating null into downstream
+    sums and ratios.
     """
     return F.size(
         F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(r"\S+"), 0)
@@ -63,8 +64,8 @@ def bpe_token_count(text: Column) -> Column:
     start from. Pure expression; fuses into the scan.
     """
     # idx=0 (whole match): the pattern's only group is non-capturing.
-    # coalesce: F.size of a null array is -1 under the non-ANSI default,
-    # which would skew SUM by -1 per null doc; null text counts as 0 tokens
+    # coalesce: null text counts as 0 tokens instead of propagating null
+    # into downstream sums and ratios
     return F.size(
         F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(BPE_PRETOKEN), 0)
     )
@@ -164,6 +165,14 @@ def pii_count(text: Column) -> Column:
     return total
 
 
+def dup_token_fraction_from(toks: Column) -> Column:
+    """:func:`dup_token_fraction` over a pre-staged token-array column —
+    use when the token array is materialized once and shared (see
+    ``queries/textvec.txt_profile``)."""
+    n = F.size(toks)
+    return (n - F.size(F.array_distinct(toks))).cast("double") / n.cast("double")
+
+
 def dup_token_fraction(text: Column) -> Column:
     """Fraction of tokens that are repeats of an earlier token — the
     Gopher-style repetition signal (high → boilerplate / spam).
@@ -171,33 +180,28 @@ def dup_token_fraction(text: Column) -> Column:
     ``split`` always yields ≥1 element (empty text → ``[""]``), so the
     divisor never hits zero and empty docs score 0.0.
     """
-    toks = F.split(normalize_text(text), " ")
-    n = F.size(toks)
-    return (n - F.size(F.array_distinct(toks))).cast("double") / n.cast("double")
+    return dup_token_fraction_from(F.split(normalize_text(text), " "))
 
 
-def top_bigram_fraction(text: Column) -> Column:
-    """Fraction of all word-bigram occurrences taken by the single most
-    frequent bigram (Gopher repetition filter; high → looping text).
-
-    Built WITHOUT outer-capturing lambdas: higher-order functions re-evaluate
-    any captured outer expression per element (no CSE across the lambda
-    boundary), so a ``transform(distinct(g), d -> size(filter(g, …)))`` form
-    re-runs the normalize+split of the whole document O(b²) times per row —
-    measured 245 s vs 2 s on 5k docs at sf0.1. Instead: bigrams via
-    ``zip_with`` over two slices (lambda args only), then the max duplicate
-    count from a sorted-run fold — O(b log b) per row, fused into the scan.
-    """
-    toks = F.split(normalize_text(text), " ")
-    n = F.size(toks)
-    m = F.greatest(n - F.lit(1), F.lit(0))
-    g = F.zip_with(
+def bigrams_from(toks: Column) -> Column:
+    """Word-bigram array from a token-array column, via ``zip_with`` over
+    two shifted slices — lambdas touch only their arguments (see the
+    capture warning on :func:`top_bigram_fraction`)."""
+    m = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    return F.zip_with(
         F.slice(toks, 1, m),
         F.slice(toks, 2, m),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    # longest run of equal adjacent elements in the sorted bigram array =
-    # the most frequent bigram's occurrence count
+
+
+def top_bigram_fraction_from(g: Column) -> Column:
+    """:func:`top_bigram_fraction` over a pre-staged bigram-array column.
+
+    The max bigram count is the longest run of equal adjacent elements in
+    the sorted array — an O(b log b) fold whose lambdas reference only the
+    accumulator and element.
+    """
     top = F.aggregate(
         F.array_sort(g),
         F.struct(
@@ -220,6 +224,27 @@ def top_bigram_fraction(text: Column) -> Column:
     ).cast("double")
 
 
+def top_bigram_fraction(text: Column) -> Column:
+    """Fraction of all word-bigram occurrences taken by the single most
+    frequent bigram (Gopher repetition filter; high → looping text).
+
+    Built WITHOUT outer-capturing lambdas: higher-order functions re-evaluate
+    any captured outer expression per element (no CSE across the lambda
+    boundary), so a ``transform(distinct(g), d -> size(filter(g, …)))`` form
+    re-runs the normalize+split of the whole document O(b²) times per row —
+    measured 245 s vs 2 s on 5k docs at sf0.1. Instead: bigrams via
+    ``zip_with`` over two slices (lambda args only), then the max duplicate
+    count from a sorted-run fold — O(b log b) per row, fused into the scan.
+    """
+    toks = F.split(normalize_text(text), " ")
+    return top_bigram_fraction_from(bigrams_from(toks))
+
+
+def fingerprint_from(norm: Column, length: int = 16) -> Column:
+    """:func:`fingerprint` over a pre-staged normalized-text column."""
+    return F.substring(F.md5(norm), 1, length)
+
+
 def fingerprint(text: Column, length: int = 16) -> Column:
     """Deterministic document fingerprint: md5 of normalized text, truncated.
 
@@ -227,7 +252,7 @@ def fingerprint(text: Column, length: int = 16) -> Column:
     byte-identical in Spark, DuckDB, and most warehouse engines, which makes
     fingerprints portable across systems.
     """
-    return F.substring(F.md5(normalize_text(text)), 1, length)
+    return fingerprint_from(normalize_text(text), length)
 
 
 def pack_sequences(

@@ -19,7 +19,7 @@ reference pipeline (powerbi_main_fun.py) has no corpus-curation stage.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -29,14 +29,13 @@ from ..operators import dedup, text
 
 @dataclass
 class CurationResult:
-    """Curated corpus plus the lazy per-stage frames that produced it."""
+    """Curated corpus plus the per-stage frames that produced it."""
 
     curated: DataFrame
     redacted: DataFrame
     gated: DataFrame
     exact_kept: DataFrame
     near_kept: DataFrame
-    stages: list[str] = field(default_factory=list)
 
     def audit(self) -> DataFrame:
         """(stage, n_docs) — evaluate to see where rows went. One job per
@@ -79,11 +78,25 @@ def curate_corpus(
     4. **Near-dup clustering**: LSH candidate pairs → Jaccard verify →
        connected components → cluster-canonical survivors.
     5. **Decontaminate** (optional): drop docs whose shingle overlap with
-       the ``blocklist`` corpus reaches ``decon_threshold``.
+       the ``blocklist`` corpus reaches ``decon_threshold``. The blocklist
+       passes through the SAME redaction first — suspects are shingled
+       post-redaction, so comparing against raw blocklist text would lose
+       up to ``shingle_n`` shingles per PII site and under-detect leaked
+       benchmark docs that contain emails/numbers.
 
-    Returns a :class:`CurationResult`; nothing is evaluated until the
-    caller acts on ``curated`` (or ``audit()``).
+    Stages 1–3 and 5 stay lazy; stage 4's connected-components clustering
+    runs Spark jobs AT CALL TIME (label propagation iterates to a
+    fixpoint, which requires actions), executing the upstream stages it
+    depends on. Construct the result when you intend to evaluate it.
     """
+    reserved = {"doc_id", "text"} - {doc_id, text_col}
+    clash = reserved & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"curate_corpus: input columns {sorted(clash)} collide with the "
+            f"pipeline's output names while doc_id={doc_id!r}/"
+            f"text_col={text_col!r} map different columns onto them"
+        )
     base = docs.select(
         F.col(doc_id).alias("doc_id"),
         F.col(text_col).alias("text"),
@@ -110,15 +123,20 @@ def curate_corpus(
         bands=bands,
         shingle_n=shingle_n,
     )
-    near_kept = exact_kept.join(
-        dedup.component_survivors(exact_kept, pairs), "doc_id", "left_semi"
-    )
+    # anti-join the component losers directly: component_survivors would
+    # re-scan exact_kept on its own side of an extra join for no reason
+    comp = dedup.duplicate_components(pairs)
+    losers = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    near_kept = exact_kept.join(losers, "doc_id", "left_anti")
 
     curated = near_kept
     if blocklist is not None:
+        scrubbed_block = blocklist.select(
+            text.redact_pii(F.col(text_col)).alias("text")
+        )
         contaminated = (
             dedup.contamination_ratios(
-                near_kept, blocklist, "doc_id", "text", shingle_n=shingle_n
+                near_kept, scrubbed_block, "doc_id", "text", shingle_n=shingle_n
             )
             .where(F.col("overlap") >= F.lit(decon_threshold))
             .select("doc_id")
@@ -131,5 +149,4 @@ def curate_corpus(
         gated=gated,
         exact_kept=exact_kept,
         near_kept=near_kept,
-        stages=["redacted", "gated", "exact_kept", "near_kept", "curated"],
     )

@@ -52,43 +52,19 @@ def txt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per consuming output column (the fused single-select form re-ran the
     # normalize regexp 4× and the split 5× per row; staged is ~30% faster
     # at sf0.1 with identical values).
-    staged = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        text.normalize_text(t).alias("_norm"),
-        aug.alias("_aug"),
-    ).select("*", F.split(F.col("_norm"), " ").alias("_toks"))
-    norm, toks = F.col("_norm"), F.col("_toks")
-    n = F.size(toks)
-    m = F.greatest(n - F.lit(1), F.lit(0))
-    staged = staged.select(
-        "*",
-        F.zip_with(
-            F.slice(toks, 1, m),
-            F.slice(toks, 2, m),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ).alias("_bigrams"),
+    staged = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            "text",
+            text.normalize_text(t).alias("_norm"),
+            aug.alias("_aug"),
+        )
+        .select("*", F.split(F.col("_norm"), " ").alias("_toks"))
+        .select("*", text.bigrams_from(F.col("_toks")).alias("_bigrams"))
     )
-    g = F.col("_bigrams")
-    # longest equal-adjacent run in the sorted bigram array = top bigram
-    # count (same fold as text.top_bigram_fraction, over the staged array)
-    top = F.aggregate(
-        F.array_sort(g),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(1).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(1),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
+    norm, toks, g = F.col("_norm"), F.col("_toks"), F.col("_bigrams")
     return staged.select(
         "doc_id",
         "lang",
@@ -104,19 +80,12 @@ def txt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.stopword_count(t, "en").alias("n_stopwords"),
         text.quality_score(t).alias("quality"),
         text.predict_lang(t).alias("lang_pred"),
-        F.substring(F.md5(norm), 1, 16).alias("fp16"),
+        text.fingerprint_from(norm).alias("fp16"),
         F.length(norm).alias("n_norm_chars"),
         text.pii_count(F.col("_aug")).alias("n_pii"),
         F.md5(text.redact_pii(F.col("_aug"))).alias("pii_md5"),
-        F.round(
-            (n - F.size(F.array_distinct(toks))).cast("double") / n.cast("double"),
-            6,
-        ).alias("dup_tok_frac_r6"),
-        F.round(
-            F.coalesce(top, F.lit(0)).cast("double")
-            / F.greatest(F.size(g), F.lit(1)).cast("double"),
-            6,
-        ).alias("top2_frac_r6"),
+        F.round(text.dup_token_fraction_from(toks), 6).alias("dup_tok_frac_r6"),
+        F.round(text.top_bigram_fraction_from(g), 6).alias("top2_frac_r6"),
     )
 
 
