@@ -1,0 +1,100 @@
+"""Training-data export surface (operators/export.py): deterministic
+shuffle keys, hash splits, and the sharded writer."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vmware_sd_wan_velocloud_bi_intake_spark.operators import export
+from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+
+def test_shuffle_key_deterministic_and_narrow(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    k1 = export.with_shuffle_key(docs, "doc_id", seed=7)
+    k2 = export.with_shuffle_key(docs.repartition(13), "doc_id", seed=7)
+    a = {(r["doc_id"], r["shuffle_key"]) for r in k1.select("doc_id", "shuffle_key").collect()}
+    b = {(r["doc_id"], r["shuffle_key"]) for r in k2.select("doc_id", "shuffle_key").collect()}
+    assert a == b
+    # different seed -> different permutation
+    c = export.with_shuffle_key(docs, "doc_id", seed=8)
+    assert a != {
+        (r["doc_id"], r["shuffle_key"]) for r in c.select("doc_id", "shuffle_key").collect()
+    }
+    # narrow: attaching the key must not introduce an exchange
+    plan = k1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_split_disjoint_covering_stable(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    n = docs.count()
+    s = export.split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # covering, disjoint by construction
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    # stability: splitting a SUBSET assigns every doc the same split
+    sub = export.split_by_hash(
+        docs.filter("doc_id % 3 = 0"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    full = {r["doc_id"]: r["split"] for r in s.select("doc_id", "split").collect()}
+    for r in sub.select("doc_id", "split").collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_split_proportions_roughly_match(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    s = export.split_by_hash(df, "doc_id", {"train": 0.9, "val": 0.1})
+    counts = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 20_000 - 0.9) < 0.02
+
+
+def test_split_rejects_bad_weights(spark):
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="positive"):
+        export.split_by_hash(df, "doc_id", {"a": 0.0})
+
+
+def test_write_shards_one_file_each_and_deterministic(spark, sf_smoke, tmp_path):
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    path = str(tmp_path / "shards")
+    n = export.write_training_shards(docs, path, "doc_id", n_shards=8, seed=3)
+    assert n == 8
+    shard_dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert len(shard_dirs) == 8
+    for d in shard_dirs:
+        files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: expected one file, got {files}"
+    back = spark.read.parquet(path)
+    assert back.count() == n_docs
+    # per-shard membership is a pure function of (id, seed): rerun matches
+    path2 = str(tmp_path / "shards2")
+    export.write_training_shards(docs.repartition(5), path2, "doc_id", n_shards=8, seed=3)
+    m1 = {(r["doc_id"], r["shard"]) for r in back.select("doc_id", "shard").collect()}
+    m2 = {
+        (r["doc_id"], r["shard"])
+        for r in spark.read.parquet(path2).select("doc_id", "shard").collect()
+    }
+    assert m1 == m2
+
+
+def test_write_shards_rows_per_shard_sizing(spark, tmp_path):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    path = str(tmp_path / "sized")
+    n = export.write_training_shards(df, path, "doc_id", rows_per_shard=300)
+    assert n == 4  # ceil(1000/300)
+
+
+def test_write_shards_arg_validation(spark, tmp_path):
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="exactly one"):
+        export.write_training_shards(df, str(tmp_path / "x"), "doc_id")
+    with pytest.raises(ValueError, match="exactly one"):
+        export.write_training_shards(
+            df, str(tmp_path / "y"), "doc_id", n_shards=2, rows_per_shard=5
+        )

@@ -1,0 +1,128 @@
+"""Training-data export: deterministic global shuffle, split, shard writer.
+
+The last mile of a curation pipeline (after scrub/gate/dedup in
+``plans/curation.py``): hand the trainer a pseudo-randomly ordered,
+shard-sized, split-labeled corpus. Everything derives from content hashes —
+no RNG state, so the export is reproducible run-to-run, engine-to-engine,
+and at any parallelism; and split membership is a pure function of the
+document id, so a document keeps its split as the corpus grows (the
+property that keeps eval sets uncontaminated across refreshes).
+
+Scale shapes:
+- :func:`with_shuffle_key` is a narrow projection (zero shuffle) — the
+  global pseudo-random order exists as a sortable key, materialized only
+  where consumed.
+- :func:`split_by_hash` is likewise narrow: a hash-bucket threshold per
+  row. Proportions are exact in expectation; variance is O(1/√n) — at
+  training-corpus sizes the realized skew is far below a percent.
+- :func:`write_training_shards` performs exactly ONE wide exchange
+  (repartition on the shard id) and sorts within each task — there is no
+  global sort; a total order across shards is pointless when the training
+  loader consumes shards independently.
+
+Beyond-reference surface (no analog in the reference, which exports via
+MySQL upserts); same family as operators/sampling.py.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000  # split-threshold resolution: 1e-6 of probability mass
+
+
+def _hash01(id_col: Column, seed: int) -> Column:
+    """Deterministic uniform-ish [0, 1) value from a row id + seed.
+
+    xxhash64 is JVM-side and stable across Spark versions; mixing the seed
+    as a hashed column (not the xxhash64 seed parameter) keeps the function
+    expressible in engines without a seeded hash.
+    """
+    h = F.xxhash64(id_col.cast("string"), F.lit(seed))
+    return (F.pmod(h, F.lit(_BUCKETS))).cast("double") / F.lit(float(_BUCKETS))
+
+
+def with_shuffle_key(
+    df: DataFrame, id_col: str, seed: int = 0, key_name: str = "shuffle_key"
+) -> DataFrame:
+    """Attach the deterministic pseudo-random sort key (narrow, no shuffle).
+
+    ``orderBy(key_name)`` then yields the same global permutation on every
+    run and any cluster layout — but prefer sorting within shards (see
+    :func:`write_training_shards`); a global sort is one range exchange you
+    rarely need.
+    """
+    return df.withColumn(
+        key_name, F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+    )
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float],
+    seed: int = 0,
+    split_name: str = "split",
+) -> DataFrame:
+    """Label each row with a split ("train"/"val"/…) by id-hash bucket.
+
+    Splits are disjoint, cover every row, and are a pure function of
+    (id, seed): adding documents later never moves an existing document
+    between splits — unlike ``randomSplit``, whose assignment depends on
+    partition layout and sample order.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    h = _hash01(F.col(id_col), seed)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = h < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    labeled = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_name, labeled)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    *,
+    n_shards: int | None = None,
+    rows_per_shard: int | None = None,
+    seed: int = 0,
+) -> int:
+    """Write ``path`` partitioned by ``shard=NNN``, one file per shard,
+    rows pseudo-randomly assigned and ordered. Returns the shard count.
+
+    Pass ``n_shards`` directly, or ``rows_per_shard`` to size shards to a
+    target (costs one count job). Shard assignment is the id-hash modulo —
+    every shard is a uniform random sample of the corpus, so data order
+    within an epoch has no curriculum bias even if the loader reads shards
+    sequentially. The single ``repartition`` on the shard id means each
+    shard is produced by exactly one task → exactly one parquet file, the
+    shape training loaders want (seekable, shard = unit of work).
+    """
+    if (n_shards is None) == (rows_per_shard is None):
+        raise ValueError("pass exactly one of n_shards / rows_per_shard")
+    if n_shards is None:
+        n = df.count()
+        n_shards = max(1, math.ceil(n / rows_per_shard))
+    key = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+    out = (
+        df.withColumn("shard", F.pmod(key, F.lit(n_shards)).cast("int"))
+        .withColumn("__order", key)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__order")
+        .drop("__order")
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    return n_shards
