@@ -1,0 +1,159 @@
+"""Product quantization / IVF-PQ (operators/pq.py): encoder parity with the
+numpy training model, ADC accuracy, refine reranking, and recall floors on
+the isotropic fixture corpus (the hardest case — see
+test_similarity_scale.test_ann_recall_floors_vs_brute_force for context on
+the absolute numbers)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vmware_sd_wan_velocloud_bi_intake_spark.operators import pq, similarity
+from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+from .test_similarity_scale import _recall_at_k
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke):
+    df = load_table(spark, sf_smoke, "embeddings").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq.train_pq_codebooks(emb, m=8, ksub=16, iters=6)
+
+
+def test_codebook_shape_and_determinism(emb, books):
+    assert len(books) == 8
+    assert all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    again = pq.train_pq_codebooks(emb, m=8, ksub=16, iters=6)
+    assert books == again  # bit-identical retrain
+
+
+def test_encode_matches_numpy_argmin(spark, emb, books):
+    """The JVM-expression encoder must reproduce np.argmin L2 assignment,
+    including the first-minimum tie rule, on every corpus vector."""
+    rows = emb.select(
+        "vec_id",
+        pq.pq_encode_expr(
+            similarity.as_double_array(F.col("embedding")), books
+        ).alias("codes"),
+        similarity.as_double_array(F.col("embedding")).alias("v"),
+    ).collect()
+    B = [np.asarray(b) for b in books]
+    dsub = B[0].shape[1]
+    for r in rows:
+        v = np.asarray(r["v"])
+        v = v / max(np.linalg.norm(v), 1e-12)
+        expect = [
+            int(np.argmin(((v[s * dsub : (s + 1) * dsub] - B[s]) ** 2).sum(axis=1)))
+            for s in range(len(B))
+        ]
+        assert list(r["codes"]) == expect, r["vec_id"]
+
+
+def test_adc_score_is_exact_reconstruction_dot(spark, emb, books):
+    """Two properties, separated deliberately:
+
+    1. ADC must equal ⟨q/‖q‖, reconstruct(codes)⟩ BIT-exactly (vs a numpy
+       replay) — any gap is a scoring bug, not quantization.
+    2. Against the TRUE cosine, ADC is only required to correlate strongly.
+       On this isotropic corpus the codebook centroids shrink toward the
+       subspace means (reconstructed norm ≈ 0.63), deflating absolute
+       scores — expected PQ distortion; ranking is what search uses.
+       Measured Pearson r ≈ 0.67 over ~15k pairs; clustered real
+       embeddings reconstruct far better.
+    """
+    enc = emb.select(
+        F.col("vec_id").alias("vid"),
+        pq.pq_encode_expr(similarity.as_double_array(F.col("embedding")), books).alias(
+            "codes"
+        ),
+        similarity.as_double_array(F.col("embedding")).alias("v"),
+    )
+    q = emb.limit(30).select(
+        F.col("vec_id").alias("qid"),
+        pq.pq_lut_expr(similarity.as_double_array(F.col("embedding")), books).alias(
+            "lut"
+        ),
+        similarity.as_double_array(F.col("embedding")).alias("qv"),
+    )
+    joined = q.join(enc, q.qid != enc.vid).select(
+        "codes",
+        "qv",
+        "v",
+        pq.pq_score_expr(F.col("codes"), F.col("lut")).alias("adc"),
+    )
+    B = [np.asarray(b) for b in books]
+    adcs, coss = [], []
+    for r in joined.collect():
+        qv = np.asarray(r["qv"])
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        recon = np.concatenate([B[s][r["codes"][s]] for s in range(len(B))])
+        assert abs(float(qn @ recon) - r["adc"]) < 1e-12
+        v = np.asarray(r["v"])
+        adcs.append(r["adc"])
+        coss.append(float(qn @ (v / max(np.linalg.norm(v), 1e-12))))
+    corr = float(np.corrcoef(np.array(adcs), np.array(coss))[0, 1])
+    assert corr > 0.5, corr  # measured 0.670
+
+
+def test_ivf_pq_recall_and_refine(spark, emb):
+    truth = similarity.cosine_topk_pairs_hof(emb, k=3).collect()
+    cents, members_pq, books = pq.ivf_pq_index(emb, m=8, ksub=16, train_iters=6)
+    raw = pq.ann_ivf_pq_topk(emb, cents, members_pq, books, k=3, nprobe=4).collect()
+    r_adc = _recall_at_k(raw, truth, 3)
+
+    fmembers = emb.select(
+        F.col("vec_id").alias("vid"),
+        similarity.as_double_array(F.col("embedding")).alias("v"),
+    ).withColumn("nrm", similarity.l2_norm(F.col("v")))
+    refined = pq.ann_ivf_pq_topk(
+        emb, cents, members_pq, books, k=3, nprobe=4, refine=12, members=fmembers
+    ).collect()
+    r_ref = _recall_at_k(refined, truth, 3)
+    print(f"\nIVF-PQ recall@3: adc={r_adc:.3f} refined(12)={r_ref:.3f}")
+    # floors measured on the isotropic corpus (adc 0.196, refined 0.387 —
+    # the trained float IVF ceiling at nprobe=4 is itself ≈0.55 here, see
+    # test_ann_recall_floors_vs_brute_force); clustered data does better.
+    # The pipeline is deterministic, so these guard regressions, not luck.
+    assert r_adc >= 0.15, r_adc
+    assert r_ref >= 0.32, r_ref
+    assert r_ref >= r_adc, (r_ref, r_adc)
+    # refined scores are exact cosines: every (q, n, score) must agree with
+    # the brute-force score for the same pair
+    truth_scores = {
+        (t["query_id"], t["neighbor_id"]): t["cos_sim"] for t in truth
+    }
+    for r in refined:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in truth_scores:
+            assert abs(r["score"] - truth_scores[key]) < 1e-9
+
+
+def test_ivf_pq_validation(spark, emb):
+    cents, members_pq, books = pq.ivf_pq_index(emb, m=8, ksub=16, train_iters=2)
+    with pytest.raises(ValueError, match="refine requires"):
+        pq.ann_ivf_pq_topk(emb, cents, members_pq, books, k=3, refine=5)
+    with pytest.raises(ValueError, match="must be >= k"):
+        pq.ann_ivf_pq_topk(
+            emb, cents, members_pq, books, k=5, refine=3, members=emb
+        )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.train_pq_codebooks(emb, m=7)
+
+
+def test_pq_members_carry_codes_not_floats(spark, emb):
+    """The index payload claim: members hold m ints + norm, no float array."""
+    _, members_pq, books = pq.ivf_pq_index(emb, m=8, ksub=16, train_iters=2)
+    assert set(members_pq.columns) == {"cell", "vid", "codes", "nrm"}
+    row = members_pq.first()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 16 for c in row["codes"])
