@@ -40,13 +40,14 @@ def test_codebook_shape_and_determinism(emb, books):
 def test_encode_matches_numpy_argmin(spark, emb, books):
     """The JVM-expression encoder must reproduce np.argmin L2 assignment,
     including the first-minimum tie rule, on every corpus vector."""
-    rows = emb.select(
-        "vec_id",
-        pq.pq_encode_expr(
-            similarity.as_double_array(F.col("embedding")), books
-        ).alias("codes"),
-        similarity.as_double_array(F.col("embedding")).alias("v"),
-    ).collect()
+    rows = (
+        emb.select(
+            "vec_id",
+            similarity.as_double_array(F.col("embedding")).alias("v"),
+        )
+        .select("vec_id", "v", pq.pq_encode_expr("v", books).alias("codes"))
+        .collect()
+    )
     B = [np.asarray(b) for b in books]
     dsub = B[0].shape[1]
     for r in rows:
@@ -71,25 +72,26 @@ def test_adc_score_is_exact_reconstruction_dot(spark, emb, books):
        Measured Pearson r ≈ 0.67 over ~15k pairs; clustered real
        embeddings reconstruct far better.
     """
-    enc = emb.select(
-        F.col("vec_id").alias("vid"),
-        pq.pq_encode_expr(similarity.as_double_array(F.col("embedding")), books).alias(
-            "codes"
-        ),
-        similarity.as_double_array(F.col("embedding")).alias("v"),
+    enc = (
+        emb.select(
+            F.col("vec_id").alias("vid"),
+            similarity.as_double_array(F.col("embedding")).alias("v"),
+        )
+        .select("vid", "v", pq.pq_encode_expr("v", books).alias("codes"))
     )
-    q = emb.limit(30).select(
-        F.col("vec_id").alias("qid"),
-        pq.pq_lut_expr(similarity.as_double_array(F.col("embedding")), books).alias(
-            "lut"
-        ),
-        similarity.as_double_array(F.col("embedding")).alias("qv"),
+    q = (
+        emb.limit(30)
+        .select(
+            F.col("vec_id").alias("qid"),
+            similarity.as_double_array(F.col("embedding")).alias("qv"),
+        )
+        .select("qid", "qv", pq.pq_lut_expr("qv", books).alias("lut"))
     )
     joined = q.join(enc, q.qid != enc.vid).select(
         "codes",
         "qv",
         "v",
-        pq.pq_score_expr(F.col("codes"), F.col("lut")).alias("adc"),
+        pq.pq_score_expr("codes", "lut", len(books)).alias("adc"),
     )
     B = [np.asarray(b) for b in books]
     adcs, coss = [], []

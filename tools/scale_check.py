@@ -26,6 +26,45 @@ from vmware_sd_wan_velocloud_bi_intake_spark.queries import all_queries
 from vmware_sd_wan_velocloud_bi_intake_spark.session import get_spark
 
 BASE = "/root/testdata/sf0.1"
+
+
+def _lm_train_score(spark, sf_dir):
+    """Full bigram-LM pass: train counts + broadcast scoring."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import lm
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lm.train_bigram_lm(docs)
+    return lm.score_bigram_logprob(docs, model)
+
+
+def _pq_index_search(spark, sf_dir):
+    """IVF-PQ: train codebooks + encode corpus + nprobe-4 refined search."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import pq, similarity
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+    # single-file fixture → spread for scan parallelism (the documented
+    # load_table gate; a real corpus has it naturally)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    cents, members, books = pq.ivf_pq_index(emb, m=8, ksub=16, train_iters=4)
+    fmembers = emb.select(
+        F.col("vec_id").alias("vid"),
+        similarity.as_double_array(F.col("embedding")).alias("v"),
+    ).withColumn("nrm", similarity.l2_norm(F.col("v")))
+    return pq.ann_ivf_pq_topk(
+        emb, cents, members, books, k=3, nprobe=4, refine=12, members=fmembers
+    )
+
+
+# DataFrame-returning extras timed alongside the catalog entries (operators
+# without a catalog vehicle; same noop-write timing)
+CUSTOM = {
+    "lm_train_score": _lm_train_score,
+    "pq_index_search": _pq_index_search,
+}
+
 QUERIES = [
     "dedup_exact",
     "dedup_signatures",
@@ -81,14 +120,15 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
         )
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     cat = all_queries()
     out = {}
-    for name in QUERIES:
+    for name in names:
+        fn = CUSTOM[name] if name in CUSTOM else cat[name].fn
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            cat[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             el = time.perf_counter() - t0
             best = el if best is None else min(best, el)
         out[name] = best
@@ -96,16 +136,23 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale"
+    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    only = [
+        a.split("=", 1)[1].split(",")
+        for a in sys.argv[1:]
+        if a.startswith("--only=")
+    ]
+    names = only[0] if only else QUERIES + list(CUSTOM)
+    k = int(args[0]) if args else 8
+    scratch = args[1] if len(args) > 1 else "/tmp/spark_graft_scale"
     out_dir = os.path.join(scratch, f"x{k}")
     spark = get_spark(app_name="scale-check")
 
     build_scaled(spark, k, out_dir)
-    base_t = time_queries(spark, BASE)
-    big_t = time_queries(spark, out_dir)
+    base_t = time_queries(spark, BASE, names)
+    big_t = time_queries(spark, out_dir, names)
     print(f"\n{'query':28s} {'1x':>8s} {f'{k}x':>8s} {'ratio':>7s}")
-    for name in QUERIES:
+    for name in names:
         r = big_t[name] / base_t[name] if base_t[name] else float("nan")
         print(f"{name:28s} {base_t[name]:8.2f} {big_t[name]:8.2f} {r:7.2f}")
     shutil.rmtree(out_dir, ignore_errors=True)

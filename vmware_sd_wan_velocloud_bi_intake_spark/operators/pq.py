@@ -13,11 +13,15 @@ math at all.
 Division of labor (the faiss discipline, same as operators/similarity.py):
 - **Training** is driver-side numpy on a bounded deterministic sample
   (md5-ordered head, ``sample_rows`` cap) — codebooks are ``m·ksub·dsub``
-  doubles, broadcast as literals.
-- **Encoding and scoring** are pure JVM expressions that fuse into the
-  scan: the codebook is a constant-folded literal array, the argmin and the
-  LUT sum are higher-order folds whose lambdas touch only their arguments
-  (see the lambda-capture guard in tests/test_lambda_capture_guard.py).
+  doubles shipped in the UDF closure.
+- **Encode and LUT** are Arrow-batched vectorized UDFs — dense subspace
+  matmuls, the case the engine's ground rules assign to batched numpy
+  (see the measured why on :func:`pq_encode_expr`: both pure-expression
+  forms lose — interpreted HOF folds per row, or Catalyst re-optimizing
+  multi-thousand-node unrolled trees per action).
+- **Per-candidate ADC scoring stays JVM-side** (:func:`pq_score_expr`,
+  ``m`` nested array lookups) — the (query × candidate) hot path never
+  crosses into Python.
 - **Search** composes with the IVF index from operators/similarity.py:
   probe ``nprobe`` cells, ADC-score only those cells' members, optionally
   exact-rerank the top ``refine`` ADC candidates against the full vectors
@@ -30,6 +34,10 @@ from __future__ import annotations
 
 import math
 
+# module-level so pandas_udf string type hints (PEP 563 via `from
+# __future__ import annotations`) resolve in this module's globals
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -52,8 +60,6 @@ def train_pq_codebooks(
     ``ksub`` centroids of ``d/m`` doubles. Deterministic: md5-ordered
     sample, first-``ksub`` init, first-minimum ties (np.argmin).
     """
-    import numpy as np
-
     pdf = (
         emb.select(
             F.col(vec_id).alias("vid"),
@@ -88,94 +94,87 @@ def train_pq_codebooks(
     return books
 
 
-def codebook_column(codebooks: list[list[list[float]]]) -> Column:
-    """The codebooks as one constant-folded literal: array m × ksub × dsub."""
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(x) for x in code]) for code in book])
-            for book in codebooks
-        ]
-    )
+def pq_encode_expr(v: str, codebooks: list[list[list[float]]]) -> Column:
+    """array<int> of per-subspace nearest-code ids for the raw vector
+    column named ``v`` — an Arrow-batched vectorized UDF.
 
+    This is the one PQ stage that is dense linear algebra over every
+    corpus row (normalize, per-subspace ‖sub − c_j‖² against the whole
+    codebook, argmin), which is exactly the case the engine's ground rules
+    assign to batched numpy (SCALE.md: "dense matmul"; precedent: the
+    brute-force kNN block matmul). Two pure-expression implementations
+    were built and measured first on 2,000 × 64-dim vectors:
 
-def _subvectors(v: Column, m: int, dsub: int) -> Column:
-    """Split an array<double> into m equal slices (array of subvectors)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.slice(v, s * dsub + 1, dsub),
-    )
+    - HOF-fold form: lambdas evaluate interpreted — ~9 ms/row, 18.7 s to
+      encode the corpus;
+    - fully unrolled literal-coefficient form (built as one SQL string to
+      dodge the py4j per-node cost): executes fine, but the ~2–4k-node
+      expression trees cost Catalyst seconds of DRIVER time on every
+      action the plan participates in — a constant that does not amortize
+      because re-optimization happens per action, and grows with m·ksub·d.
 
-
-def _normalized(v: Column) -> Column:
-    n = l2_norm(v)
-    safe = F.when(n == 0, F.lit(1.0)).otherwise(n)
-    return F.transform(v, lambda x: x / safe)
-
-
-def _d2(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def pq_encode_expr(v: Column, codebooks: list[list[list[float]]]) -> Column:
-    """array<int> of per-subspace nearest-code ids for a (raw) vector.
-
-    Normalizes, splits, then per subspace folds over the literal codebook
-    tracking (next_j, best_j, best_d); strict ``<`` keeps the first minimum
-    (np.argmin tie rule). Lambdas reference only bound lambda variables —
-    no captured row expressions re-evaluate per element.
+    The batched-numpy kernel is ~µs/row, keeps the plan tiny (one UDF
+    node), and uses np.argmin directly — the same first-minimum tie rule
+    the trainer uses, pinned by the parity test. Per-candidate ADC scoring
+    stays JVM-side (:func:`pq_score_expr`); only the once-per-corpus-row
+    encode and once-per-probe LUT cross into Arrow.
     """
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    subs = _subvectors(_normalized(v), m, dsub)
-    return F.zip_with(
-        subs,
-        codebook_column(codebooks),
-        lambda sub, book: F.aggregate(
-            book,
-            F.struct(
-                F.lit(0).alias("j"),
-                F.lit(-1).alias("best_j"),
-                F.lit(float("inf")).alias("best_d"),
-            ),
-            lambda acc, code: F.struct(
-                (acc["j"] + 1).alias("j"),
-                F.when(_d2(sub, code) < acc["best_d"], acc["j"])
-                .otherwise(acc["best_j"])
-                .alias("best_j"),
-                F.least(_d2(sub, code), acc["best_d"]).alias("best_d"),
-            ),
-            lambda acc: acc["best_j"],
-        ),
-    )
+    from pyspark.sql.functions import pandas_udf
+
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dsub = B[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        codes = np.empty((len(X), len(B)), dtype=np.int32)
+        for s, Cs in enumerate(B):
+            S = X[:, s * dsub : (s + 1) * dsub]
+            d2 = ((S[:, None, :] - Cs[None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return enc(F.col(v))
 
 
-def pq_lut_expr(qv: Column, codebooks: list[list[list[float]]]) -> Column:
-    """Per-query ADC lookup table: array m × ksub of ⟨q_sub, code⟩ dots.
-
-    Built once per query row (m·ksub·dsub multiplies), amortized over every
-    candidate that query scores.
+def pq_lut_expr(v: str, codebooks: list[list[list[float]]]) -> Column:
+    """Per-query ADC lookup table for the raw query-vector column named
+    ``v``: array m × ksub of ⟨q_sub, code⟩ dots — the same batched-numpy
+    rationale as :func:`pq_encode_expr` (one subspace-matmul per Arrow
+    batch). Built once per probed query row, amortized over every
+    candidate it scores.
     """
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    subs = _subvectors(_normalized(qv), m, dsub)
-    return F.zip_with(
-        subs,
-        codebook_column(codebooks),
-        lambda sub, book: F.transform(book, lambda code: dot(sub, code)),
-    )
+    from pyspark.sql.functions import pandas_udf
+
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dsub = B[0].shape[1]
+
+    @pandas_udf("array<array<double>>")
+    def lut(vs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        # (n, m, ksub): one GEMM per subspace over the whole batch
+        tables = np.stack(
+            [X[:, s * dsub : (s + 1) * dsub] @ Cs.T for s, Cs in enumerate(B)],
+            axis=1,
+        )
+        return pd.Series([[list(row) for row in t] for t in tables])
+
+    return lut(F.col(v))
 
 
-def pq_score_expr(codes: Column, lut: Column) -> Column:
-    """Approximate cosine: Σ_m lut[m][codes[m]] — pure table lookups."""
-    return F.aggregate(
-        F.zip_with(codes, lut, lambda c, row: F.element_at(row, c + 1)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def pq_score_expr(codes: str, lut: str, m: int) -> Column:
+    """Approximate cosine: Σ_m lut[m][codes[m]] — ``m`` unrolled nested
+    array lookups per candidate, zero per-candidate float math and zero
+    lambdas (this expression runs once per (query, candidate) pair — the
+    hottest site in the whole search). ``codes``/``lut`` are column names.
+    """
+    terms = [
+        f"element_at(element_at({lut}, {s + 1}), element_at({codes}, {s + 1}) + 1)"
+        for s in range(m)
+    ]
+    return F.expr(" + ".join(terms))
 
 
 def ivf_pq_index(
@@ -211,7 +210,7 @@ def ivf_pq_index(
         iters=train_iters,
     )
     members = _assign_cells(base, cents).select(
-        "cell", "vid", pq_encode_expr(F.col("v"), books).alias("codes"), "nrm"
+        "cell", "vid", pq_encode_expr("v", books).alias("codes"), "nrm"
     )
     return cents, members, books
 
@@ -260,10 +259,13 @@ def ann_ivf_pq_topk(
         )
         .withColumn("prn", F.row_number().over(probe_w))
         .where(F.col("prn") <= nprobe)
+        # LUT materializes here, below the member join — once per
+        # (query, probe) row, never per candidate (a UDF Project cannot be
+        # collapsed across the join)
         .select(
             "query_id",
             "qv",
-            pq_lut_expr(F.col("qv"), codebooks).alias("lut"),
+            pq_lut_expr("qv", codebooks).alias("lut"),
             "cell",
         )
     )
@@ -274,7 +276,7 @@ def ann_ivf_pq_topk(
             "query_id",
             "qv",
             F.col("vid").alias("neighbor_id"),
-            pq_score_expr(F.col("codes"), F.col("lut")).alias("score"),
+            pq_score_expr("codes", "lut", len(codebooks)).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
