@@ -127,3 +127,36 @@ def test_decontamination_drops_exactly_over_threshold(result, blocklist):
 def test_curated_ids_unique(result):
     n = result.curated.count()
     assert result.curated.select("doc_id").distinct().count() == n
+
+
+def test_perplexity_gate_drops_exactly_over_cap(spark, docs):
+    """The LM gate must drop exactly the documents whose perplexity
+    (under a model trained on the heuristically-gated survivors) exceeds
+    the cap — re-derived here with the lm operators directly."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import lm
+
+    base = curate_corpus(docs, min_quality=0.2)
+    gated_ids = {r["doc_id"] for r in base.gated.select("doc_id").collect()}
+
+    model = lm.train_bigram_lm(base.gated, min_count=2)
+    scored = lm.score_bigram_logprob(base.gated, model).collect()
+    ppls = sorted(r["perplexity"] for r in scored if r["perplexity"] is not None)
+    # a cap inside the observed range, so the gate provably fires
+    cap = ppls[int(len(ppls) * 0.8)]
+    expect_kept = {
+        r["doc_id"]
+        for r in scored
+        if r["perplexity"] is None or r["perplexity"] <= cap
+    }
+    assert expect_kept < gated_ids  # strictly smaller: the gate fires
+
+    gated = curate_corpus(docs, min_quality=0.2, max_perplexity=cap)
+    got = {r["doc_id"] for r in gated.gated.select("doc_id").collect()}
+    assert got == expect_kept
+    # and with the gate off, nothing changes vs the base run
+    assert {
+        r["doc_id"] for r in base.curated.select("doc_id").collect()
+    } == {
+        r["doc_id"]
+        for r in curate_corpus(docs, min_quality=0.2).curated.collect()
+    }

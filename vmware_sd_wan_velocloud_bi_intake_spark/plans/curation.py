@@ -24,7 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators import dedup, text
+from ..operators import dedup, lm, text
 
 
 @dataclass
@@ -67,13 +67,23 @@ def curate_corpus(
     shingle_n: int = 3,
     blocklist: DataFrame | None = None,
     decon_threshold: float = 0.5,
+    max_perplexity: float | None = None,
+    lm_min_count: int = 2,
 ) -> CurationResult:
     """Run the full curation pipeline over a documents table.
 
     1. **Redact** PII in place (``text`` column is replaced; the raw text
        never flows further — scrub-first is the standard ordering so no
        later stage can leak it).
-    2. **Gate** on quality score and (optionally) predicted language.
+    2. **Gate** on quality score and (optionally) predicted language —
+       and, when ``max_perplexity`` is set, on corpus-LM perplexity
+       (CCNet-style): a bigram model trains on the heuristically-gated
+       survivors, then documents whose perplexity exceeds the cap are
+       dropped. Training on the post-gate corpus (not the raw input)
+       keeps spam from teaching the model its own patterns; zero-bigram
+       docs (≤1 token) pass, since absence of evidence is not
+       improbability. Cost: one extra |vocab|-keyed count pass + a
+       broadcast scoring join (operators/lm.py).
     3. **Exact dedup**: keep the minimum doc_id per normalized digest.
     4. **Near-dup clustering**: LSH candidate pairs → Jaccard verify →
        connected components → cluster-canonical survivors.
@@ -87,7 +97,9 @@ def curate_corpus(
     Stages 1–3 and 5 stay lazy; stage 4's connected-components clustering
     runs Spark jobs AT CALL TIME (label propagation iterates to a
     fixpoint, which requires actions), executing the upstream stages it
-    depends on. Construct the result when you intend to evaluate it.
+    depends on — as does LM training when ``max_perplexity`` is set (the
+    vocabulary size is a trained scalar). Construct the result when you
+    intend to evaluate it.
     """
     reserved = {"doc_id", "text"} - {doc_id, text_col}
     clash = reserved & set(docs.columns)
@@ -108,6 +120,18 @@ def curate_corpus(
     if allowed_langs is not None:
         gate = gate & text.predict_lang(F.col("text")).isin(*allowed_langs)
     gated = redacted.where(gate)
+
+    if max_perplexity is not None:
+        model = lm.train_bigram_lm(gated, min_count=lm_min_count)
+        keep = (
+            lm.score_bigram_logprob(gated, model)
+            .where(
+                F.col("perplexity").isNull()
+                | (F.col("perplexity") <= F.lit(max_perplexity))
+            )
+            .select("doc_id")
+        )
+        gated = gated.join(keep, "doc_id", "left_semi")
 
     exact = dedup.exact_dedup_keys(gated, "doc_id", "text")
     exact_kept = gated.join(
