@@ -354,3 +354,86 @@ def pack_sequences(
     return packed.withColumn(
         "pack_seq", F.row_number().over(w_pack)
     ).select(*out_cols, "pack_seq")
+
+
+def line_frequencies(
+    df, doc_id: str, text_col: str, delimiter: str = "\n"
+):
+    """(line, df) — in how many DISTINCT documents each line occurs.
+
+    Per-document dedup happens before the count (a doc repeating its own
+    header must not inflate the corpus-wide document frequency). One
+    explode + one map-side-combined ``groupBy`` on the line text; at
+    100 TB the shuffle carries |distinct (doc, line)| partials, and hot
+    boilerplate lines collapse into single per-partition partials before
+    the exchange.
+    """
+    lines = df.select(
+        F.col(doc_id).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), delimiter)).alias("line"),
+    ).distinct()
+    return lines.groupBy("line").agg(
+        F.count("*").cast("long").alias("doc_freq")
+    )
+
+
+def remove_boilerplate(
+    df,
+    doc_id: str,
+    text_col: str,
+    *,
+    max_doc_freq: int,
+    delimiter: str = "\n",
+):
+    """Drop lines that appear in ``max_doc_freq``-or-more distinct
+    documents (C4/RefinedWeb-style boilerplate removal: navigation
+    chrome, cookie banners, subscription prompts — any text shared by
+    many documents is template, not content).
+
+    Returns the input with ``text_col`` rebuilt from the surviving lines
+    (original line order kept, other columns untouched). Documents whose
+    every line is boilerplate keep an empty string — the quality gate
+    downstream is the right place to drop them, not a silent row deletion
+    here.
+
+    Shape: line-frequency pass (see :func:`line_frequencies`), then
+    ``posexplode`` → anti-join on the boilerplate lines → ordered
+    re-aggregation keyed by doc — two line-keyed shuffles and one
+    doc-keyed shuffle, no driver state. The boilerplate relation is NOT
+    assumed broadcastable (its size is corpus-dependent); Spark/AQE
+    chooses the join strategy from its actual size.
+    """
+    boiler = (
+        line_frequencies(df, doc_id, text_col, delimiter)
+        .where(F.col("doc_freq") >= F.lit(max_doc_freq))
+        .select("line")
+    )
+    pos_lines = df.select(
+        F.col(doc_id).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias("pos", "line"),
+    )
+    kept = pos_lines.join(boiler, "line", "left_anti")
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("pl")
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.transform("pl", lambda s: s["line"]), delimiter).alias(
+                "__rebuilt"
+            ),
+        )
+    )
+    others = [c for c in df.columns if c != text_col]
+    out = (
+        df.select(*df.columns)
+        .withColumnRenamed(doc_id, "doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            *[F.col(c) for c in ("doc_id" if c == doc_id else c for c in others)],
+            F.coalesce(F.col("__rebuilt"), F.lit("")).alias(text_col),
+        )
+        .withColumnRenamed("doc_id", doc_id)
+    )
+    return out.select(*df.columns)
