@@ -160,3 +160,25 @@ def test_perplexity_gate_drops_exactly_over_cap(spark, docs):
         r["doc_id"]
         for r in curate_corpus(docs, min_quality=0.2).curated.collect()
     }
+
+
+def test_boilerplate_stage_strips_chrome_before_gate(spark, docs):
+    """With boilerplate_doc_freq set, injected template lines vanish from
+    the redacted frame (and so from everything downstream); off by
+    default the text passes through untouched."""
+    chromed = docs.select(
+        "doc_id",
+        F.concat(F.lit("SUBSCRIBE NOW\n"), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    res = curate_corpus(chromed, min_quality=0.2, boilerplate_doc_freq=5)
+    assert (
+        res.redacted.where(F.col("text").contains("SUBSCRIBE NOW")).count() == 0
+    )
+    # real content survives: stripped text = original text (post-redaction)
+    base = curate_corpus(docs, min_quality=0.2)
+    a = {r["doc_id"]: r["text"] for r in res.redacted.collect()}
+    b = {r["doc_id"]: r["text"] for r in base.redacted.collect()}
+    assert a == b

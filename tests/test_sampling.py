@@ -5,6 +5,8 @@ from __future__ import annotations
 import collections
 import math
 
+from pyspark.sql import functions as F
+
 from vmware_sd_wan_velocloud_bi_intake_spark.operators.sampling import (
     stratified_cap,
     stratified_fraction,
@@ -48,3 +50,52 @@ def test_fraction_is_exact_per_stratum(spark, sf_smoke):
         for src, n in full.items():
             exact = math.ceil(round(n * frac, 9))
             assert got[src] == exact, (frac, src, n, got[src])
+
+
+def test_temperature_mixture_targets_and_determinism(spark):
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(1000 + i, "mid") for i in range(90)]
+        + [(2000 + i, "small") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    out = temperature_mixture(df, "source", "doc_id", total_rows=100, alpha=0.5)
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    z = 900**0.5 + 90**0.5 + 10**0.5
+    assert got["big"] == round(100 * 900**0.5 / z)
+    assert got["mid"] == round(100 * 90**0.5 / z)
+    assert got["small"] == round(100 * 10**0.5 / z)
+    # alpha=0.5 lifts the tail vs proportional (which would give small ~1)
+    assert got["small"] > 100 * 10 / 1000
+
+    # alpha=1 = proportional; alpha=0 = equal shares (capped by size)
+    prop = {
+        r["source"]: r["n"]
+        for r in temperature_mixture(df, "source", "doc_id", 100, alpha=1.0)
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert prop["big"] == 90 and prop["small"] == 1
+    eq = {
+        r["source"]: r["n"]
+        for r in temperature_mixture(df, "source", "doc_id", 90, alpha=0.0)
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert eq == {"big": 30, "mid": 30, "small": 10}  # small exhausts at 10
+
+    # deterministic membership across layouts
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in temperature_mixture(
+            df.repartition(17), "source", "doc_id", 100, alpha=0.5
+        ).collect()
+    }
+    assert a == b

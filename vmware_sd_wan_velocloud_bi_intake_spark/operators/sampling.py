@@ -60,3 +60,47 @@ def stratified_fraction(
         .where(F.col("__rk") <= F.ceil(x - F.abs(x) * F.lit(1e-12)))
         .drop("__rk", "__n")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    stratum: str,
+    id_col: str,
+    total_rows: int,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-weighted mixture: stratum ``s`` contributes
+    ``total_rows · n_s^α / Σ n_j^α`` rows (the multilingual-pretraining
+    upweighting rule — α=1 is proportional sampling, α=0 gives every
+    stratum equal share, in-between lifts the tail without drowning the
+    head). Sampling is WITHOUT replacement, so a stratum's target is
+    capped at its size and the realized total can fall below
+    ``total_rows`` when small strata exhaust — surfaced by the returned
+    counts rather than silently re-sampling duplicates.
+
+    The per-stratum counts visit the driver to compute the α-weights —
+    bounded by the number of strata (sources/languages: tens, not rows),
+    same contract as the IVF centroid table. Row selection reuses the
+    deterministic md5-rank machinery; the caps ride a broadcast join.
+    """
+    if total_rows <= 0:
+        raise ValueError("total_rows must be positive")
+    counts = df.groupBy(stratum).agg(F.count("*").alias("n")).collect()
+    if not counts:
+        return df.limit(0)
+    weights = {r[stratum]: float(r["n"]) ** alpha for r in counts}
+    z = sum(weights.values())
+    caps = [
+        (r[stratum], min(int(r["n"]), round(total_rows * weights[r[stratum]] / z)))
+        for r in counts
+    ]
+    spark = df.sparkSession
+    caps_df = spark.createDataFrame(
+        [(k, int(c)) for k, c in caps], [stratum, "__cap"]
+    )
+    ranked = _rank_in_stratum(df, stratum, id_col)
+    return (
+        ranked.join(F.broadcast(caps_df), stratum)
+        .where(F.col("__rk") <= F.col("__cap"))
+        .drop("__rk", "__cap")
+    )

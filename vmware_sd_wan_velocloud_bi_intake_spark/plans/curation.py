@@ -69,12 +69,16 @@ def curate_corpus(
     decon_threshold: float = 0.5,
     max_perplexity: float | None = None,
     lm_min_count: int = 2,
+    boilerplate_doc_freq: int | None = None,
 ) -> CurationResult:
     """Run the full curation pipeline over a documents table.
 
     1. **Redact** PII in place (``text`` column is replaced; the raw text
        never flows further — scrub-first is the standard ordering so no
-       later stage can leak it).
+       later stage can leak it). When ``boilerplate_doc_freq`` is set,
+       template lines shared by that many distinct documents are then
+       stripped (operators/text.remove_boilerplate) — BEFORE the quality
+       gate, so scores judge the content, not the chrome.
     2. **Gate** on quality score and (optionally) predicted language —
        and, when ``max_perplexity`` is set, on corpus-LM perplexity
        (CCNet-style): a bigram model trains on the heuristically-gated
@@ -115,6 +119,10 @@ def curate_corpus(
         *[c for c in docs.columns if c not in (doc_id, text_col)],
     )
     redacted = base.withColumn("text", text.redact_pii(F.col("text")))
+    if boilerplate_doc_freq is not None:
+        redacted = text.remove_boilerplate(
+            redacted, "doc_id", "text", max_doc_freq=boilerplate_doc_freq
+        )
 
     gate = text.quality_score(F.col("text")) >= F.lit(min_quality)
     if allowed_langs is not None:
