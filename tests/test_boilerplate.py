@@ -105,3 +105,17 @@ def test_remove_boilerplate_oracle_parity(spark, sf_correct):
     )
     issues = compare(spark_df, oracle_pdf)
     assert not issues, " | ".join(issues)
+
+
+def test_delimiter_is_literal_not_regex(spark):
+    df = spark.createDataFrame(
+        [(1, "HEAD|one|TAIL"), (2, "HEAD|two|TAIL"), (3, "HEAD|three|TAIL")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in text.remove_boilerplate(
+            df, "doc_id", "text", max_doc_freq=3, delimiter="|"
+        ).collect()
+    }
+    assert out[1] == "one" and out[2] == "two" and out[3] == "three"

@@ -194,3 +194,41 @@ def test_merge_schema_mismatch_raises(spark, tmp_path):
     bad = spark.createDataFrame([(1, "a")], "k int, v string")
     with pytest.raises(ValueError, match="schema mismatch"):
         merge_parquet(spark, bad, path, ["k"])
+
+
+def test_merge_null_condition_does_not_fire(spark, tmp_path):
+    """ANSI MERGE: a clause with a NULL condition does not fire — a NULL
+    in the delete predicate must KEEP the target row, never delete it."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a", None), (2, "b", 20)], "k int, v string, n int")
+    merge_parquet(spark, df, path, ["k"])
+    batch = spark.createDataFrame([(1, "x", None), (2, "y", 5)], "k int, v string, n int")
+    merge_parquet(
+        spark,
+        batch,
+        path,
+        ["k"],
+        matched_update=False,
+        matched_delete_condition=F.col("src.n") < 10,  # NULL for k=1
+    )
+    # k=1: condition NULL -> kept; k=2: 5 < 10 -> deleted
+    assert _rows(spark, path) == {(1, "a", None)}
+
+
+def test_merge_partitioned_null_partition_preserved(spark, tmp_path):
+    """A batch touching the NULL partition must merge WITH its existing
+    rows, not overwrite the partition from the batch alone."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, "m1", 30)],
+        "k int, month string, n int",
+    )
+    merge_parquet(spark, df, path, ["k"], partition_by="month")
+    batch = spark.createDataFrame([(4, None, 40)], "k int, month string, n int")
+    merge_parquet(spark, batch, path, ["k"], partition_by="month")
+    assert _rows(spark, path, cols=("k", "month", "n")) == {
+        (1, None, 10),
+        (2, None, 20),
+        (3, "m1", 30),
+        (4, None, 40),
+    }

@@ -69,10 +69,11 @@ def test_temperature_mixture_targets_and_determinism(spark):
         r["source"]: r["n"]
         for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
     }
-    z = 900**0.5 + 90**0.5 + 10**0.5
-    assert got["big"] == round(100 * 900**0.5 / z)
-    assert got["mid"] == round(100 * 90**0.5 / z)
-    assert got["small"] == round(100 * 10**0.5 / z)
+    # largest-remainder apportionment over targets 70.34 / 22.24 / 7.41:
+    # floors 70/22/7, the one leftover row goes to the largest remainder
+    # (small, .41) — and the total is EXACTLY total_rows
+    assert got == {"big": 70, "mid": 22, "small": 8}
+    assert sum(got.values()) == 100
     # alpha=0.5 lifts the tail vs proportional (which would give small ~1)
     assert got["small"] > 100 * 10 / 1000
 
@@ -88,7 +89,10 @@ def test_temperature_mixture_targets_and_determinism(spark):
         for r in temperature_mixture(df, "source", "doc_id", 90, alpha=0.0)
         .groupBy("source").agg(F.count("*").alias("n")).collect()
     }
-    assert eq == {"big": 30, "mid": 30, "small": 10}  # small exhausts at 10
+    # equal thirds (30 each), small exhausts at 10 and its shortfall
+    # redistributes so the realized total still hits total_rows
+    assert eq == {"big": 40, "mid": 40, "small": 10}
+    assert sum(eq.values()) == 90
 
     # deterministic membership across layouts
     a = {r["doc_id"] for r in out.collect()}

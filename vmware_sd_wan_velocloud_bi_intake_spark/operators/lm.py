@@ -14,9 +14,11 @@ spam, or wrong-language). Two distributed passes:
    Model truncation is by ``min_count`` (deterministic — no top-k ties),
    mirroring real LM pruning.
 2. **Score** (:func:`score_bigram_logprob`): explode the documents to be
-   scored, left-join the (pruned) model — broadcast when it fits, which a
-   min-count-pruned bigram table does by construction — and aggregate back
-   per document: one shuffle keyed by doc_id.
+   scored, left-join the model — broadcast by default (right whenever the
+   pruned model fits an executor; opt out for web-scale vocabularies,
+   where the UNpruned context table can outgrow broadcast and AQE should
+   pick the strategy) — and aggregate back per document: one shuffle
+   keyed by doc_id.
 
 Probability model: add-k (Lidstone) smoothing over the conditional
 ``P(w2 | w1) = (c(w1,w2) + k) / (c(w1) + k·V)`` with ``V`` = training
@@ -43,7 +45,10 @@ from . import text
 
 @dataclass
 class BigramLM:
-    """Trained model relations (all small-by-construction after pruning)."""
+    """Trained model relations. ``bigrams`` is min-count-pruned;
+    ``contexts`` is NOT (full first-token vocabulary — the probability
+    normalizer must cover unpruned mass), so only ``bigrams`` is
+    small-by-construction."""
 
     bigrams: DataFrame  # (w1, w2, n_big)
     contexts: DataFrame  # (w1, n_ctx)  — UNpruned context totals
@@ -75,14 +80,21 @@ def train_bigram_lm(
 ) -> BigramLM:
     """Count bigrams/contexts over the corpus; prune bigrams below
     ``min_count``. Context totals stay unpruned so the smoothed conditional
-    stays a true probability over the full vocabulary."""
-    big = _doc_bigrams(df, doc_id, text_col)
-    bigrams = (
-        big.groupBy("w1", "w2")
+    stays a true probability over the full vocabulary.
+
+    One bigram-explode pass feeds BOTH counts: ``n_ctx(w1) = Σ_w2
+    n_big(w1, w2)`` exactly (a context occurrence IS a bigram occurrence
+    with that first word), so contexts aggregate from the pre-pruning
+    bigram counts — |bigram-vocab| rows — instead of re-exploding the
+    corpus. The vocabulary size still needs its own token pass (last
+    tokens and single-token docs never appear as w1)."""
+    big_counts = (
+        _doc_bigrams(df, doc_id, text_col)
+        .groupBy("w1", "w2")
         .agg(F.count("*").alias("n_big"))
-        .filter(F.col("n_big") >= min_count)
     )
-    contexts = big.groupBy("w1").agg(F.count("*").alias("n_ctx"))
+    bigrams = big_counts.filter(F.col("n_big") >= min_count)
+    contexts = big_counts.groupBy("w1").agg(F.sum("n_big").alias("n_ctx"))
     toks = F.explode(F.split(text.normalize_text(F.col(text_col)), " "))
     vocab_size = (
         df.select(toks.alias("w")).agg(F.countDistinct("w")).collect()[0][0]
@@ -100,18 +112,31 @@ def score_bigram_logprob(
     model: BigramLM,
     doc_id: str = "doc_id",
     text_col: str = "text",
+    *,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """(doc_id, n_bigrams, avg_log2p, perplexity) per scored document.
 
     Documents with zero bigrams (≤1 token) score NULL avg/perplexity rather
     than a fake 0 — absence of evidence, surfaced as such.
+
+    ``broadcast_model`` hints both model joins broadcast — right whenever
+    the pruned model fits an executor (the common case after min-count
+    pruning). For web-scale vocabularies note the CONTEXT table is
+    unpruned (every distinct first-token), which can outgrow broadcast;
+    pass ``False`` there and AQE picks the join strategy from actual
+    sizes instead of a forced driver collect.
     """
     k = F.lit(model.smoothing_k)
     v = F.lit(float(model.vocab_size))
+
+    def side(rel: DataFrame) -> DataFrame:
+        return F.broadcast(rel) if broadcast_model else rel
+
     occ = _doc_bigrams(df, doc_id, text_col)
     joined = (
-        occ.join(F.broadcast(model.bigrams), ["w1", "w2"], "left")
-        .join(F.broadcast(model.contexts), ["w1"], "left")
+        occ.join(side(model.bigrams), ["w1", "w2"], "left")
+        .join(side(model.contexts), ["w1"], "left")
         .select(
             "doc_id",
             (

@@ -73,10 +73,11 @@ def temperature_mixture(
     ``total_rows · n_s^α / Σ n_j^α`` rows (the multilingual-pretraining
     upweighting rule — α=1 is proportional sampling, α=0 gives every
     stratum equal share, in-between lifts the tail without drowning the
-    head). Sampling is WITHOUT replacement, so a stratum's target is
-    capped at its size and the realized total can fall below
-    ``total_rows`` when small strata exhaust — surfaced by the returned
-    counts rather than silently re-sampling duplicates.
+    head). Sampling is WITHOUT replacement: a stratum's share is capped
+    at its size, and the shortfall redistributes across the remaining
+    strata (largest fractional remainder first, deterministic ties), so
+    exactly ``total_rows`` rows return unless EVERY stratum is exhausted
+    — never silent duplicate re-sampling.
 
     The per-stratum counts visit the driver to compute the α-weights —
     bounded by the number of strata (sources/languages: tens, not rows),
@@ -90,10 +91,31 @@ def temperature_mixture(
         return df.limit(0)
     weights = {r[stratum]: float(r["n"]) ** alpha for r in counts}
     z = sum(weights.values())
-    caps = [
-        (r[stratum], min(int(r["n"]), round(total_rows * weights[r[stratum]] / z)))
-        for r in counts
-    ]
+    # largest-remainder apportionment: independent per-stratum rounding
+    # drifts from total_rows (three equal thirds of 10 would round to 3+3+3)
+    # and rounds small shares to zero; floors + remainder distribution hits
+    # the total exactly whenever capacity allows, deterministically
+    # (remainder desc, then stratum value for ties)
+    sizes = {r[stratum]: int(r["n"]) for r in counts}
+    targets = {k: total_rows * w / z for k, w in weights.items()}
+    caps_map = {k: min(sizes[k], int(targets[k])) for k in targets}
+    leftover = total_rows - sum(caps_map.values())
+    order = sorted(
+        targets,
+        key=lambda k: (-(targets[k] - int(targets[k])), str(k)),
+    )
+    while leftover > 0:
+        progressed = False
+        for k in order:
+            if leftover == 0:
+                break
+            if caps_map[k] < sizes[k]:
+                caps_map[k] += 1
+                leftover -= 1
+                progressed = True
+        if not progressed:
+            break  # every stratum exhausted — documented shortfall
+    caps = list(caps_map.items())
     spark = df.sparkSession
     caps_df = spark.createDataFrame(
         [(k, int(c)) for k, c in caps], [stratum, "__cap"]

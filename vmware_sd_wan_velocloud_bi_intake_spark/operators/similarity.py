@@ -517,11 +517,22 @@ def train_centroids(
     n_cells = min(n_cells, len(X))
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = X[:n_cells].copy()  # md5-order heads: a deterministic random init
+
+    def rnd(a):
+        # half-AWAY-FROM-ZERO, matching Spark F.round (BigDecimal HALF_UP)
+        # and DuckDB ROUND; np.round is half-even and disagrees with both
+        # whenever a scaled value lands exactly on a .5 boundary — which
+        # would silently break the cross-engine bit-identical contract
+        scaled = a * (10.0 ** round_decimals)
+        return np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / (
+            10.0 ** round_decimals
+        )
+
     for _ in range(iters):
         Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
         sims = Xn @ Cn.T
         if round_decimals is not None:
-            sims = np.round(sims, round_decimals)
+            sims = rnd(sims)
         # np.argmax takes the FIRST max — lowest cell on (rounded) ties
         assign = np.argmax(sims, axis=1)
         for c in range(n_cells):
@@ -529,7 +540,7 @@ def train_centroids(
             if len(members):
                 mean = members.mean(axis=0)
                 if round_decimals is not None:
-                    mean = np.round(mean, round_decimals)
+                    mean = rnd(mean)
                 C[c] = mean
             # empty cells keep their previous value (raw init or a prior
             # rounded mean) — the oracle's COALESCE mirrors this exactly

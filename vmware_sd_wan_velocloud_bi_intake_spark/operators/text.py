@@ -356,6 +356,19 @@ def pack_sequences(
     ).select(*out_cols, "pack_seq")
 
 
+def _split_literal(col: Column, delimiter: str) -> Column:
+    """``F.split`` treats its pattern as a REGEX; these operators rebuild
+    text with ``array_join`` using the delimiter as a LITERAL, so the
+    split must be literal too (``delimiter="|"`` would otherwise split
+    per character and rebuild garbage). ``\\Q…\\E`` is Java-regex literal
+    quoting; a delimiter containing the closing quote is rejected rather
+    than mis-split.
+    """
+    if "\\E" in delimiter:
+        raise ValueError(r"delimiter may not contain \E")
+    return F.split(col, "\\Q" + delimiter + "\\E")
+
+
 def line_frequencies(
     df, doc_id: str, text_col: str, delimiter: str = "\n"
 ):
@@ -370,7 +383,7 @@ def line_frequencies(
     """
     lines = df.select(
         F.col(doc_id).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), delimiter)).alias("line"),
+        F.explode(_split_literal(F.col(text_col), delimiter)).alias("line"),
     ).distinct()
     return lines.groupBy("line").agg(
         F.count("*").cast("long").alias("doc_freq")
@@ -410,7 +423,9 @@ def remove_boilerplate(
     )
     pos_lines = df.select(
         F.col(doc_id).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), delimiter)).alias("pos", "line"),
+        F.posexplode(_split_literal(F.col(text_col), delimiter)).alias(
+            "pos", "line"
+        ),
     )
     kept = pos_lines.join(boiler, "line", "left_anti")
     rebuilt = (

@@ -30,6 +30,15 @@ Scale notes (100 TB):
   ``not_matched_by_source_delete`` inspects rows the batch does NOT touch
   and therefore forces a full-table read — it is rejected when combined
   with pruning rather than silently scanning everything.
+  PRUNING CONTRACT: the partition value of a given merge key must be
+  immutable (partition column functionally dependent on the key — e.g.
+  ``month`` derived from an insert-time field, never an updatable one).
+  If a key "moves" partitions between target and batch, the old row lives
+  in a partition the pruning never reads, so the merge inserts the new
+  row WITHOUT removing the old one — a duplicate key. That is the same
+  contract every partition-pruned upsert (Hive dynamic overwrite,
+  Delta ``replaceWhere``) imposes; for mutable partition values use
+  ``partition_by=None`` (full-table merge).
 - Clause conditions are Column expressions evaluated post-join — Catalyst
   pushes what it can; the survivor projection is whole-stage-codegen'd.
 """
@@ -120,7 +129,15 @@ def merge_parquet(
         prune_to = [
             r[0] for r in batch.select(partition_by).distinct().collect()
         ]
-        target = target.filter(F.col(partition_by).isin(prune_to))
+        # isin() never matches NULL (SQL IN semantics) — a batch touching
+        # the null partition must pull the target's null partition too, or
+        # the dynamic overwrite would rewrite it from the batch alone and
+        # destroy its existing rows
+        non_null = [v for v in prune_to if v is not None]
+        prune_filter = F.col(partition_by).isin(non_null)
+        if len(non_null) < len(prune_to):
+            prune_filter = prune_filter | F.col(partition_by).isNull()
+        target = target.filter(prune_filter)
 
     src = batch.alias("src")
     tgt = target.alias("tgt")
@@ -132,10 +149,25 @@ def merge_parquet(
     src_present = F.col(_SRC).isNotNull()
     tgt_present = F.col(_TGT).isNotNull()
 
-    upd_cond = _as_cond(matched_update_condition) if matched_update is not False else F.lit(False)
-    del_cond = _as_cond(matched_delete_condition)
-    ins_cond = _as_cond(not_matched_insert_condition) if not_matched_insert else F.lit(False)
-    nmbs_cond = _as_cond(nmbs)
+    # ANSI MERGE: a clause fires only when its condition is TRUE — a NULL
+    # condition (e.g. a predicate over a NULL column) must behave like
+    # FALSE. Without the coalesce, ~NULL is NULL, filter() drops the row,
+    # and a NULL delete-condition would DELETE instead of keep.
+    def fired(cond: Column) -> Column:
+        return F.coalesce(cond, F.lit(False))
+
+    upd_cond = (
+        fired(_as_cond(matched_update_condition))
+        if matched_update is not False
+        else F.lit(False)
+    )
+    del_cond = fired(_as_cond(matched_delete_condition))
+    ins_cond = (
+        fired(_as_cond(not_matched_insert_condition))
+        if not_matched_insert
+        else F.lit(False)
+    )
+    nmbs_cond = fired(_as_cond(nmbs))
 
     keep = F.when(
         src_present & tgt_present,
