@@ -191,3 +191,40 @@ def test_streaming_sessions_subset_of_batch_sessions(spark, tmp_path):
     # append mode emits only watermark-closed sessions; each one must agree
     # exactly with the batch sessionization over the same interval
     assert emitted <= batch_sessions
+
+
+def test_streaming_curation_matches_batch_prefix(spark, sf_smoke, tmp_path):
+    """The streaming curation twin must agree with the batch pipeline's
+    stateless prefix (redact -> gate -> exact dedup) on the same corpus:
+    same survivor count, no PII in output, one row per fingerprint."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import text as text_ops
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.jobs import (
+        streaming_curate_documents,
+    )
+
+    batch = load_table(spark, sf_smoke, "documents")
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    (stream_dir / "documents.parquet").symlink_to(f"{sf_smoke}/documents.parquet")
+    schema = spark.read.parquet(f"{sf_smoke}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(str(stream_dir))
+
+    _run_to_memory(
+        streaming_curate_documents(stream, min_quality=0.3), "curated_docs"
+    )
+    got = spark.sql("SELECT * FROM curated_docs")
+
+    redacted = batch.withColumn("text", text_ops.redact_pii(F.col("text")))
+    gated = redacted.where(text_ops.quality_score(F.col("text")) >= 0.3)
+    expected_fps = {
+        r["fp"]
+        for r in gated.select(
+            text_ops.fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    got_fps = [r["fp16"] for r in got.select("fp16").collect()]
+    assert set(got_fps) == expected_fps
+    assert len(got_fps) == len(set(got_fps))  # one survivor per fingerprint
+    assert (
+        got.where(F.col("text").rlike(r"[\w.+-]+@[\w-]+\.[\w.]+")).count() == 0
+    )

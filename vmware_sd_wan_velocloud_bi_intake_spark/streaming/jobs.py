@@ -89,3 +89,43 @@ def streaming_hourly_scores(
             "n_samples",
         )
     )
+
+
+def streaming_curate_documents(
+    docs: DataFrame,
+    *,
+    min_quality: float = 0.3,
+    allowed_langs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Streaming twin of the curation pipeline's stateless prefix
+    (plans/curation.py stages 1–3): redact PII, gate on quality (and
+    optionally language), then exact-dedup on the normalized-content
+    fingerprint — over a streaming documents source (e.g. ``readStream``
+    on an arriving parquet/file drop).
+
+    Redaction and gating are pure per-row expressions, so they stream for
+    free. Dedup state is keyed by the 16-char md5 fingerprint —
+    ``dropDuplicates`` keeps the FIRST arrival and suppresses later exact
+    copies. Documents carry no event time, so there is no watermark and
+    fingerprint state grows with the distinct corpus: bounded and fine
+    under ``Trigger.AvailableNow`` batch-drop deployments (state resets
+    per run over the new drop, while cross-run dedup belongs to the
+    idempotent sink / incremental LSH index); for a long-lived continuous
+    stream, bound state with ``dropDuplicatesWithinWatermark`` on an
+    ingest-time column instead.
+
+    The corpus-wide curation stages (near-dup clustering, LM training,
+    decontamination against a full corpus) are deliberately NOT here —
+    they need global visibility and belong to the batch/incremental
+    layer (operators/dedup.py incremental forms).
+    """
+    from ..operators import text
+
+    redacted = docs.withColumn("text", text.redact_pii(F.col("text")))
+    gate = text.quality_score(F.col("text")) >= F.lit(min_quality)
+    if allowed_langs is not None:
+        gate = gate & text.predict_lang(F.col("text")).isin(*allowed_langs)
+    gated = redacted.where(gate)
+    return gated.withColumn(
+        "fp16", text.fingerprint(F.col("text"))
+    ).dropDuplicates(["fp16"])
