@@ -1,0 +1,66 @@
+"""Table profiling (operators/profile.py) against exact DuckDB statistics."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from vmware_sd_wan_velocloud_bi_intake_spark.operators.profile import profile_table
+from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+
+def test_profile_matches_exact_stats(spark, sf_correct):
+    docs = load_table(spark, sf_correct, "documents")
+    prof = {r["column"]: r for r in profile_table(docs).collect()}
+    con = duckdb.connect()
+    exact = con.execute(
+        f"""SELECT COUNT(*) AS n,
+                   COUNT(DISTINCT doc_id) AS ndv_id,
+                   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+                   COUNT(DISTINCT lang) AS ndv_lang,
+                   SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nul_lang
+            FROM read_parquet('{sf_correct}/documents.parquet')"""
+    ).fetchone()
+    n, ndv_id, min_id, max_id, ndv_lang, nul_lang = exact
+    assert prof["doc_id"]["n_rows"] == n
+    assert prof["doc_id"]["n_nulls"] == 0
+    assert prof["doc_id"]["min_str"] == str(min_id)
+    assert prof["doc_id"]["max_str"] == str(max_id)
+    # HLL++ at default precision: ±~2.3% documented, allow 5%
+    assert abs(prof["doc_id"]["ndv_approx"] - ndv_id) <= max(2, 0.05 * ndv_id)
+    assert abs(prof["lang"]["ndv_approx"] - ndv_lang) <= max(2, 0.05 * ndv_lang)
+    assert prof["lang"]["n_nulls"] == nul_lang
+
+
+def test_profile_nulls_and_complex_types(spark, sf_correct):
+    emb = load_table(spark, sf_correct, "embeddings")
+    withnull = emb.withColumn(
+        "label", F.when(F.col("vec_id") % 4 == 0, None).otherwise(F.col("label"))
+    )
+    prof = {r["column"]: r for r in profile_table(withnull).collect()}
+    n = emb.count()
+    expect_null = emb.where("vec_id % 4 = 0").count()
+    assert prof["label"]["n_nulls"] == expect_null
+    assert abs(prof["label"]["null_frac"] - expect_null / n) < 1e-9
+    # array column: nulls-only profile, no lossy casts
+    assert prof["embedding"]["dtype"].startswith("array<")
+    assert prof["embedding"]["ndv_approx"] is None
+    assert prof["embedding"]["min_str"] is None
+
+
+def test_profile_single_scan_no_keyed_shuffle(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = (
+        profile_table(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    # global aggregate: partial/final, never a hash-partitioned exchange
+    assert "hashpartitioning" not in plan.lower(), plan
+
+
+def test_profile_column_subset_and_validation(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    out = profile_table(docs, ["doc_id", "lang"]).collect()
+    assert [r["column"] for r in out] == ["doc_id", "lang"]
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(docs, ["nope"])

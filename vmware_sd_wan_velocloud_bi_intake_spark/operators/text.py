@@ -452,3 +452,65 @@ def remove_boilerplate(
         .withColumnRenamed("doc_id", doc_id)
     )
     return out.select(*df.columns)
+
+
+def chunk_documents(
+    df,
+    doc_id: str,
+    text_col: str,
+    *,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+):
+    """Split long documents into fixed-token-budget chunks with optional
+    overlap — the pre-tokenization step every pretraining pipeline runs on
+    documents longer than the model context (contrast :func:`pack_sequences`,
+    which packs SHORT documents UP to a budget; chunking cuts LONG ones
+    DOWN, and the two compose: chunk, then pack the chunks).
+
+    Returns (doc_id, chunk_id, n_chunks, chunk_text, n_chunk_tokens):
+    ``chunk_id`` is 0-based within the document and chunk boundaries fall
+    on whitespace-token edges. Consecutive chunks share ``overlap_tokens``
+    tokens so no cross-boundary context is ever fully lost (the standard
+    sliding-window rule; stride = chunk − overlap). Documents at or under
+    the budget come back as their own single chunk, so row lineage is
+    total: every input doc appears, every chunk maps to exactly one doc.
+
+    Pure array expressions fused into the scan — tokenization is one
+    ``split``, chunks are ``slice`` windows over the token array via
+    ``transform(sequence(...))``, then one ``posexplode``. No shuffle, no
+    Python; at 100 TB this is scan-bound exactly like the profile ops.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("overlap_tokens must satisfy 0 <= overlap < chunk")
+    stride = chunk_tokens - overlap_tokens
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    # number of stride-starts needed to cover n tokens: ceil((n-overlap)/stride),
+    # floored at 1 so empty/short docs yield exactly one chunk
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap_tokens)).cast("double") / F.lit(stride)).cast(
+            "int"
+        ),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * stride + 1, chunk_tokens), " "
+        ),
+    )
+    staged = df.select(
+        F.col(doc_id).alias("doc_id"),
+        n_chunks.alias("n_chunks"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    )
+    return staged.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunks",
+        "chunk_text",
+        token_count(F.col("chunk_text")).alias("n_chunk_tokens"),
+    )
