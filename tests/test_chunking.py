@@ -16,8 +16,7 @@ _STRIDE = _CHUNK - _OVER
 
 CHUNK_ORACLE = rf"""
 WITH toks AS (
-  SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w
   FROM documents
 ), sized AS (
   SELECT doc_id, w,
@@ -58,6 +57,14 @@ def test_chunking_model(spark):
     assert c1[0]["chunk_text"].split()[-1] == c1[1]["chunk_text"].split()[0]
     # short + empty docs: single chunk, lineage total
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc"
+    # casing and punctuation survive chunking (training text, not a dedup key)
+    cased = spark.createDataFrame(
+        [(9, "The CEO said:\n\nHello World")], ["doc_id", "text"]
+    )
+    out = text.chunk_documents(
+        cased, "doc_id", "text", chunk_tokens=100
+    ).collect()[0]
+    assert out["chunk_text"] == "The CEO said: Hello World"
     assert len(by_doc[3]) == 1 and by_doc[3][0]["n_chunk_tokens"] == 0
 
 

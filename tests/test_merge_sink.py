@@ -232,3 +232,29 @@ def test_merge_partitioned_null_partition_preserved(spark, tmp_path):
         (3, "m1", 30),
         (4, None, 40),
     }
+
+
+def test_merge_partitioned_fully_deleted_partition_is_dropped(spark, tmp_path):
+    """Dynamic overwrite writes nothing for a partition whose rows all
+    deleted — the sink must drop the stale directory instead of silently
+    resurrecting the rows on the next read."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "m1", 10), (2, "m1", 20), (3, "m2", 30)],
+        "k int, month string, n int",
+    )
+    merge_parquet(spark, df, path, ["k"], partition_by="month")
+    batch = spark.createDataFrame(
+        [(1, "m1", 0), (2, "m1", 0)], "k int, month string, n int"
+    )
+    merge_parquet(
+        spark,
+        batch,
+        path,
+        ["k"],
+        partition_by="month",
+        matched_delete_condition=True,
+        not_matched_insert=False,
+    )
+    assert not os.path.exists(os.path.join(path, "month=m1"))
+    assert _rows(spark, path, cols=("k", "month", "n")) == {(3, "m2", 30)}

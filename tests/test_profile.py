@@ -64,3 +64,9 @@ def test_profile_column_subset_and_validation(spark, sf_smoke):
     assert [r["column"] for r in out] == ["doc_id", "lang"]
     with pytest.raises(ValueError, match="unknown columns"):
         profile_table(docs, ["nope"])
+
+
+def test_profile_rejects_duplicate_columns(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    with pytest.raises(ValueError, match="duplicate columns"):
+        profile_table(docs, ["doc_id", "doc_id"])

@@ -103,3 +103,35 @@ def test_temperature_mixture_targets_and_determinism(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_temperature_mixture_null_stratum_and_big_leftover(spark):
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.sampling import (
+        _apportion,
+        temperature_mixture,
+    )
+
+    # NULL is a real stratum: counted, capped, and joined back null-safely
+    rows = [(i, None) for i in range(50)] + [(100 + i, "en") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_mixture(df, "source", "doc_id", total_rows=20, alpha=1.0)
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {None: 10, "en": 10}
+
+    # all-NULL stratum column must not crash schema inference
+    allnull = spark.createDataFrame(
+        [(i, None) for i in range(10)], "doc_id int, source string"
+    )
+    assert temperature_mixture(allnull, "source", "doc_id", 4).count() == 4
+
+    # apportionment is arithmetic per round, not one iteration per row:
+    # a huge leftover against one open stratum must resolve instantly
+    import time
+
+    t0 = time.perf_counter()
+    caps = _apportion({"a": 1.0, "b": 1.0}, {"a": 10**9, "b": 10}, 10**8)
+    assert caps == {"a": 10**8 - 10, "b": 10}
+    assert time.perf_counter() - t0 < 1.0

@@ -38,6 +38,11 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"profile_table: unknown columns {missing}")
+    if len(set(cols)) != len(cols):
+        # duplicate names would build duplicate agg aliases and surface as
+        # an opaque ambiguous-reference AnalysisException at plan time
+        dupes = sorted({c for c in cols if cols.count(c) > 1})
+        raise ValueError(f"profile_table: duplicate columns {dupes}")
     dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:

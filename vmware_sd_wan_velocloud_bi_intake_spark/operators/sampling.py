@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _rank_in_stratum(df: DataFrame, stratum: str, id_col: str) -> DataFrame:
@@ -90,39 +91,75 @@ def temperature_mixture(
     if not counts:
         return df.limit(0)
     weights = {r[stratum]: float(r["n"]) ** alpha for r in counts}
-    z = sum(weights.values())
-    # largest-remainder apportionment: independent per-stratum rounding
-    # drifts from total_rows (three equal thirds of 10 would round to 3+3+3)
-    # and rounds small shares to zero; floors + remainder distribution hits
-    # the total exactly whenever capacity allows, deterministically
-    # (remainder desc, then stratum value for ties)
     sizes = {r[stratum]: int(r["n"]) for r in counts}
-    targets = {k: total_rows * w / z for k, w in weights.items()}
-    caps_map = {k: min(sizes[k], int(targets[k])) for k in targets}
-    leftover = total_rows - sum(caps_map.values())
-    order = sorted(
-        targets,
-        key=lambda k: (-(targets[k] - int(targets[k])), str(k)),
-    )
-    while leftover > 0:
-        progressed = False
-        for k in order:
-            if leftover == 0:
-                break
-            if caps_map[k] < sizes[k]:
-                caps_map[k] += 1
-                leftover -= 1
-                progressed = True
-        if not progressed:
-            break  # every stratum exhausted — documented shortfall
-    caps = list(caps_map.items())
+    caps_map = _apportion(weights, sizes, total_rows)
     spark = df.sparkSession
-    caps_df = spark.createDataFrame(
-        [(k, int(c)) for k, c in caps], [stratum, "__cap"]
+    # explicit schema from the input (a plain column list would re-infer
+    # types and CRASH on an all-NULL stratum key)
+    caps_schema = T.StructType(
+        [
+            df.schema[stratum],
+            T.StructField("__cap", T.LongType(), False),
+        ]
     )
+    caps_df = spark.createDataFrame(
+        [(k, int(c)) for k, c in caps_map.items()], caps_schema
+    ).withColumnRenamed(stratum, "__stratum_key")
     ranked = _rank_in_stratum(df, stratum, id_col)
     return (
-        ranked.join(F.broadcast(caps_df), stratum)
+        ranked.join(
+            F.broadcast(caps_df),
+            # NULL is a real stratum: groupBy counted it and the caps
+            # allocated to it, so the join must match it too — a plain
+            # equi-join would silently drop every NULL-stratum row and
+            # break the exactly-total_rows contract
+            F.col(stratum).eqNullSafe(F.col("__stratum_key")),
+        )
         .where(F.col("__rk") <= F.col("__cap"))
-        .drop("__rk", "__cap")
+        .drop("__rk", "__cap", "__stratum_key")
     )
+
+
+def _apportion(
+    weights: dict, sizes: dict, total: int
+) -> dict:
+    """Capacity-capped proportional apportionment with largest remainder.
+
+    Iterative: each round distributes the outstanding total across the
+    still-open strata proportionally to their weights (floors + largest
+    fractional remainder, ties broken by stratum repr — deterministic),
+    capped at capacity. A round either places everything or exhausts at
+    least one stratum, so the loop runs at most |strata| rounds of pure
+    arithmetic — never one Python iteration per allocated ROW (an early
+    form did +1 per row per pass: O(total) driver time at 1e8 rows).
+    Shortfall remains only when every stratum is exhausted.
+    """
+    caps = {k: 0 for k in weights}
+    remaining = total
+    while remaining > 0:
+        open_ = [k for k in weights if caps[k] < sizes[k]]
+        if not open_:
+            break
+        z = sum(weights[k] for k in open_)
+        shares = {
+            k: (remaining * weights[k] / z if z > 0 else remaining / len(open_))
+            for k in open_
+        }
+        floors = {k: min(sizes[k] - caps[k], int(shares[k])) for k in open_}
+        for k in open_:
+            caps[k] += floors[k]
+        placed = sum(floors.values())
+        frac_order = sorted(
+            open_,
+            key=lambda k: (-(shares[k] - int(shares[k])), str(k)),
+        )
+        for k in frac_order:
+            if placed >= remaining:
+                break
+            if caps[k] < sizes[k]:
+                caps[k] += 1
+                placed += 1
+        if placed == 0:
+            break  # open strata exist but nothing placeable this round
+        remaining -= placed
+    return caps

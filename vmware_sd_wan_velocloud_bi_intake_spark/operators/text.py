@@ -475,6 +475,9 @@ def chunk_documents(
     sliding-window rule; stride = chunk − overlap). Documents at or under
     the budget come back as their own single chunk, so row lineage is
     total: every input doc appears, every chunk maps to exactly one doc.
+    ``chunk_text`` preserves the original casing and characters; the one
+    lossy step is that whitespace RUNS collapse to single spaces (token
+    rejoin — newline structure does not survive a token-window cut).
 
     Pure array expressions fused into the scan — tokenization is one
     ``split``, chunks are ``slice`` windows over the token array via
@@ -486,7 +489,14 @@ def chunk_documents(
     if not 0 <= overlap_tokens < chunk_tokens:
         raise ValueError("overlap_tokens must satisfy 0 <= overlap < chunk")
     stride = chunk_tokens - overlap_tokens
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    # tokenize the RAW text (non-whitespace runs): chunk output is training
+    # text, so casing and punctuation must survive — normalize_text here
+    # would silently lowercase the whole corpus. Within a chunk, runs of
+    # whitespace collapse to single spaces (the one lossy step; inherent
+    # to token-array rejoin and disclosed above).
+    toks = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(r"\S+"), 0
+    )
     n = F.size(toks)
     # number of stride-starts needed to cover n tokens: ceil((n-overlap)/stride),
     # floored at 1 so empty/short docs yield exactly one chunk

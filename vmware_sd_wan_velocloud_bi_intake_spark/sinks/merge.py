@@ -197,7 +197,49 @@ def merge_parquet(
         )
 
     out = joined.filter(keep).select(*[value_of(c).alias(c) for c in cols])
-    _write(out, path, partition_by, prune_to=prune_to)
+    if partition_by is None:
+        _write(out, path, partition_by, prune_to=None)
+        return
+    # Dynamic partition overwrite only replaces partitions PRESENT in the
+    # written frame: a pruned partition whose every row was deleted would
+    # produce no files — and keep its stale directory, silently
+    # resurrecting the "deleted" rows. Materialize the merge result once,
+    # find which pruned partitions survived, and drop the emptied ones'
+    # directories after the write.
+    out = out.persist()
+    try:
+        present = {
+            r[0] for r in out.select(partition_by).distinct().collect()
+        }
+        _write(out, path, partition_by, prune_to=prune_to)
+    finally:
+        out.unpersist()
+    emptied = [v for v in prune_to if v not in present]
+    if emptied:
+        _drop_partition_dirs(path, partition_by, emptied)
+
+
+def _drop_partition_dirs(path: str, partition_by: str, values: list) -> None:
+    """Remove the partition directories for ``values`` (local-FS layout;
+    a cluster deployment swaps this for the Hadoop FileSystem API call).
+
+    Directory names are matched by DECODING the on-disk names (Spark
+    escapes special chars to %XX, ``__HIVE_DEFAULT_PARTITION__`` encodes
+    NULL) rather than re-implementing the escaper — decoding is the
+    unambiguous direction.
+    """
+    import shutil
+    from urllib.parse import unquote
+
+    wanted = {("\0NULL" if v is None else str(v)) for v in values}
+    prefix = f"{partition_by}="
+    for entry in os.listdir(path):
+        if not entry.startswith(prefix):
+            continue
+        raw = entry[len(prefix):]
+        decoded = "\0NULL" if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+        if decoded in wanted:
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
 
 
 def _write(
