@@ -38,7 +38,7 @@ def test_codebook_shape_and_determinism(emb, books):
 
 
 def test_encode_matches_numpy_argmin(spark, emb, books):
-    """The JVM-expression encoder must reproduce np.argmin L2 assignment,
+    """The batched-kernel encoder must reproduce np.argmin L2 assignment,
     including the first-minimum tie rule, on every corpus vector."""
     rows = (
         emb.select(
@@ -159,3 +159,89 @@ def test_pq_members_carry_codes_not_floats(spark, emb):
     row = members_pq.first()
     assert len(row["codes"]) == 8
     assert all(0 <= c < 16 for c in row["codes"])
+
+
+@pytest.fixture(scope="module")
+def aniso(spark, emb):
+    """Anisotropic corpus: scale each dim by a ramp, then mix through a
+    fixed dense rotation so the variance is NOT axis-aligned (the case
+    where plain PQ's fixed subspace split misallocates codebook capacity).
+    """
+    scales = [0.2 + 3.0 * d / 64 for d in range(64)]
+    rng = np.random.default_rng(42)
+    Q, _ = np.linalg.qr(rng.standard_normal((64, 64)))
+    mixed = emb.select(
+        "vec_id",
+        pq.rotate_expr(
+            "embedding", [[float(x) for x in row] for row in Q]
+        ).alias("e1"),
+    ).select(
+        "vec_id",
+        F.expr(
+            "transform(e1, (x, i) -> x * element_at(array({}), i+1))".format(
+                ",".join(f"{s}D" for s in scales)
+            )
+        ).alias("embedding"),
+    ).cache()
+    mixed.count()
+    yield mixed
+    mixed.unpersist()
+
+
+def test_opq_rotation_properties(emb):
+    R = pq.train_opq_rotation(emb, m=8)
+    Rm = np.asarray(R)
+    # orthonormal -> preserves every dot product / cosine
+    assert float(np.abs(Rm @ Rm.T - np.eye(64)).max()) < 1e-9
+    # deterministic retrain (fixed partitioning; sign gauge pinned)
+    assert R == pq.train_opq_rotation(emb, m=8)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.train_opq_rotation(emb, m=7)
+
+
+def test_opq_covariance_matches_local_numpy(spark, emb):
+    """The distributed (X^T X, sum x, n) partials must reproduce the plain
+    single-process covariance eigenbasis."""
+    X = np.stack(
+        [
+            np.asarray(r["v"])
+            for r in emb.select(
+                similarity.as_double_array(F.col("embedding")).alias("v")
+            ).collect()
+        ]
+    )
+    cov = np.cov(X, rowvar=False, bias=True)
+    evals_local = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    R = np.asarray(pq.train_opq_rotation(emb, m=8))
+    # rows of R are eigen-directions: variance along each row must equal an
+    # eigenvalue; striping permutes but preserves the multiset
+    var_along = np.sort(np.einsum("ij,jk,ik->i", R, cov, R))[::-1]
+    assert np.allclose(np.sort(var_along), np.sort(evals_local), atol=1e-9)
+
+
+def test_opq_rotation_lifts_anisotropic_recall(spark, aniso):
+    """The OPQ claim, measured: on the mixed anisotropic corpus the
+    rotated index beats the plain one at identical knobs (measured 0.326
+    vs 0.207 recall@3; deterministic pipeline, floors guard regressions).
+    """
+    truth = similarity.cosine_topk_pairs_hof(aniso, k=3).collect()
+    c1, m1, b1 = pq.ivf_pq_index(aniso, m=8, ksub=16, train_iters=6)
+    r_plain = _recall_at_k(
+        pq.ann_ivf_pq_topk(aniso, c1, m1, b1, k=3, nprobe=4).collect(),
+        truth,
+        3,
+    )
+    R = pq.train_opq_rotation(aniso, m=8)
+    c2, m2, b2 = pq.ivf_pq_index(
+        aniso, m=8, ksub=16, train_iters=6, rotation=R
+    )
+    r_rot = _recall_at_k(
+        pq.ann_ivf_pq_topk(
+            aniso, c2, m2, b2, k=3, nprobe=4, rotation=R
+        ).collect(),
+        truth,
+        3,
+    )
+    print(f"\nOPQ anisotropic recall@3: plain={r_plain:.3f} rotated={r_rot:.3f}")
+    assert r_rot >= r_plain + 0.05, (r_rot, r_plain)
+    assert r_rot >= 0.28, r_rot

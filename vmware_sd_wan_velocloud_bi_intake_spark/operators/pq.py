@@ -185,6 +185,7 @@ def ivf_pq_index(
     vec_id: str = "vec_id",
     embedding: str = "embedding",
     train_iters: int = 10,
+    rotation: list[list[float]] | None = None,
 ) -> tuple[DataFrame, DataFrame, list[list[list[float]]]]:
     """Build (centroids, pq_members, codebooks).
 
@@ -192,9 +193,16 @@ def ivf_pq_index(
     norm per vector instead of the float payload; write it bucketed on
     ``cell`` like the float IVF index. Cell assignment uses the trained
     spherical-k-means coarse quantizer from operators/similarity.
+
+    ``rotation`` (from :func:`train_opq_rotation`) moves the whole index
+    into the rotated space — coarse quantizer, codebooks, and codes; pass
+    the SAME matrix to :func:`ann_ivf_pq_topk`. Orthonormality preserves
+    cosines, so results are comparable against unrotated ground truth.
     """
     from .similarity import _assign_cells, train_centroids
 
+    if rotation is not None:
+        emb = emb.withColumn(embedding, rotate_expr(embedding, rotation))
     base = emb.select(
         F.col(vec_id).alias("vid"),
         as_double_array(F.col(embedding)).alias("v"),
@@ -226,6 +234,7 @@ def ann_ivf_pq_topk(
     members: DataFrame | None = None,
     vec_id: str = "vec_id",
     embedding: str = "embedding",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ search: probe cells, ADC-score codes, optional exact rerank.
 
@@ -233,6 +242,11 @@ def ann_ivf_pq_topk(
     approximate cosine — or the exact cosine when ``refine`` is set (the
     top ``refine`` ADC candidates per query re-scored against the float
     vectors in ``members`` (vid, v, nrm); refine ≥ k required).
+
+    Pass the index's ``rotation`` to probe/score in the rotated space the
+    codes live in. The refine rerank deliberately stays in the ORIGINAL
+    space (exact cosines are rotation-invariant), so the float members
+    relation never needs rotating.
 
     Shuffle shape: centroid broadcast → nprobe cells per query; the member
     join is keyed by cell (bucketed members ⇒ no corpus-side exchange);
@@ -248,6 +262,12 @@ def ann_ivf_pq_topk(
         F.col(vec_id).alias("query_id"),
         as_double_array(F.col(embedding)).alias("qv"),
     ).withColumn("qnrm", l2_norm(F.col("qv")))
+    # probe + LUT run in the index's space; `qv` stays original for refine
+    # (‖Rv‖ = ‖v‖, so qnrm serves both spaces)
+    probe_col = "qv"
+    if rotation is not None:
+        q = q.withColumn("qv_rot", rotate_expr("qv", rotation))
+        probe_col = "qv_rot"
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("cell_cos").desc(), F.col("cell")
     )
@@ -255,7 +275,7 @@ def ann_ivf_pq_topk(
         q.join(F.broadcast(centroids))
         .withColumn(
             "cell_cos",
-            dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm")),
+            dot(F.col(probe_col), F.col("cv")) / (F.col("qnrm") * F.col("cnrm")),
         )
         .withColumn("prn", F.row_number().over(probe_w))
         .where(F.col("prn") <= nprobe)
@@ -265,7 +285,7 @@ def ann_ivf_pq_topk(
         .select(
             "query_id",
             "qv",
-            pq_lut_expr("qv", codebooks).alias("lut"),
+            pq_lut_expr(probe_col, codebooks).alias("lut"),
             "cell",
         )
     )
@@ -308,3 +328,96 @@ def ann_ivf_pq_topk(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "score", "rk")
     )
+
+
+def train_opq_rotation(
+    emb: DataFrame,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+    m: int = 8,
+) -> list[list[float]]:
+    """OPQ-lite rotation: PCA eigenbasis with eigen-dimensions STRIPED
+    across the PQ subspaces.
+
+    Real embeddings are anisotropic — a few directions carry most of the
+    variance. Plain PQ then wastes codebook capacity: whichever subspace
+    happens to hold the high-variance dims dominates quantization error.
+    The classic OPQ fix (Ge et al., the non-parametric variant's
+    initialization): rotate into the PCA basis, then deal eigen-dims
+    round-robin to subspaces (dim i → subspace i mod m) so each subspace
+    receives an even mix of high- and low-variance directions. An
+    orthonormal rotation preserves dot products, so rotating BOTH corpus
+    and queries leaves true cosines untouched — only quantization error
+    changes.
+
+    The covariance is distributed: each partition reduces its Arrow
+    batches to (XᵀX, Σx, n) partials via numpy — d×d doubles per
+    PARTITION, not per row — and the driver sums the partials and runs
+    the d×d eigendecomposition (64×64 here: microseconds). Deterministic
+    for a fixed partitioning (partial summation order follows partition
+    ids); the sign convention (largest-|component| positive) fixes the
+    eigenvector gauge.
+
+    Returns the d×d rotation R as nested lists; apply with
+    :func:`rotate_expr` (rows become ``R·v`` in the striped order).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    base = emb.select(as_double_array(F.col(embedding)).alias("v"))
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            yield pd.DataFrame(
+                {
+                    "xtx": [X.T @ X],
+                    "sx": [X.sum(axis=0)],
+                    "n": [len(X)],
+                }
+            )
+
+    rows = base.mapInPandas(
+        partials, "xtx array<array<double>>, sx array<double>, n long"
+    ).collect()
+    xtx = sum(np.asarray(r["xtx"]) for r in rows)
+    sx = sum(np.asarray(r["sx"]) for r in rows)
+    n = sum(r["n"] for r in rows)
+    mean = sx / max(n, 1)
+    cov = xtx / max(n, 1) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(evals)[::-1]  # descending variance
+    evecs = evecs[:, order]
+    # deterministic sign: make each eigenvector's largest-|.| entry positive
+    for j in range(evecs.shape[1]):
+        i = int(np.argmax(np.abs(evecs[:, j])))
+        if evecs[i, j] < 0:
+            evecs[:, j] = -evecs[:, j]
+    d = evecs.shape[0]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    # striped allocation: output dim position for PCA component c is
+    # (c mod m)*dsub + c//m — subspace (c mod m) receives components
+    # c, c+m, c+2m, ... i.e. an even spread of the variance spectrum
+    dsub = d // m
+    perm = np.empty(d, dtype=np.int64)
+    for c in range(d):
+        perm[(c % m) * dsub + c // m] = c
+    R = evecs[:, perm].T  # rows of R are the (striped) eigen-directions
+    return [[float(x) for x in row] for row in R]
+
+
+def rotate_expr(v: str, rotation: list[list[float]]) -> Column:
+    """``R·v`` over the raw vector column named ``v`` — batched numpy
+    matmul (same kernel discipline as encode/LUT). Rotate corpus AND
+    queries with the SAME matrix; orthonormality preserves true cosines.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    R = np.asarray(rotation, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def rot(vs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        return pd.Series(list(X @ R.T))
+
+    return rot(F.col(v))
