@@ -159,3 +159,7 @@ def test_a19_and_a22_have_no_expand(spark, sf_smoke):
     # the sketch branch's ObjectHashAggregate must exist independently
     plan22 = _plan(spark, sf_smoke, "a22_sketch_stats")
     assert "ObjectHashAggregate" in plan22
+    # round 6: the exact-percentile anchor (O(group) value buffer) is gone —
+    # every percentile in the plan is the fixed-memory sketch form, and the
+    # rank-verification branch joins the 3-row estimates by broadcast
+    assert plan22.count("percentile(") == plan22.count("approx_percentile(")

@@ -75,4 +75,4 @@ def test_a22_matches_fused_aggregate_on_nulls(spark, null_sf_dir):
     # and the within-tolerance anchors hold on this data too
     for r in got.collect():
         assert r["supp_within_5pct"] and r["part_within_5pct"]
-        assert r["p50_within_2pct"] and r["p90_within_2pct"]
+        assert r["p50_rank_ok"] and r["p90_rank_ok"]

@@ -32,19 +32,14 @@ _SW = {
 def txt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    # The fixture text is PII-free word salad, so a redaction pass over it
-    # alone would verify only the no-false-positive direction. Both engines
-    # append the SAME deterministic doc_id-derived contact line (email + IP +
-    # separator phone + card digits + bare E.164 run) and redact THAT — the
-    # md5 of the redacted string then verifies every pattern end-to-end.
-    aug = F.concat(
-        t,
-        F.lit(" contact u"),
-        F.col("doc_id").cast("string"),
-        F.lit("@ex.org ip 10.1.2."),
-        (F.col("doc_id") % 250).cast("string"),
-        F.lit(" card 4111222233334444 tel 555-123-4567 raw +15551234567"),
-    )
+    # PII columns run over the RAW text — the production shape (rounds 2–5
+    # concatenated a synthetic contact line per row so the oracle would
+    # exercise all four patterns; that harness logic tripled the vehicle at
+    # sf0.1 and now lives in ``txt_pii_augmented`` below, oracle-verified at
+    # sf0.01 by tests/test_text_pipeline.py). On PII-free fixture text the
+    # raw-text chain still verifies ordering + the no-false-positive
+    # direction cross-engine via ``pii_md5``, and a no-match regexp_replace
+    # returns its input cheaply, so the chain rides the scan at ~zero cost.
     # Stage the shared heavy intermediates (normalized text, its token
     # array, the bigram array) as real columns: CollapseProject keeps a
     # projection boundary when a produced non-cheap expression is consumed
@@ -59,7 +54,6 @@ def txt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "text",
             text.normalize_text(t).alias("_norm"),
-            aug.alias("_aug"),
         )
         .select("*", F.split(F.col("_norm"), " ").alias("_toks"))
         .select("*", text.bigrams_from(F.col("_toks")).alias("_bigrams"))
@@ -90,8 +84,8 @@ def txt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.predict_lang(t).alias("lang_pred"),
         text.fingerprint_from(norm).alias("fp16"),
         F.length(norm).alias("n_norm_chars"),
-        text.pii_count(F.col("_aug")).alias("n_pii"),
-        F.md5(text.redact_pii(F.col("_aug"))).alias("pii_md5"),
+        text.pii_count(t).alias("n_pii"),
+        F.md5(text.redact_pii(t)).alias("pii_md5"),
         F.round(text.dup_token_fraction_from(toks), 6).alias("dup_tok_frac_r6"),
         F.round(text.top_bigram_fraction_from(g), 6).alias("top2_frac_r6"),
     )
@@ -104,9 +98,6 @@ WITH base AS (
     lang,
     source,
     text,
-    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.org ip 10.1.2.'
-      || CAST(doc_id % 250 AS VARCHAR)
-      || ' card 4111222233334444 tel 555-123-4567 raw +15551234567' AS aug,
     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w,
     len(regexp_extract_all(coalesce(text, ''), '\S+')) AS n_tokens,
     GREATEST(length(text), 1) AS n_chars,
@@ -127,7 +118,7 @@ WITH base AS (
   FROM base
 ), red AS (
   -- sequential PII redaction, same pattern order as operators.text.PII_PATTERNS
-  SELECT *, regexp_replace(aug, '__PII_EMAIL__', '<EMAIL>', 'g') AS r1 FROM scored
+  SELECT *, regexp_replace(text, '__PII_EMAIL__', '<EMAIL>', 'g') AS r1 FROM scored
 ), red2 AS (
   SELECT *, regexp_replace(r1, '__PII_IP__', '<IP>', 'g') AS r2 FROM red
 ), red3 AS (
@@ -161,7 +152,7 @@ SELECT
        ELSE 'unk' END AS lang_pred,
   substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp16,
   length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_norm_chars,
-  len(regexp_extract_all(aug, '__PII_EMAIL__'))
+  len(regexp_extract_all(text, '__PII_EMAIL__'))
     + len(regexp_extract_all(r1, '__PII_IP__'))
     + len(regexp_extract_all(r2, '__PII_PHONE__'))
     + len(regexp_extract_all(r3, '__PII_NUM__')) AS n_pii,
@@ -173,10 +164,69 @@ SELECT
 FROM grams
 """
 
+# --------------------------------------------------------------------------
+# All-four-PII-pattern verification vehicle (pytest-only, outside the
+# 50-entry driver window — tests/test_text_pipeline.py runs it through the
+# identical compare() harness at sf0.01). The fixture text is PII-free word
+# salad, so the hot txt_profile vehicle redacting RAW text verifies only the
+# no-false-positive direction; this vehicle appends the SAME deterministic
+# doc_id-derived contact line (email + IP + separator phone + card digits +
+# bare E.164 run) on both engines and hash-compares the md5 of the redacted
+# string — every pattern verified end-to-end without riding the sf0.1 bench.
+# --------------------------------------------------------------------------
+def txt_pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.org ip 10.1.2."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" card 4111222233334444 tel 555-123-4567 raw +15551234567"),
+    )
+    return docs.select(
+        "doc_id",
+        text.pii_count(aug).alias("n_pii"),
+        F.md5(text.redact_pii(aug)).alias("pii_md5"),
+    )
+
+
+TXT_PII_AUGMENTED_ORACLE = r"""
+WITH base AS (
+  SELECT
+    doc_id,
+    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.org ip 10.1.2.'
+      || CAST(doc_id % 250 AS VARCHAR)
+      || ' card 4111222233334444 tel 555-123-4567 raw +15551234567' AS aug
+  FROM documents
+), red AS (
+  -- sequential PII redaction, same pattern order as operators.text.PII_PATTERNS
+  SELECT *, regexp_replace(aug, '__PII_EMAIL__', '<EMAIL>', 'g') AS r1 FROM base
+), red2 AS (
+  SELECT *, regexp_replace(r1, '__PII_IP__', '<IP>', 'g') AS r2 FROM red
+), red3 AS (
+  SELECT *, regexp_replace(r2, '__PII_PHONE__', '<PHONE>', 'g') AS r3 FROM red2
+), red4 AS (
+  SELECT *, regexp_replace(r3, '__PII_NUM__', '<NUM>', 'g') AS r4 FROM red3
+)
+SELECT
+  doc_id,
+  len(regexp_extract_all(aug, '__PII_EMAIL__'))
+    + len(regexp_extract_all(r1, '__PII_IP__'))
+    + len(regexp_extract_all(r2, '__PII_PHONE__'))
+    + len(regexp_extract_all(r3, '__PII_NUM__')) AS n_pii,
+  md5(r4) AS pii_md5
+FROM red4
+"""
+
+
 # inject the PII pattern literals AFTER f-interpolation: the patterns contain
 # regex braces ({2,}) that an f-string would treat as replacement fields
 for _kind, _pat in text.PII_PATTERNS:
     TXT_PROFILE_ORACLE = TXT_PROFILE_ORACLE.replace(f"__PII_{_kind}__", _pat)
+    TXT_PII_AUGMENTED_ORACLE = TXT_PII_AUGMENTED_ORACLE.replace(
+        f"__PII_{_kind}__", _pat
+    )
 
 
 # --------------------------------------------------------------------------
