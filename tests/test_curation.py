@@ -153,6 +153,17 @@ def test_perplexity_gate_drops_exactly_over_cap(spark, docs):
     gated = curate_corpus(docs, min_quality=0.2, max_perplexity=cap)
     got = {r["doc_id"] for r in gated.gated.select("doc_id").collect()}
     assert got == expect_kept
+    # the LM gate persists the pre-gate corpus (materialized by training's
+    # vocab action) so scoring/semi-join/dedup reuse one evaluation;
+    # release() must hand the memory back and be idempotent
+    assert len(gated.cached) == 1
+    assert gated.cached[0].storageLevel.useMemory
+    released = gated.cached[0]
+    gated.release()
+    assert not released.storageLevel.useMemory
+    gated.release()
+    # without the LM gate nothing is persisted
+    assert base.cached == []
     # and with the gate off, nothing changes vs the base run
     assert {
         r["doc_id"] for r in base.curated.select("doc_id").collect()

@@ -133,3 +133,31 @@ def test_lm_score_broadcasts_model(spark, sf_smoke):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lm_context_broadcast_is_statistics_driven(spark, sf_smoke):
+    """The trained vocab_size statistic drives the contexts-join strategy:
+    small vocab -> both model joins carry a broadcast hint; a model claiming
+    a web-scale vocabulary keeps the hint off the unpruned contexts table
+    (AQE decides from runtime sizes instead of a forced driver collect)."""
+    docs = load_table(spark, sf_smoke, "documents")
+    model = lm.train_bigram_lm(docs)
+    assert model.vocab_size <= lm.CONTEXT_BROADCAST_MAX_VOCAB
+
+    def n_hints(m):
+        plan = (
+            lm.score_bigram_logprob(docs, m)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        return plan.count("rightHint=(strategy=broadcast)")
+
+    assert n_hints(model) == 2
+    big_vocab = lm.BigramLM(
+        bigrams=model.bigrams,
+        contexts=model.contexts,
+        vocab_size=lm.CONTEXT_BROADCAST_MAX_VOCAB + 1,
+        smoothing_k=model.smoothing_k,
+    )
+    assert n_hints(big_vocab) == 1

@@ -258,3 +258,30 @@ def test_merge_partitioned_fully_deleted_partition_is_dropped(spark, tmp_path):
     )
     assert not os.path.exists(os.path.join(path, "month=m1"))
     assert _rows(spark, path, cols=("k", "month", "n")) == {(3, "m2", 30)}
+    # manifest cleared on the happy path
+    assert not os.path.exists(os.path.join(path, "_pending_partition_drops.json"))
+
+
+def test_merge_crash_window_drop_recovers(spark, tmp_path):
+    """A crash between the dynamic overwrite and the emptied-partition drop
+    leaves the tombstone manifest behind; the NEXT merge over the table must
+    heal it before reading, so the 'deleted' rows never resurrect."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.sinks import merge as m
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "m1", 10), (2, "m2", 20)], "k int, month string, n int"
+    )
+    merge_parquet(spark, df, path, ["k"], partition_by="month")
+    # simulate the crash window: manifest staged, directory never dropped
+    m._stage_drop_manifest(path, "month", ["m1"])
+    assert os.path.exists(os.path.join(path, "month=m1"))
+    # next merge (touching a different partition) heals first
+    batch = spark.createDataFrame([(2, "m2", 200)], "k int, month string, n int")
+    merge_parquet(spark, batch, path, ["k"], partition_by="month")
+    assert not os.path.exists(os.path.join(path, "month=m1"))
+    assert not os.path.exists(os.path.join(path, m._DROP_MANIFEST))
+    assert _rows(spark, path, cols=("k", "month", "n")) == {(2, "m2", 200)}
+    # the read-time healer is a no-op on a clean table / missing path
+    m.recover_pending_drops(path)
+    m.recover_pending_drops(str(tmp_path / "nope"))

@@ -14,11 +14,11 @@ spam, or wrong-language). Two distributed passes:
    Model truncation is by ``min_count`` (deterministic — no top-k ties),
    mirroring real LM pruning.
 2. **Score** (:func:`score_bigram_logprob`): explode the documents to be
-   scored, left-join the model — broadcast by default (right whenever the
-   pruned model fits an executor; opt out for web-scale vocabularies,
-   where the UNpruned context table can outgrow broadcast and AQE should
-   pick the strategy) — and aggregate back per document: one shuffle
-   keyed by doc_id.
+   scored, left-join the model, and aggregate back per document: one
+   shuffle keyed by doc_id. The pruned bigrams broadcast by default; the
+   UNpruned contexts table broadcasts only when the model's own trained
+   vocabulary statistic proves it small (statistics-driven hint, see the
+   function docstring) — at web-scale vocabularies it is left to AQE.
 
 Probability model: add-k (Lidstone) smoothing over the conditional
 ``P(w2 | w1) = (c(w1,w2) + k) / (c(w1) + k·V)`` with ``V`` = training
@@ -41,6 +41,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import text
+
+# contexts rows above this bound are never hint-broadcast: ~40 B/row of
+# (token, long) puts 1M rows ≈ 40 MB — the edge of a comfortable executor
+# broadcast; beyond it AQE decides from measured sizes
+CONTEXT_BROADCAST_MAX_VOCAB = 1_000_000
 
 
 @dataclass
@@ -113,30 +118,38 @@ def score_bigram_logprob(
     doc_id: str = "doc_id",
     text_col: str = "text",
     *,
-    broadcast_model: bool = True,
+    broadcast_bigrams: bool = True,
+    broadcast_contexts: bool | None = None,
 ) -> DataFrame:
     """(doc_id, n_bigrams, avg_log2p, perplexity) per scored document.
 
     Documents with zero bigrams (≤1 token) score NULL avg/perplexity rather
     than a fake 0 — absence of evidence, surfaced as such.
 
-    ``broadcast_model`` hints both model joins broadcast — right whenever
-    the pruned model fits an executor (the common case after min-count
-    pruning). For web-scale vocabularies note the CONTEXT table is
-    unpruned (every distinct first-token), which can outgrow broadcast;
-    pass ``False`` there and AQE picks the join strategy from actual
-    sizes instead of a forced driver collect.
+    Join strategy is decided PER RELATION (an all-or-nothing flag would
+    force-broadcast the unpruned contexts table alongside the small pruned
+    bigrams): ``broadcast_bigrams`` defaults True — min-count pruning makes
+    that side small-by-construction. ``broadcast_contexts`` defaults None =
+    statistics-driven: the trained model already carries the exact
+    first-token cardinality bound (``vocab_size``, an ANALYZE-style stat
+    collected during training), so the hint is applied only when the
+    context table provably fits an executor broadcast
+    (≤ :data:`CONTEXT_BROADCAST_MAX_VOCAB` rows); above that the relation
+    is left unhinted and AQE picks the strategy from actual runtime sizes.
+    Pass an explicit bool to override either way.
     """
     k = F.lit(model.smoothing_k)
     v = F.lit(float(model.vocab_size))
+    if broadcast_contexts is None:
+        broadcast_contexts = model.vocab_size <= CONTEXT_BROADCAST_MAX_VOCAB
 
-    def side(rel: DataFrame) -> DataFrame:
-        return F.broadcast(rel) if broadcast_model else rel
+    def side(rel: DataFrame, hint: bool) -> DataFrame:
+        return F.broadcast(rel) if hint else rel
 
     occ = _doc_bigrams(df, doc_id, text_col)
     joined = (
-        occ.join(side(model.bigrams), ["w1", "w2"], "left")
-        .join(side(model.contexts), ["w1"], "left")
+        occ.join(side(model.bigrams, broadcast_bigrams), ["w1", "w2"], "left")
+        .join(side(model.contexts, broadcast_contexts), ["w1"], "left")
         .select(
             "doc_id",
             (

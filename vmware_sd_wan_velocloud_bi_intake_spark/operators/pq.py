@@ -207,20 +207,32 @@ def ivf_pq_index(
         F.col(vec_id).alias("vid"),
         as_double_array(F.col(embedding)).alias("v"),
     ).withColumn("nrm", l2_norm(F.col("v")))
-    if n_cells is None:
+    sized = n_cells is None
+    if sized:
+        # persist only for the count + downstream reuse within this builder;
+        # released in the finally so the corpus-sized cache never outlives
+        # the call (callers materialize `members` by writing the index)
         base.persist()
-        n_cells = max(8, math.ceil(math.sqrt(base.count())))
-    cents = train_centroids(
-        emb, n_cells, vec_id=vec_id, embedding=embedding, iters=train_iters
-    )
-    books = train_pq_codebooks(
-        emb, m=m, ksub=ksub, vec_id=vec_id, embedding=embedding,
-        iters=train_iters,
-    )
-    members = _assign_cells(base, cents).select(
-        "cell", "vid", pq_encode_expr("v", books).alias("codes"), "nrm"
-    )
-    return cents, members, books
+    try:
+        if sized:
+            n_cells = max(8, math.ceil(math.sqrt(base.count())))
+        cents = train_centroids(
+            emb, n_cells, vec_id=vec_id, embedding=embedding, iters=train_iters
+        )
+        books = train_pq_codebooks(
+            emb, m=m, ksub=ksub, vec_id=vec_id, embedding=embedding,
+            iters=train_iters,
+        )
+        members = _assign_cells(base, cents).select(
+            "cell", "vid", pq_encode_expr("v", books).alias("codes"), "nrm"
+        )
+        return cents, members, books
+    finally:
+        if sized:
+            # training collected the centroid/codebook state to the driver
+            # above, so nothing still depends on the cached partitions;
+            # blocking=False keeps teardown off the critical path
+            base.unpersist()
 
 
 def ann_ivf_pq_topk(

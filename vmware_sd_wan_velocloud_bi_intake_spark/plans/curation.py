@@ -19,7 +19,7 @@ reference pipeline (powerbi_main_fun.py) has no corpus-curation stage.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -29,13 +29,27 @@ from ..operators import dedup, lm, text
 
 @dataclass
 class CurationResult:
-    """Curated corpus plus the per-stage frames that produced it."""
+    """Curated corpus plus the per-stage frames that produced it.
+
+    ``cached`` holds relations the pipeline persisted because multiple
+    downstream subtrees consume them (currently: the heuristically-gated
+    corpus under the LM gate). They are materialized at construction time
+    by the LM's vocabulary action and stay cached so scoring, dedup, and
+    the audit all reuse one evaluation — call :meth:`release` when done
+    with every frame in the result to return the executor memory."""
 
     curated: DataFrame
     redacted: DataFrame
     gated: DataFrame
     exact_kept: DataFrame
     near_kept: DataFrame
+    cached: list[DataFrame] = field(default_factory=list)
+
+    def release(self) -> None:
+        """Unpersist every relation the pipeline cached (idempotent)."""
+        for df in self.cached:
+            df.unpersist()
+        self.cached = []
 
     def audit(self) -> DataFrame:
         """(stage, n_docs) — evaluate to see where rows went. One job per
@@ -129,7 +143,17 @@ def curate_corpus(
         gate = gate & text.predict_lang(F.col("text")).isin(*allowed_langs)
     gated = redacted.where(gate)
 
+    cached: list[DataFrame] = []
     if max_perplexity is not None:
+        # The LM gate consumes `gated` from three separate subtrees — the
+        # bigram/context counts, the scoring join's explode, and the final
+        # semi-join's left side — and `gated` itself carries the redaction
+        # regexes plus (optionally) the two boilerplate shuffles. Persist it
+        # once: train_bigram_lm's vocabulary action materializes the cache
+        # immediately, so every later subtree reads cached rows instead of
+        # re-running the scrub chain. Released via CurationResult.release().
+        gated = gated.persist()
+        cached.append(gated)
         model = lm.train_bigram_lm(gated, min_count=lm_min_count)
         keep = (
             lm.score_bigram_logprob(gated, model)
@@ -181,4 +205,5 @@ def curate_corpus(
         gated=gated,
         exact_kept=exact_kept,
         near_kept=near_kept,
+        cached=cached,
     )

@@ -109,6 +109,9 @@ def merge_parquet(
         _write(out, path, partition_by, prune_to=None)
         return
 
+    # heal any drop manifest a crashed previous merge left behind BEFORE
+    # reading the target, or its stale "deleted" partitions feed this merge
+    _recover_pending_drops(path)
     target = spark.read.parquet(path)
     if set(target.columns) != set(cols):
         raise ValueError(
@@ -206,17 +209,95 @@ def merge_parquet(
     # resurrecting the "deleted" rows. Materialize the merge result once,
     # find which pruned partitions survived, and drop the emptied ones'
     # directories after the write.
+    #
+    # persist() here is LOAD-BEARING for correctness, not a cache hint: the
+    # dynamic overwrite reads `out`'s lineage FROM `path` while replacing
+    # files AT `path`, and only the CacheManager substitution of the
+    # materialized rows keeps the write from recomputing against the very
+    # files it is deleting (Spark's self-overwrite guard aside). Removing or
+    # reordering it breaks the partitioned merge — tests/test_merge_sink.py
+    # exercises this path end-to-end.
+    #
+    # The emptied-partition drop cannot ride the overwrite commit on a plain
+    # filesystem, so it is made crash-recoverable instead of atomic: a
+    # tombstone manifest (_pending_partition_drops.json, underscore-prefixed
+    # so Spark's file index ignores it) lands via atomic rename BEFORE the
+    # overwrite and is cleared after the drops. A crash inside the window
+    # leaves the manifest, and the next merge over this table heals it
+    # before reading (partition-granular recovery — the same granularity at
+    # which dynamic overwrite itself can partially fail). Readers between a
+    # crash and the next merge can observe the stale partition; callers who
+    # need read-time healing call recover_pending_drops(path) first.
     out = out.persist()
     try:
         present = {
             r[0] for r in out.select(partition_by).distinct().collect()
         }
+        emptied = [v for v in prune_to if v not in present]
+        if emptied:
+            _stage_drop_manifest(path, partition_by, emptied)
         _write(out, path, partition_by, prune_to=prune_to)
     finally:
         out.unpersist()
-    emptied = [v for v in prune_to if v not in present]
     if emptied:
         _drop_partition_dirs(path, partition_by, emptied)
+        _clear_drop_manifest(path)
+
+
+_DROP_MANIFEST = "_pending_partition_drops.json"
+
+
+def _stage_drop_manifest(path: str, partition_by: str, values: list) -> None:
+    """Atomically (tmp + rename) record the partition values whose
+    directories must be dropped once the overwrite lands. NULL round-trips
+    as JSON null; other values round-trip through their str() form, which
+    is also what ``_drop_partition_dirs`` compares against."""
+    import json
+
+    manifest = os.path.join(path, _DROP_MANIFEST)
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "partition_by": partition_by,
+                "values": [None if v is None else str(v) for v in values],
+            },
+            f,
+        )
+    os.replace(tmp, manifest)
+
+
+def _clear_drop_manifest(path: str) -> None:
+    try:
+        os.remove(os.path.join(path, _DROP_MANIFEST))
+    except FileNotFoundError:
+        pass
+
+
+def _recover_pending_drops(path: str) -> None:
+    """Apply (then clear) a drop manifest left by a merge that crashed
+    between staging the manifest and removing the emptied partition
+    directories. Dropping is idempotent and correct even if the crash
+    happened BEFORE the overwrite: a manifested partition is one whose
+    every row the merge deleted, so removing it applies that partition's
+    slice of the merge — the same per-partition granularity at which the
+    dynamic overwrite itself commits."""
+    import json
+
+    manifest = os.path.join(path, _DROP_MANIFEST)
+    if not os.path.exists(manifest):
+        return
+    with open(manifest) as f:
+        spec = json.load(f)
+    _drop_partition_dirs(path, spec["partition_by"], spec["values"])
+    _clear_drop_manifest(path)
+
+
+def recover_pending_drops(path: str) -> None:
+    """Public read-time healer: call before reading a merge-maintained
+    partitioned table if a writer may have crashed mid-merge."""
+    if os.path.exists(path):
+        _recover_pending_drops(path)
 
 
 def _drop_partition_dirs(path: str, partition_by: str, values: list) -> None:
