@@ -188,6 +188,85 @@ def aniso(spark, emb):
     mixed.unpersist()
 
 
+@pytest.fixture(scope="module")
+def clustered(spark, emb):
+    """Clustered corpus: pull each vector toward one of 20 fixed unit
+    anchors (vec_id mod 20) — the regime real embedding corpora live in,
+    and the one where residual encoding pays: residuals concentrate around
+    the cell centroid with far less variance than the raw vectors."""
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((20, 64))
+    A = A / np.linalg.norm(A, axis=1, keepdims=True)
+    anchors = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in A])
+    df = emb.select(
+        "vec_id",
+        F.zip_with(
+            similarity.as_double_array(F.col("embedding")),
+            F.element_at(anchors, (F.col("vec_id") % 20 + 1).cast("int")),
+            lambda v, a: F.lit(0.25) * v + a,
+        ).alias("embedding"),
+    ).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_residual_encoding_lifts_recall(spark, emb, clustered):
+    """The faiss-default IVF-PQ refinement, measured: encoding
+    x̂ − centroid(cell) beats encoding x̂ at identical m/ksub/nprobe on the
+    clustered corpus (0.170 vs 0.119 recall@3), and never loses on the
+    isotropic worst case (0.210 vs 0.196). Deterministic pipeline — floors
+    guard regressions, not luck."""
+
+    def recall(corpus, residual):
+        truth = similarity.cosine_topk_pairs_hof(corpus, k=3).collect()
+        cents, mem, books = pq.ivf_pq_index(
+            corpus, m=8, ksub=16, train_iters=6, residual=residual
+        )
+        got = pq.ann_ivf_pq_topk(
+            corpus, cents, mem, books, k=3, nprobe=4, residual=residual
+        ).collect()
+        return _recall_at_k(got, truth, 3)
+
+    r_plain = recall(clustered, residual=False)
+    r_res = recall(clustered, residual=True)
+    print(f"\nresidual IVF-PQ recall@3 (clustered): plain={r_plain:.3f} residual={r_res:.3f}")
+    assert r_res >= r_plain + 0.03, (r_res, r_plain)
+    assert r_res >= 0.15, r_res
+    assert recall(emb, residual=True) >= recall(emb, residual=False)
+
+
+def test_residual_members_same_payload_and_refine_composes(spark, emb):
+    """Residual members carry the identical (cell, vid, codes, nrm) payload
+    — m ints, no floats — and the exact rerank composes unchanged (refine
+    scores are rotation/residual-invariant true cosines)."""
+    cents, mem, books = pq.ivf_pq_index(
+        emb, m=8, ksub=16, train_iters=2, residual=True
+    )
+    assert set(mem.columns) == {"cell", "vid", "codes", "nrm"}
+    row = mem.first()
+    assert len(row["codes"]) == 8 and all(0 <= c < 16 for c in row["codes"])
+    fmembers = emb.select(
+        F.col("vec_id").alias("vid"),
+        similarity.as_double_array(F.col("embedding")).alias("v"),
+    ).withColumn("nrm", similarity.l2_norm(F.col("v")))
+    truth = similarity.cosine_topk_pairs_hof(emb, k=3).collect()
+    truth_scores = {
+        (t["query_id"], t["neighbor_id"]): t["cos_sim"] for t in truth
+    }
+    refined = pq.ann_ivf_pq_topk(
+        emb, cents, mem, books, k=3, nprobe=4, refine=12,
+        members=fmembers, residual=True,
+    ).collect()
+    hits = 0
+    for r in refined:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in truth_scores:
+            assert abs(r["score"] - truth_scores[key]) < 1e-9
+            hits += 1
+    assert hits > 0
+
+
 def test_opq_rotation_properties(emb):
     R = pq.train_opq_rotation(emb, m=8)
     Rm = np.asarray(R)

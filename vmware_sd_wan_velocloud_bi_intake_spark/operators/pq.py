@@ -52,6 +52,7 @@ def train_pq_codebooks(
     embedding: str = "embedding",
     iters: int = 10,
     sample_rows: int = 16384,
+    normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Per-subspace k-means codebooks from a bounded deterministic sample.
 
@@ -59,6 +60,10 @@ def train_pq_codebooks(
     ADC dot sums then approximate cosine). Returns ``m`` codebooks of
     ``ksub`` centroids of ``d/m`` doubles. Deterministic: md5-ordered
     sample, first-``ksub`` init, first-minimum ties (np.argmin).
+
+    ``normalize=False`` trains on the vectors exactly as given — the
+    residual path (:func:`ivf_pq_index` ``residual=True``) feeds already-
+    normalized-then-centered residuals whose magnitude IS the signal.
     """
     pdf = (
         emb.select(
@@ -70,7 +75,8 @@ def train_pq_codebooks(
         .toPandas()
     )
     X = np.stack(pdf["v"].to_numpy())
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    if normalize:
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
@@ -94,7 +100,9 @@ def train_pq_codebooks(
     return books
 
 
-def pq_encode_expr(v: str, codebooks: list[list[list[float]]]) -> Column:
+def pq_encode_expr(
+    v: str, codebooks: list[list[list[float]]], normalize: bool = True
+) -> Column:
     """array<int> of per-subspace nearest-code ids for the raw vector
     column named ``v`` — an Arrow-batched vectorized UDF.
 
@@ -127,7 +135,10 @@ def pq_encode_expr(v: str, codebooks: list[list[list[float]]]) -> Column:
     @pandas_udf("array<int>")
     def enc(vs: pd.Series) -> pd.Series:
         X = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
-        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        if normalize:
+            X = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-300
+            )
         codes = np.empty((len(X), len(B)), dtype=np.int32)
         for s, Cs in enumerate(B):
             S = X[:, s * dsub : (s + 1) * dsub]
@@ -186,6 +197,7 @@ def ivf_pq_index(
     embedding: str = "embedding",
     train_iters: int = 10,
     rotation: list[list[float]] | None = None,
+    residual: bool = False,
 ) -> tuple[DataFrame, DataFrame, list[list[list[float]]]]:
     """Build (centroids, pq_members, codebooks).
 
@@ -198,6 +210,18 @@ def ivf_pq_index(
     into the rotated space — coarse quantizer, codebooks, and codes; pass
     the SAME matrix to :func:`ann_ivf_pq_topk`. Orthonormality preserves
     cosines, so results are comparable against unrotated ground truth.
+
+    ``residual=True`` is the standard IVF-PQ refinement (faiss's default
+    ``IndexIVFPQ`` behavior): encode ``x̂ − centroid(cell)`` instead of
+    ``x̂``. Residuals concentrate near the origin with far less variance
+    than raw vectors, so the same ``m × ksub`` codebook budget quantizes
+    them much more finely; search adds the analytically-known ⟨q̂, c⟩ back
+    per probed cell (one dot per (query, probe) pair, never per
+    candidate). Codebooks train on residuals of the bounded sample, so
+    the training funnel is unchanged. Pass ``residual=True`` to
+    :func:`ann_ivf_pq_topk` as well — codes from the two spaces are not
+    interchangeable. Composes with ``rotation`` (everything lives in the
+    rotated space).
     """
     from .similarity import _assign_cells, train_centroids
 
@@ -219,12 +243,39 @@ def ivf_pq_index(
         cents = train_centroids(
             emb, n_cells, vec_id=vec_id, embedding=embedding, iters=train_iters
         )
-        books = train_pq_codebooks(
-            emb, m=m, ksub=ksub, vec_id=vec_id, embedding=embedding,
-            iters=train_iters,
+        assigned = _assign_cells(base, cents)
+        if not residual:
+            books = train_pq_codebooks(
+                emb, m=m, ksub=ksub, vec_id=vec_id, embedding=embedding,
+                iters=train_iters,
+            )
+            members = assigned.select(
+                "cell", "vid", pq_encode_expr("v", books).alias("codes"), "nrm"
+            )
+            return cents, members, books
+        # residual space: r = x̂ − c(cell), computed JVM-side (normalize +
+        # zip_with fuse into the assignment projection; the centroid join
+        # is the same broadcast _assign_cells already did)
+        res_col = F.zip_with(
+            F.transform(
+                F.col("v"),
+                lambda x: x / F.greatest(F.col("nrm"), F.lit(1e-12)),
+            ),
+            F.col("cv"),
+            lambda a, b: a - b,
         )
-        members = _assign_cells(base, cents).select(
-            "cell", "vid", pq_encode_expr("v", books).alias("codes"), "nrm"
+        with_res = assigned.join(F.broadcast(cents), "cell").select(
+            "cell", "vid", "nrm", res_col.alias("r")
+        )
+        books = train_pq_codebooks(
+            with_res, m=m, ksub=ksub, vec_id="vid", embedding="r",
+            iters=train_iters, normalize=False,
+        )
+        members = with_res.select(
+            "cell",
+            "vid",
+            pq_encode_expr("r", books, normalize=False).alias("codes"),
+            "nrm",
         )
         return cents, members, books
     finally:
@@ -247,6 +298,7 @@ def ann_ivf_pq_topk(
     vec_id: str = "vec_id",
     embedding: str = "embedding",
     rotation: list[list[float]] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ search: probe cells, ADC-score codes, optional exact rerank.
 
@@ -254,6 +306,11 @@ def ann_ivf_pq_topk(
     approximate cosine — or the exact cosine when ``refine`` is set (the
     top ``refine`` ADC candidates per query re-scored against the float
     vectors in ``members`` (vid, v, nrm); refine ≥ k required).
+
+    Set ``residual=True`` iff the index was built with it: the ADC sum then
+    scores the RESIDUAL reconstruction, and ⟨q̂, centroid⟩ — already known
+    analytically per probed cell — is added back once per (query, probe)
+    pair, so the per-candidate hot path is unchanged (still ``m`` lookups).
 
     Pass the index's ``rotation`` to probe/score in the rotated space the
     codes live in. The refine rerank deliberately stays in the ORIGINAL
@@ -293,14 +350,18 @@ def ann_ivf_pq_topk(
         .where(F.col("prn") <= nprobe)
         # LUT materializes here, below the member join — once per
         # (query, probe) row, never per candidate (a UDF Project cannot be
-        # collapsed across the join)
+        # collapsed across the join). cbase = ⟨q̂, c⟩ rides along the same
+        # row for the residual form (cell_cos·cnrm un-normalizes the
+        # centroid side only).
         .select(
             "query_id",
             "qv",
             pq_lut_expr(probe_col, codebooks).alias("lut"),
             "cell",
+            (F.col("cell_cos") * F.col("cnrm")).alias("cbase"),
         )
     )
+    adc = pq_score_expr("codes", "lut", len(codebooks))
     scored = (
         probed.join(pq_members, "cell")
         .where(F.col("query_id") != F.col("vid"))
@@ -308,7 +369,7 @@ def ann_ivf_pq_topk(
             "query_id",
             "qv",
             F.col("vid").alias("neighbor_id"),
-            pq_score_expr("codes", "lut", len(codebooks)).alias("score"),
+            ((F.col("cbase") + adc) if residual else adc).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
