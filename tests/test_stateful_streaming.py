@@ -104,3 +104,108 @@ def test_streaming_state_spans_microbatches(spark, tmp_path, n_batches):
         "user_id", "brownouts", "brownout_samples", "blackouts", "blackout_samples"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Stateful exact dedup: cross-micro-batch AND cross-restart (round 6).
+# ---------------------------------------------------------------------------
+def test_streaming_exact_dedup_survives_restart(spark, tmp_path):
+    """Kill/restart parity for the fingerprint state store: a duplicate
+    arriving in a later RUN (not just a later micro-batch) must count
+    against the original, and the min-id survivor rule must hold across
+    the restart — converging the sink to the batch exact_dedup_keys
+    result exactly."""
+    import sqlite3
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.dedup import (
+        exact_dedup_keys,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.sinks.jdbc import jdbc_upsert
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.stateful import (
+        streaming_exact_dedup,
+    )
+
+    schema = "doc_id long, text string"
+    # run 1: one duplicated content (10, 11) and a singleton (12)
+    rows_1 = [(10, "alpha  beta"), (11, "Alpha beta"), (12, "gamma delta")]
+    # run 2 (after the stop): doc 5 duplicates the run-1 content with a
+    # SMALLER id — keep_id must drop to 5 — plus a fresh singleton
+    rows_2 = [(5, "alpha BETA"), (13, "epsilon")]
+
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    cp_dir = tmp_path / "cp_dedup"
+    db = str(tmp_path / "dedup.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE dedup (dedup_key TEXT PRIMARY KEY, "
+            "keep_id INTEGER, dup_count INTEGER)"
+        )
+
+    def _connect():
+        conn = sqlite3.connect(db, timeout=30)
+        conn.execute("PRAGMA busy_timeout=30000")
+        return conn
+
+    def _run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stream_dir / "*.parquet"))
+        )
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda batch_df, bid: jdbc_upsert(
+                    batch_df,
+                    "dedup",
+                    ["dedup_key"],
+                    _connect,
+                    dialect="ansi",
+                    placeholder="?",
+                )
+            )
+            .option("checkpointLocation", str(cp_dir))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+
+    def _table():
+        with sqlite3.connect(db) as conn:
+            return sorted(map(tuple, conn.execute("SELECT * FROM dedup")))
+
+    spark.createDataFrame(rows_1, schema).coalesce(1).write.parquet(
+        str(stream_dir / "b000.parquet")
+    )
+    _run_once()
+    by_key = {r[0]: r for r in _table()}
+    assert len(by_key) == 2
+    assert (10, 3) not in {(r[1], r[2]) for r in _table()}
+    dup_row = [r for r in _table() if r[2] == 2]
+    assert dup_row and dup_row[0][1] == 10  # min of (10, 11)
+
+    spark.createDataFrame(rows_2, schema).coalesce(1).write.parquet(
+        str(stream_dir / "b001.parquet")
+    )
+    _run_once()
+
+    # batch twin over EVERYTHING ever streamed (normalization folds case
+    # and whitespace, so all three "alpha beta" variants share a key)
+    expected = sorted(
+        map(
+            tuple,
+            exact_dedup_keys(
+                spark.createDataFrame(rows_1 + rows_2, schema), "doc_id", "text"
+            ).collect(),
+        )
+    )
+    assert _table() == expected
+    assert [r for r in _table() if r[2] == 3][0][1] == 5  # survivor dropped to 5
+
+    # idempotent no-op restart
+    _run_once()
+    assert _table() == expected

@@ -112,7 +112,10 @@ def streaming_curate_documents(
     per run over the new drop, while cross-run dedup belongs to the
     idempotent sink / incremental LSH index); for a long-lived continuous
     stream, bound state with ``dropDuplicatesWithinWatermark`` on an
-    ingest-time column instead.
+    ingest-time column instead. For cross-run dedup that also reports
+    duplicate counts and the batch engine's min-id survivor — carried
+    across stop/restart via the checkpointed state store — compose with
+    :func:`..streaming.stateful.streaming_exact_dedup`.
 
     The corpus-wide curation stages (near-dup clustering, LM training,
     decontamination against a full corpus) are deliberately NOT here —

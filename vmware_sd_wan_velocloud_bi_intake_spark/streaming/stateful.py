@@ -114,6 +114,81 @@ def outage_state_func(key, pdfs: Iterator["pd.DataFrame"], state):
     )
 
 
+DEDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("keep_id", T.LongType()),
+        T.StructField("dup_count", T.LongType()),
+    ]
+)
+
+DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("dedup_key", T.StringType()),
+        T.StructField("keep_id", T.LongType()),
+        T.StructField("dup_count", T.LongType()),
+    ]
+)
+
+
+def exact_dedup_state_func(key, pdfs: Iterator["pd.DataFrame"], state):
+    """Per-fingerprint dedup state: fold the batch's arrivals into
+    (min keep_id, cumulative dup_count) and emit the updated row."""
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    batch_min = int(rows["doc_id"].min())
+    n = len(rows)
+    if state.exists:
+        keep, cnt = state.get
+        keep, cnt = min(int(keep), batch_min), int(cnt) + n
+    else:
+        keep, cnt = batch_min, n
+    state.update((keep, cnt))
+    yield pd.DataFrame(
+        {"dedup_key": [key[0]], "keep_id": [keep], "dup_count": [cnt]}
+    )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-micro-batch exact dedup over a document stream — the stateful
+    completion of ``jobs.streaming_curate_documents``'s per-run
+    ``dropDuplicates`` (which keeps first arrivals but can report neither
+    duplicate counts nor the batch engine's min-id survivor rule).
+
+    Keyed by the same full-text digest as the batch
+    :func:`...operators.dedup.exact_dedup_keys` (md5 of normalized
+    content); per-key state is TWO scalars (min doc_id seen, arrivals
+    seen) in the state store, maintained across triggers AND across
+    stop/restart via the checkpoint — so a duplicate arriving days after
+    its original, in a different run, is still counted against it. Each
+    trigger emits the updated (dedup_key, keep_id, dup_count) row (output
+    mode ``update``); on a fully consumed stream the latest row per key
+    equals the batch twin exactly (tested with a kill/restart in
+    tests/test_stateful_streaming.py).
+
+    Scale: one digest-keyed shuffle per trigger — identical partitioning
+    to the batch groupBy; state is O(distinct corpus) like any streaming
+    dedup (bound it upstream by partitioning the corpus into keyspace
+    shards if the fingerprint universe outgrows the store).
+    """
+    from ..operators.text import normalize_text
+    from pyspark.sql import functions as F
+
+    keyed = docs.select(
+        F.col(doc_id).cast("long").alias("doc_id"),
+        F.md5(normalize_text(F.col(text_col))).alias("dedup_key"),
+    )
+    return keyed.groupBy("dedup_key").applyInPandasWithState(
+        exact_dedup_state_func,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def streaming_outage_summary(events: DataFrame) -> DataFrame:
     """Per-user cumulative outage counters over a stream of QoE state samples.
 
