@@ -218,3 +218,54 @@ def test_ppm_codec_roundtrip_properties():
         assert ppm_resize(enc, w, h) == enc
 
     check()
+
+
+def test_pil_decode_and_resize_when_available(spark):
+    """Skipped-or-green by environment: with Pillow importable, PNG
+    payloads decode to real pixels and resize through the PIL path,
+    re-encoded as canonical P6 so the engine's own decoder can verify the
+    result; without Pillow the contract is the NotImplementedError path
+    (covered above)."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.multimodal import (
+        builtin_resizer,
+        decode_media,
+        ppm_decode,
+    )
+
+    im = Image.new("RGB", (4, 2))
+    im.putdata([(x * 10, y * 10, 7) for y in range(2) for x in range(4)])
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    png = buf.getvalue()
+
+    img = decode_media(png)
+    assert (img["width"], img["height"]) == (4, 2)
+    assert img["pixels"] == im.tobytes()
+
+    resized = builtin_resizer(png, 2, 1)
+    out = ppm_decode(resized)
+    assert (out["width"], out["height"]) == (2, 1)
+    assert len(out["pixels"]) == 2 * 1 * 3
+
+
+def test_pil_absent_keeps_notimplemented_contract():
+    """In THIS environment (no Pillow) the fallback must be inert: PNG
+    magic bytes still raise the documented NotImplementedError from
+    decode_media. Skips when Pillow IS present."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed; inert-fallback case not applicable")
+    except ImportError:
+        pass
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_media(b"\x89PNG\r\n\x1a\nfakedata")

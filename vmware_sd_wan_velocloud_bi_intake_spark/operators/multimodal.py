@@ -9,11 +9,13 @@ Decode is REAL for the formats a pure-Python decoder can carry: binary PPM
 (P6) and uncompressed 24-bit BMP decode to actual pixel bytes
 (:func:`ppm_decode` / :func:`bmp_decode`, dispatched by magic bytes in
 :func:`decode_media`), and PPM resizes through a real nearest-neighbor
-resampler (:func:`ppm_resize`). Formats that genuinely need a codec
-library (JPEG/PNG/audio/video — not present in this environment) still
-raise ``NotImplementedError`` unless a decoder is injected; the schema,
-batch shape, UDF signatures, frame-index math, and partitioning are shared
-by both paths and tested with real pixels where possible.
+resampler (:func:`ppm_resize`). JPEG/PNG/WebP decode and resize
+automatically whenever Pillow is importable (optional dependency — the
+engine never requires it); in a PIL-less environment like this one, and
+for audio/video always, those formats raise ``NotImplementedError``
+unless a decoder is injected. The schema, batch shape, UDF signatures,
+frame-index math, and partitioning are shared by every path and tested
+with real pixels where possible.
 
 Scale notes: media rows are large and skew-prone; ``repartition`` by a
 size-aware bucket before decode keeps tasks balanced, and features (small)
@@ -147,21 +149,55 @@ def bmp_decode(content: bytes) -> dict:
     return {"width": width, "height": height, "maxval": 255, "pixels": bytes(out)}
 
 
+def _pil_decode(content: bytes) -> dict | None:
+    """Pillow-backed decode (JPEG/PNG/…) when PIL is importable.
+
+    Returns the same ``{"width","height","maxval","pixels"}`` contract as
+    the pure-Python decoders (RGB, row-major), or ``None`` when Pillow is
+    absent or cannot identify the payload — callers then fall through to
+    the documented ``NotImplementedError`` contract, so environments
+    without codec libraries behave exactly as before.
+    """
+    try:
+        from PIL import Image, UnidentifiedImageError
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with Image.open(io.BytesIO(content)) as im:
+            rgb = im.convert("RGB")
+            return {
+                "width": rgb.width,
+                "height": rgb.height,
+                "maxval": 255,
+                "pixels": rgb.tobytes(),
+            }
+    except UnidentifiedImageError:
+        return None
+
+
 def decode_media(content: bytes) -> dict:
     """Magic-byte-dispatched decode to real pixels for supported formats.
 
-    P6 → :func:`ppm_decode`; BM → :func:`bmp_decode`. Anything else raises
-    ``NotImplementedError`` — those formats need a codec library
-    (PIL/ffmpeg) that is not present in this environment; inject a decoder
-    into :func:`extract_features` for them in production.
+    P6 → :func:`ppm_decode`; BM → :func:`bmp_decode`; anything else tries
+    Pillow if it is importable (:func:`_pil_decode` — JPEG/PNG/WebP/… with
+    no injection needed). Only when no decoder applies does this raise
+    ``NotImplementedError`` — audio/video (and image formats in a
+    PIL-less environment like this one) still need a decoder injected
+    into :func:`extract_features` in production.
     """
     if content.startswith(b"P6"):
         return ppm_decode(content)
     if content.startswith(b"BM"):
         return bmp_decode(content)
+    img = _pil_decode(content)
+    if img is not None:
+        return img
     raise NotImplementedError(
-        "no built-in decoder for this payload (built-ins: PPM P6, 24-bit "
-        "BMP); inject a codec-backed decoder for other formats"
+        "no decoder for this payload (built-ins: PPM P6, 24-bit BMP; "
+        "JPEG/PNG decode automatically when Pillow is installed); inject "
+        "a codec-backed decoder for other formats"
     )
 
 
@@ -267,12 +303,31 @@ def ppm_resize(content: bytes, width: int, height: int) -> bytes:
 
 
 def builtin_resizer(content: bytes, width: int, height: int) -> bytes:
-    """Magic-dispatched resize: PPM resizes for real; other formats need an
-    injected codec-backed resizer."""
+    """Magic-dispatched resize: PPM resizes for real; other image formats
+    resize through Pillow when it is importable (decode → NEAREST resample
+    → re-encode as canonical P6, so the output stays decodable by the
+    engine's own built-ins); otherwise an injected codec-backed resizer is
+    required."""
     if content.startswith(b"P6"):
         return ppm_resize(content, width, height)
+    try:
+        from PIL import Image, UnidentifiedImageError
+    except ImportError:
+        Image = None
+    if Image is not None:
+        import io
+
+        try:
+            with Image.open(io.BytesIO(content)) as im:
+                rgb = im.convert("RGB").resize(
+                    (width, height), Image.Resampling.NEAREST
+                )
+                return ppm_encode(width, height, rgb.tobytes())
+        except UnidentifiedImageError:
+            pass
     raise NotImplementedError(
-        "no built-in resizer for this payload (built-in: PPM P6); inject a "
+        "no resizer for this payload (built-in: PPM P6; other image "
+        "formats resize automatically when Pillow is installed); inject a "
         "codec-backed resizer for other formats"
     )
 
