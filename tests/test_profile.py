@@ -70,3 +70,77 @@ def test_profile_rejects_duplicate_columns(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents")
     with pytest.raises(ValueError, match="duplicate columns"):
         profile_table(docs, ["doc_id", "doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# Profile-driven join strategy (plans/hints.py, round 6): the ANALYZE loop.
+# ---------------------------------------------------------------------------
+def test_profile_driven_broadcast_switch(spark, sf_smoke):
+    """profile_table output drives the join strategy: a genuinely small
+    dim gets the broadcast hint; the SAME code with a profile claiming a
+    huge relation leaves the join unhinted for AQE. Asserted on the
+    optimized logical plan (hints are consumed before the physical plan
+    prints them on small data)."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.plans import hints
+
+    nation = load_table(spark, sf_smoke, "nation")
+    customer = load_table(spark, sf_smoke, "customer")
+    prof = profile_table(nation).collect()
+    assert hints.broadcast_decision(prof) is True
+
+    def n_hints(dim):
+        plan = (
+            customer.join(dim, customer.c_nationkey == dim.n_nationkey)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        return plan.count("rightHint=(strategy=broadcast)")
+
+    assert n_hints(hints.broadcast_by_profile(nation, prof)) == 1
+
+    # same relation, a profile that says 100M rows: no hint
+    fat = [{**dict(r.asDict()), "n_rows": 100_000_000} for r in prof]
+    assert hints.broadcast_decision(fat) is False
+    assert n_hints(hints.broadcast_by_profile(nation, fat)) == 0
+
+
+def test_profile_driven_switch_reaches_decontamination(spark, sf_smoke):
+    """The decision plugs into a real operator: contamination_ratios
+    broadcasts its blocklist by default, and drops the hint when a
+    profile-driven decision says the 'blocklist' is another full corpus."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import dedup
+    from vmware_sd_wan_velocloud_bi_intake_spark.plans import hints
+
+    docs = load_table(spark, sf_smoke, "documents")
+    block = docs.limit(5)
+
+    def n_hints(decision):
+        plan = (
+            dedup.contamination_ratios(
+                docs, block, "doc_id", "text", broadcast_blocklist=decision
+            )
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        return plan.count("strategy=broadcast")
+
+    prof = profile_table(block.select("text")).collect()
+    assert n_hints(hints.broadcast_decision(prof)) == 1
+    fat = [{**dict(r.asDict()), "n_rows": 10_000_000_000} for r in prof]
+    assert n_hints(hints.broadcast_decision(fat)) == 0
+
+
+def test_estimated_bytes_uses_profiled_widths():
+    from vmware_sd_wan_velocloud_bi_intake_spark.plans.hints import (
+        estimated_bytes,
+    )
+
+    rows = [
+        {"column": "k", "dtype": "bigint", "n_rows": 100, "max_str": None},
+        {"column": "s", "dtype": "string", "n_rows": 100, "max_str": "abcd"},
+    ]
+    # 8 (bigint) + 4+8 (string payload+header) = 20 bytes/row
+    assert estimated_bytes(rows) == 2000
+    assert estimated_bytes([]) == 0

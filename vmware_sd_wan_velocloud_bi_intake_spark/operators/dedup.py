@@ -416,6 +416,7 @@ def contamination_ratios(
     doc_id: str,
     text: str,
     shingle_n: int = 3,
+    broadcast_blocklist: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: n-gram overlap of each suspect document
     against the distinct shingle set of a blocklist corpus.
@@ -431,6 +432,11 @@ def contamination_ratios(
     shuffle on doc_id for the per-doc counts. Never an all-pairs join, never
     a corpus-sized build side.
 
+    ``broadcast_blocklist=False`` drops the hint and lets AQE choose — pass
+    a statistics-driven decision from ``plans.hints.broadcast_decision``
+    (profile_table over the blocklist) when the blocklist is not
+    small-by-contract (e.g. decontaminating against another full corpus).
+
     Returns (doc_id, n_shingles, n_hit, overlap) — one row per suspect doc.
     """
     b = (
@@ -443,7 +449,7 @@ def contamination_ratios(
         F.explode(shingles(F.col(text), shingle_n)).alias("shingle"),
     )
     return (
-        s.join(F.broadcast(b), "shingle", "left")
+        s.join(F.broadcast(b) if broadcast_blocklist else b, "shingle", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_shingles"),
