@@ -97,9 +97,13 @@ SHIFT = {
 OFFSET = 100_000_000
 
 
-def build_scaled(spark, k: int, out_dir: str) -> None:
+def build_scaled(
+    spark, k: int, out_dir: str, tables: list[str] | None = None
+) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for table, keys in SHIFT.items():
+        if tables is not None and table not in tables:
+            continue
         src = spark.read.parquet(f"{BASE}/{table}.parquet")
         if keys and k > 1:
             parts = []
@@ -136,19 +140,25 @@ def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     only = [
         a.split("=", 1)[1].split(",")
         for a in sys.argv[1:]
         if a.startswith("--only=")
     ]
+    tables = None
+    for a in sys.argv[1:]:
+        # restrict fixture replication (e.g. --tables=documents,embeddings
+        # for a large-K run over the text/vector families only)
+        if a.startswith("--tables="):
+            tables = a.split("=", 1)[1].split(",")
     names = only[0] if only else QUERIES + list(CUSTOM)
     k = int(args[0]) if args else 8
     scratch = args[1] if len(args) > 1 else "/tmp/spark_graft_scale"
     out_dir = os.path.join(scratch, f"x{k}")
     spark = get_spark(app_name="scale-check")
 
-    build_scaled(spark, k, out_dir)
+    build_scaled(spark, k, out_dir, tables)
     base_t = time_queries(spark, BASE, names)
     big_t = time_queries(spark, out_dir, names)
     print(f"\n{'query':28s} {'1x':>8s} {f'{k}x':>8s} {'ratio':>7s}")

@@ -15,6 +15,37 @@ service row-at-a-time with 10 s quota sleeps (``powerbi_main_fun.py:624-653``,
 Scale note: enrichment results are a slowly-changing dimension — at 100 TB
 you enrich the *distinct* key set (dropDuplicates first), persist the lookup
 table, and broadcast-join it back; this operator is that distinct-key step.
+
+Production client (documented, not shipped — this sandbox has no network,
+so an HTTP client here would be untestable dead code). The reference's
+Nominatim call (``powerbi_main_fun.py:624-653``) plugs in as a
+``lookup_factory`` like::
+
+    def nominatim_factory(user_agent: str, timeout_s: float = 10.0):
+        def build():
+            import json, urllib.request
+
+            def lookup(key: str) -> str:
+                lat, lon = key.split(",")
+                req = urllib.request.Request(
+                    "https://nominatim.openstreetmap.org/reverse"
+                    f"?lat={lat}&lon={lon}&format=jsonv2",
+                    headers={"User-Agent": user_agent},
+                )
+                with urllib.request.urlopen(req, timeout=timeout_s) as r:
+                    return json.load(r)["address"].get("country_code", "??")
+
+            return lookup
+
+        return build
+
+    enrich_region(df, "latlon", nominatim_factory("my-pipeline/1.0"),
+                  rate_limit_s=1.0)   # Nominatim's published usage policy
+
+The operator supplies everything the client must NOT re-implement:
+per-task construction (connection reuse), the in-task LRU, the token
+bucket, and Arrow batching. A MaxMind GeoIP2 web-service client is the
+same shape with a different URL/parse.
 """
 
 from __future__ import annotations
