@@ -62,7 +62,13 @@ def test_semi_and_anti_joins_both_physical(spark, sf_smoke):
 # - a19_grouping_rollup: the grand-total tier stitches three SINGLE-ROW
 #   global aggregates (two-pass rollup — the price of dropping the 9x
 #   rollup×distinct expand)
-_SCALAR_CROSS_OK = {"a15_census", "sim_ann_ivf", "a19_grouping_rollup"}
+_SCALAR_CROSS_OK = {
+    "a15_census",
+    "sim_ann_ivf",
+    "a19_grouping_rollup",
+    # same deliberate broadcast n x n_cells assignment as sim_ann_ivf
+    "dedup_semantic",
+}
 
 
 def test_no_cartesian_products_anywhere(spark, sf_smoke):

@@ -66,7 +66,7 @@ CUSTOM = {
 }
 
 QUERIES = [
-    "dedup_exact",
+    "dedup_semantic",
     "dedup_signatures",
     "dedup_survivors",
     "dedup_incremental",

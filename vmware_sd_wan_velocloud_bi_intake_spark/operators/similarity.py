@@ -116,31 +116,56 @@ def cosine_topk_pairs(
     def block_topk(bc):
         def gen(batches):
             ids_b, mat_b, norm_b = bc.value
+            n = len(ids_b)
+            # Bound the (chunk × block) score matrix at ~32 MB per worker:
+            # the Arrow batch size is the planner's throughput choice, not a
+            # memory contract — an unchunked 10k-row batch against a 64k
+            # block is a 5 GB matrix per worker, which is exactly the
+            # 64×-scale OOM the scale_check caught (SCALE.md).
+            chunk = max(1, 4_000_000 // max(n, 1))
+            pos_of = {int(v): j for j, v in enumerate(ids_b)}
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                q_ids = pdf["query_id"].to_numpy(dtype="int64")
-                q_mat = np.stack(pdf["qv"].to_numpy())
-                q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
-                sims = (q_mat @ mat_b.T) / np.outer(q_norm, norm_b)
-                out_q, out_n, out_s = [], [], []
-                for i in range(len(q_ids)):
-                    row = sims[i]
-                    mask = ids_b != q_ids[i]
-                    cand_ids = ids_b[mask]
-                    cand_sims = row[mask]
-                    # primary: cos desc; tiebreak: neighbor_id asc
-                    order = np.lexsort((cand_ids, -cand_sims))[:kk]
-                    out_q.extend([q_ids[i]] * len(order))
-                    out_n.extend(cand_ids[order])
-                    out_s.extend(cand_sims[order])
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.asarray(out_q, dtype="int64"),
-                        "neighbor_id": np.asarray(out_n, dtype="int64"),
-                        "cos_sim": np.asarray(out_s, dtype="float64"),
-                    }
-                )
+                for s in range(0, len(pdf), chunk):
+                    sub = pdf.iloc[s : s + chunk]
+                    q_ids = sub["query_id"].to_numpy(dtype="int64")
+                    q_mat = np.stack(sub["qv"].to_numpy())
+                    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+                    sims = (q_mat @ mat_b.T) / np.outer(q_norm, norm_b)
+                    # self-match: at most one column per row → -inf, never
+                    # selected (and filtered below for blocks smaller than k)
+                    for i, q in enumerate(q_ids):
+                        j = pos_of.get(int(q))
+                        if j is not None:
+                            sims[i, j] = -np.inf
+                    out_q, out_n, out_s = [], [], []
+                    for i in range(len(q_ids)):
+                        row = sims[i]
+                        # argpartition to kk+32 candidates, then the exact
+                        # (cos desc, neighbor_id asc) order on that slice;
+                        # if a value tie crosses the cut the partition could
+                        # drop a lower-id equal-cos candidate, so fall back
+                        # to the full exact order for that row
+                        m = min(kk + 32, n)
+                        if m < n:
+                            cand = np.argpartition(-row, m - 1)[:m]
+                            if np.count_nonzero(row >= row[cand].min()) > m:
+                                cand = np.arange(n)
+                        else:
+                            cand = np.arange(n)
+                        order = cand[np.lexsort((ids_b[cand], -row[cand]))]
+                        order = order[np.isfinite(row[order])][:kk]
+                        out_q.extend([q_ids[i]] * len(order))
+                        out_n.extend(ids_b[order])
+                        out_s.extend(row[order])
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.asarray(out_q, dtype="int64"),
+                            "neighbor_id": np.asarray(out_n, dtype="int64"),
+                            "cos_sim": np.asarray(out_s, dtype="float64"),
+                        }
+                    )
 
         return gen
 
@@ -468,6 +493,105 @@ def ann_ivf_topk_trained(
         )
     assigned = _assign_cells(base, cents, round_decimals=round_decimals)
     return _cell_topk(assigned, k)
+
+
+def semantic_dedup_survivors(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int | None = None,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+    train_iters: int = 4,
+    round_decimals: int | None = 6,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540).
+
+    Cluster the corpus with the trained coarse quantizer, then inside each
+    cluster drop near-identical-meaning members: for every in-cell pair with
+    cosine ≥ ``threshold``, the member CLOSER to its centroid loses (the
+    paper's keep-the-outlier rule — far-from-centroid examples carry more
+    training signal), ties broken to keep the lower id. Survivors are every
+    vector that loses no pair.
+
+    Scale shape — identical to the IVF probe (the pair space is n²/cells,
+    ≈ linear with ⌈√n⌉ cells; raise ``n_cells`` for tighter clusters on a
+    bigger corpus): one broadcast-assign pass, ONE cell-keyed shuffle into
+    in-array pair expansion (the :func:`_cell_topk` pattern — vectors ride
+    with their ids, no join back to the corpus), one distinct on the loser
+    ids, one anti-join. No all-pairs stage anywhere.
+
+    With ``round_decimals`` (default 6) both the assignment cosines and the
+    pair cosines round before any comparison, so — paired with quantized
+    :func:`train_centroids` — the survivor set is a deterministic function
+    of the input bytes, replayable in any engine (the catalog oracle
+    replays it in SQL).
+
+    Returns (``vec_id``, cell, centroid_cos) for the surviving vectors.
+    """
+    import math
+
+    base = emb.select(
+        F.col(vec_id).alias("vid"),
+        as_double_array(F.col(embedding)).alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    if cents is None:
+        if n_cells is None:
+            base.persist()  # sizing count doubles as the cache materializer
+            n_cells = max(8, math.ceil(math.sqrt(base.count())))
+        cents = train_centroids(
+            emb,
+            n_cells,
+            vec_id=vec_id,
+            embedding=embedding,
+            iters=train_iters,
+            round_decimals=round_decimals,
+        )
+    assigned = _assign_cells(base, cents, round_decimals=round_decimals)
+    ccos = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    if round_decimals is not None:
+        ccos = F.round(ccos, round_decimals)
+    scored = assigned.join(F.broadcast(cents), "cell").select(
+        "cell", "vid", "v", "nrm", ccos.alias("ccos")
+    )
+    groups = (
+        scored.groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ccos", "vid", "v", "nrm"))
+            ).alias("ms")
+        )
+        .where(F.size("ms") > 1)
+    )
+    ms = F.col("ms")
+
+    def pair_cos(x, y):
+        c = dot(x["v"], y["v"]) / (x["nrm"] * y["nrm"])
+        return F.round(c, round_decimals) if round_decimals is not None else c
+
+    # ms ascends by (ccos, vid); a member y loses to any earlier member x
+    # (x is farther from the centroid, or same distance with a lower id)
+    # whose cosine with y clears the threshold
+    loser_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda x: F.transform(
+                F.filter(
+                    ms,
+                    lambda y: (
+                        F.struct(x["ccos"], x["vid"])
+                        < F.struct(y["ccos"], y["vid"])
+                    )
+                    & (pair_cos(x, y) >= F.lit(threshold)),
+                ),
+                lambda y: y["vid"],
+            ),
+        )
+    )
+    losers = groups.select(F.explode(loser_arr).alias("vid")).distinct()
+    return scored.join(losers, "vid", "left_anti").select(
+        F.col("vid").alias(vec_id), "cell", F.col("ccos").alias("centroid_cos")
+    )
 
 
 def train_centroids(

@@ -66,7 +66,7 @@ ORDER: list[str] = [
     "a11_kth_from_series",
     "f24_overlay_rows",
     "txt_profile",
-    "dedup_exact",
+    "dedup_semantic",
     "dedup_signatures",
     "dedup_survivors",
     "dedup_incremental",

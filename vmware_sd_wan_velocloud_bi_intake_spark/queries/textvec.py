@@ -230,24 +230,6 @@ for _kind, _pat in text.PII_PATTERNS:
 
 
 # --------------------------------------------------------------------------
-# Exact dedup via normalized-content digest (beyond-ref; md5 cross-engine).
-# --------------------------------------------------------------------------
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.exact_dedup_keys(docs, "doc_id", "text")
-
-
-DEDUP_EXACT_ORACLE = r"""
-SELECT
-  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS dedup_key,
-  MIN(doc_id) AS keep_id,
-  COUNT(*) AS dup_count
-FROM documents
-GROUP BY 1
-"""
-
-
-# --------------------------------------------------------------------------
 # Dedup signature suite (beyond-ref): MinHash (md5 min-wise family) AND
 # SimHash (md5-bit majority) per document — both are narrow array-fold
 # expressions fused into one scan, both fully oracle-checkable because the
@@ -625,8 +607,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(iters: int) -> str:
-    """Unrolled quantized-Lloyd replay + cell-restricted search, in SQL.
+def _lloyd_replay_prefix(iters: int) -> str:
+    """Unrolled quantized-Lloyd replay, in SQL — the shared WITH-prefix
+    (through the per-vector ``assigned (vec_id, cell, ccos)`` CTE) for
+    every oracle over the trained quantizer (`sim_ann_ivf`,
+    `dedup_semantic`).
 
     Mirrors operators.similarity.train_centroids(round_decimals=6) step for
     step: c0 = first n_cells sample vectors in md5 order; each iteration
@@ -683,6 +668,7 @@ cents AS (
   SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM {prev}
 ), assign0 AS (
   SELECT v.vec_id, c.cell,
+         ROUND(list_dot_product(v.e, c.cv) / (v.nrm * c.cnrm), 6) AS ccos,
          ROW_NUMBER() OVER (
            PARTITION BY v.vec_id
            ORDER BY ROUND(list_dot_product(v.e, c.cv) / (v.nrm * c.cnrm), 6)
@@ -690,8 +676,13 @@ cents AS (
          ) AS rn
   FROM v CROSS JOIN cents c
 ), assigned AS (
-  SELECT vec_id, cell FROM assign0 WHERE rn = 1
-), pairs AS (
+  SELECT vec_id, cell, ccos FROM assign0 WHERE rn = 1
+)"""
+
+
+def _ivf_oracle(iters: int) -> str:
+    """Lloyd replay + cell-restricted exact top-3 search (see prefix doc)."""
+    return f"""{_lloyd_replay_prefix(iters)}, pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
   FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
 ), scored AS (
@@ -716,22 +707,75 @@ SIM_IVF_ORACLE = _ivf_oracle(_IVF_TRAIN_ITERS)
 
 
 # --------------------------------------------------------------------------
+# Semantic dedup (beyond-ref; SemDeDup, Abbas et al. 2023): cluster with the
+# SAME trained quantizer as sim_ann_ivf (an index is a build-once artifact —
+# the session cache is shared), then inside each cluster drop the
+# closer-to-centroid member of every pair with cosine ≥ τ. The oracle
+# replays the full quantized-Lloyd training and the keep-the-outlier rule.
+# --------------------------------------------------------------------------
+_SEMDEDUP_TAU = 0.4
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_CENTROID_CACHE:
+        n_cells = max(8, math.ceil(math.sqrt(emb.count())))
+        _IVF_CENTROID_CACHE[key] = similarity.train_centroids(
+            emb, n_cells, iters=_IVF_TRAIN_ITERS, round_decimals=6
+        ).cache()
+    out = similarity.semantic_dedup_survivors(
+        emb,
+        threshold=_SEMDEDUP_TAU,
+        round_decimals=6,
+        cents=_IVF_CENTROID_CACHE[key],
+    )
+    # centroid_cos is already rounded to 6 by the operator's quantized path
+    return out.select(
+        "vec_id", "cell", F.col("centroid_cos").alias("centroid_cos_r6")
+    )
+
+
+SEMDEDUP_ORACLE = f"""{_lloyd_replay_prefix(_IVF_TRAIN_ITERS)}, losers AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a
+  JOIN assigned b ON a.cell = b.cell
+   AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+  JOIN v x ON x.vec_id = a.vec_id
+  JOIN v y ON y.vec_id = b.vec_id
+  WHERE ROUND(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) >= {_SEMDEDUP_TAU}
+)
+SELECT a.vec_id, a.cell, a.ccos AS centroid_cos_r6
+FROM assigned a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM losers)
+"""
+
+
+# --------------------------------------------------------------------------
 # End-to-end dedup application (beyond-ref): the survivor set after exact
 # dedup (keep lowest doc_id per content digest) AND near-dup removal (drop
 # the higher id of every verified Jaccard pair) — what a training-data
 # pipeline actually ships downstream.
 # --------------------------------------------------------------------------
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Carries the FULL exact-phase output (dedup_key, dup_count) on every
+    # survivor — this vehicle hash-verifies operators.dedup.exact_dedup_keys
+    # end to end (the former standalone dedup_exact entry folded here:
+    # identical operator, one vehicle; dropped exact dups are verified via
+    # dup_count, near-dup losers via absence).
     docs = load_table(spark, sf_dir, "documents", spread=True)
     exact = dedup.exact_dedup_keys(docs, "doc_id", "text")
-    exact_keep = exact.select(F.col("keep_id").alias("doc_id"))
+    exact_keep = exact.select(
+        F.col("keep_id").alias("doc_id"), "dedup_key", "dup_count"
+    )
     near = dedup.near_dup_pairs(
         docs, "doc_id", "text", threshold=0.4, num_hashes=4, bands=2, shingle_n=3
     )
     near_losers = near.select(F.col("doc_b").alias("doc_id")).distinct()
-    return (
-        exact_keep.join(near_losers, "doc_id", "left_anti")
-        .select("doc_id")
+    return exact_keep.join(near_losers, "doc_id", "left_anti").select(
+        "doc_id", "dedup_key", "dup_count"
     )
 
 
@@ -740,7 +784,9 @@ WITH norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
   FROM documents
 ), exact_keep AS (
-  SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY md5(t)
+  SELECT md5(t) AS dedup_key, MIN(doc_id) AS doc_id,
+         COUNT(*) AS dup_count
+  FROM norm GROUP BY md5(t)
 ), toks AS (
   SELECT doc_id, string_split_regex(t, '\s+') AS w FROM norm
 ), sh AS (
@@ -776,7 +822,7 @@ WITH norm AS (
   WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
         / len(list_distinct(list_concat(x.sl, y.sl))) >= 0.4
 )
-SELECT doc_id FROM exact_keep
+SELECT doc_id, dedup_key, dup_count FROM exact_keep
 WHERE doc_id NOT IN (SELECT doc_id FROM near_losers)
 """
 
@@ -793,12 +839,6 @@ QUERIES: dict[str, Q] = {
         ("F1", "F3", "F8", "F23", "beyond:text"),
         "per-doc text profile: tokens/chars/punct, BPE budget, quality, "
         "langID, fingerprint (one scan)",
-    ),
-    "dedup_exact": Q(
-        dedup_exact,
-        DEDUP_EXACT_ORACLE,
-        ("beyond:dedup", "S9"),
-        "exact dedup via content-digest hash groupBy",
     ),
     "dedup_signatures": Q(
         dedup_signatures,
@@ -842,5 +882,12 @@ QUERIES: dict[str, Q] = {
         SIM_IVF_ORACLE,
         ("beyond:similarity",),
         "IVF-style ANN: coarse quantizer + cell-restricted exact search",
+    ),
+    "dedup_semantic": Q(
+        dedup_semantic,
+        SEMDEDUP_ORACLE,
+        ("beyond:dedup", "beyond:similarity"),
+        "SemDeDup: trained-quantizer clusters, drop the closer-to-centroid "
+        "member of every in-cluster pair with cosine >= tau",
     ),
 }
