@@ -1,0 +1,168 @@
+"""Distributed BPE trainer/encoder (operators/bpe.py).
+
+The Spark trainer is checked against an independent pure-Python reference
+implementing the module's documented spec verbatim, on real fixture text;
+the first iteration's pair counts are additionally re-derived in DuckDB
+(cross-engine anchor for the explode/weighting semantics). The encoder is
+checked for merge-table fidelity (reference encode parity) and the
+lossless detokenize roundtrip.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import Counter
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from vmware_sd_wan_velocloud_bi_intake_spark.operators import bpe
+from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+END = bpe.END
+
+
+def _norm(t: str) -> str:
+    return re.sub(r"\s+", " ", t.lower()).strip()
+
+
+def _ref_train(texts, num_merges, min_count=2):
+    """Pure-Python replica of the documented trainer spec."""
+    wf = Counter()
+    for t in texts:
+        for w in _norm(t).split(" "):
+            if w:
+                wf[w] += 1
+    vocab = {w: tuple(list(w) + [END]) for w in wf}
+    merges = []
+    for rank in range(num_merges):
+        pc = Counter()
+        for w, syms in vocab.items():
+            f = wf[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        # (count desc, left asc, right asc)
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_count:
+            break
+        merges.append((rank, l, r, c))
+        nv = {}
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[w] = tuple(out)
+        vocab = nv
+    return merges
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke):
+    df = (
+        load_table(spark, sf_smoke, "documents")
+        .where(F.col("doc_id") < 200)
+        .cache()
+    )
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_trainer_matches_python_reference(spark, docs):
+    texts = [r["text"] for r in docs.select("text").collect()]
+    expected = _ref_train(texts, num_merges=12)
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe.train_bpe(docs, num_merges=12).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
+def test_first_iteration_pair_counts_match_duckdb(spark, docs, sf_smoke):
+    """Cross-engine anchor: iteration-0 weighted pair counts re-derived in
+    SQL over the same parquet (overlapping occurrences included)."""
+    vocab = bpe.word_vocab(docs).select(
+        "freq", bpe._init_symbols(F.col("word")).alias("sym")
+    )
+    got = {
+        (r["left"], r["right"]): r["cnt"]
+        for r in vocab.select(
+            "freq", F.explode(bpe._adjacent_pairs(F.col("sym"))).alias("p")
+        )
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("freq").alias("cnt"))
+        .collect()
+    }
+    path = os.path.join(sf_smoke, "documents.parquet")
+    con = duckdb.connect()
+    oracle = con.execute(
+        rf"""
+        WITH d AS (
+          SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM read_parquet('{path}')
+          WHERE doc_id < 200
+        ), wf AS (
+          SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split(t, ' ')) AS word FROM d
+          ) WHERE length(word) > 0 GROUP BY word
+        ), syms AS (
+          SELECT freq,
+                 list_append(string_split(word, ''), '{END}') AS s
+          FROM wf
+        ), pairs AS (
+          SELECT freq, s[i] AS l, s[i+1] AS r
+          FROM syms, LATERAL (
+            SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+        )
+        SELECT l, r, SUM(freq) AS cnt FROM pairs GROUP BY l, r
+        """
+    ).fetchall()
+    con.close()
+    assert got == {(l, r): c for l, r, c in oracle}
+
+
+def test_encode_parity_and_roundtrip(spark, docs):
+    merges = bpe.train_bpe(docs, num_merges=16)
+    ranks = {
+        (r["left"], r["right"]): int(r["rank"]) for r in merges.collect()
+    }
+    enc = bpe.bpe_encode(docs, merges)
+    rows = enc.join(docs.select("doc_id", "text"), "doc_id").collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        words = [w for w in _norm(r["text"]).split(" ") if w]
+        ref = []
+        for w in words:
+            ref.extend(bpe.apply_merges_to_word(w, ranks))
+        assert r["tokens"] == ref, r["doc_id"]
+        assert r["n_bpe_tokens"] == len(ref)
+        # lossless: stripping the end markers reconstructs the text
+        assert "".join(r["tokens"]).replace(END, " ").rstrip() == " ".join(words)
+
+
+def test_encode_is_map_only(spark, docs):
+    merges = bpe.train_bpe(docs, num_merges=4)
+    plan = (
+        bpe.bpe_encode(docs, merges)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_merge_pass_expr_non_overlapping_sweep(spark):
+    df = spark.createDataFrame([(["a", "a", "a", END],)], "sym array<string>")
+    out = df.select(
+        bpe.merge_pass_expr(F.col("sym"), "a", "a").alias("m")
+    ).head()["m"]
+    assert out == ["aa", "a", END]

@@ -1,0 +1,239 @@
+"""Distributed byte-pair-encoding (BPE) tokenizer training + encoding.
+
+Sennrich et al. 2016 ("Neural Machine Translation of Rare Words with
+Subword Units") adapted to the engine's scale discipline: after ONE
+corpus-sized aggregation (the word-frequency count), every training
+iteration operates on the DISTINCT-WORD table — vocabulary-sized, orders
+of magnitude smaller than the corpus (the same shuffle story as
+``operators/lm.py``). Per iteration exactly one row (the argmax pair)
+reaches the driver; the merge pass itself is a JVM ``aggregate`` fold over
+each word's symbol array — no Python in the loop.
+
+Spec (deterministic, replicated verbatim by the pure-Python reference in
+tests/test_bpe.py and the DuckDB first-iteration oracle):
+- words = whitespace tokens of ``text.normalize_text`` output; each word's
+  initial symbols are its characters plus a terminal ``</w>`` marker;
+- pair counts are ALL adjacent symbol pairs (overlapping occurrences each
+  count: "aaa" contributes (a,a) twice), weighted by word frequency;
+- the winning pair maximizes (count DESC, left ASC, right ASC) — binary
+  string order, identical to Python's for ASCII corpora;
+- a merge pass replaces occurrences of the winner LEFT-TO-RIGHT,
+  non-overlapping, in a single sweep (the merged token does not re-pair
+  within the same pass);
+- training stops after ``num_merges`` merges or when the best count drops
+  below ``min_count``.
+
+Scale: the corpus is touched once. Vocab-table lineage is truncated with
+``localCheckpoint`` every iteration (the ``duplicate_components`` pattern)
+so the plan stays flat across hundreds of merges; on a cluster with
+executor churn swap in a reliable ``checkpoint`` dir at the call site.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+END = "</w>"
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the single corpus-sized shuffle."""
+    words = docs.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
+    ).where(F.length("word") > 0)
+    return words.groupBy("word").agg(F.count("*").alias("freq"))
+
+
+def _init_symbols(word: Column) -> Column:
+    # split BETWEEN characters only: "(?!^)(?=.)" matches neither the start
+    # nor the end position (Spark's split keeps trailing empties, so a bare
+    # "(?!^)" would append a spurious '' symbol to every word)
+    return F.concat(F.split(word, r"(?!^)(?=.)"), F.array(F.lit(END)))
+
+
+def _adjacent_pairs(sym: Column) -> Column:
+    rest = F.slice(sym, 2, F.greatest(F.size(sym) - 1, F.lit(0)))
+    z = F.zip_with(
+        sym, rest, lambda a, b: F.struct(a.alias("left"), b.alias("right"))
+    )
+    return F.filter(z, lambda p: p["right"].isNotNull())
+
+
+def merge_pass_expr(sym: Column, left: str, right: str) -> Column:
+    """One left-to-right non-overlapping merge sweep as a JVM fold.
+
+    Accumulator carries (out, pend): ``pend`` is the one symbol whose fate
+    depends on its successor. A (pend=left, s=right) hit emits the merged
+    token and clears ``pend`` — so the merged token cannot chain into a
+    second merge within this pass, which is exactly the non-overlapping
+    sweep the trainer's pair counts assume.
+    """
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, s):
+        return (
+            F.when(
+                acc["pend"].isNull(),
+                F.struct(acc["out"].alias("out"), s.alias("pend")),
+            )
+            .when(
+                (acc["pend"] == F.lit(left)) & (s == F.lit(right)),
+                F.struct(
+                    F.concat(
+                        acc["out"], F.array(F.lit(left + right))
+                    ).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                    s.alias("pend"),
+                )
+            )
+        )
+
+    def fin(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        )
+
+    return F.aggregate(sym, init, step, fin)
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 32,
+    min_count: int = 2,
+) -> DataFrame:
+    """Train a BPE merge table on the corpus.
+
+    Returns (rank, left, right, pair_count) — ``rank`` is merge order. The
+    driver holds only the merge table (``num_merges`` rows) and sees one
+    argmax row per iteration; all counting and merging is distributed over
+    the vocab table.
+    """
+    spark = docs.sparkSession
+    vocab = (
+        word_vocab(docs, text_col)
+        .select("freq", _init_symbols(F.col("word")).alias("sym"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        best = (
+            vocab.select("freq", F.explode(_adjacent_pairs(F.col("sym"))).alias("p"))
+            .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_count:
+            break
+        l, r, c = best[0]["left"], best[0]["right"], int(best[0]["cnt"])
+        merges.append((rank, l, r, c))
+        old = vocab
+        vocab = vocab.withColumn(
+            "sym", merge_pass_expr(F.col("sym"), l, r)
+        ).localCheckpoint(eager=True)
+        old.unpersist()
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )
+
+
+def apply_merges_to_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with a trained merge table (canonical BPE encode:
+    repeatedly apply the LOWEST-RANK pair present, each application a
+    left-to-right non-overlapping sweep — the exact mirror of the
+    training-side merge pass). Shared by the Arrow-batched encoder and the
+    pure-Python test reference."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+        if best_rank is None:
+            break
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if (
+                i + 1 < len(syms)
+                and ranks.get((syms[i], syms[i + 1])) == best_rank
+            ):
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a trained merge table.
+
+    The merge table is tiny (``num_merges`` rows) — collected once and
+    closed over into an Arrow-batched ``mapInPandas`` (per-row iterative
+    merging is dense sequential logic, the documented Python carve-out;
+    SCALE.md ground rule 1). Distinct words are memoized per batch, so the
+    per-batch cost is O(distinct words), the same word-level caching real
+    tokenizers use. Map-only: no shuffle.
+
+    Returns (doc_id, tokens array<string>, n_bpe_tokens).
+    """
+    ranks = {
+        (r["left"], r["right"]): int(r["rank"])
+        for r in merges.select("rank", "left", "right").collect()
+    }
+
+    def gen(batches):
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+
+        def enc_word(w):
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = apply_merges_to_word(w, ranks)
+            return got
+
+        for pdf in batches:
+            toks = []
+            for t in pdf["_norm"]:
+                row: list[str] = []
+                for w in t.split(" "):
+                    if w:
+                        row.extend(enc_word(w))
+                toks.append(row)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "tokens": toks,
+                    "n_bpe_tokens": [len(t) for t in toks],
+                }
+            )
+
+    staged = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        normalize_text(F.col(text_col)).alias("_norm"),
+    )
+    return staged.mapInPandas(
+        gen, schema="doc_id long, tokens array<string>, n_bpe_tokens long"
+    )
