@@ -1,0 +1,168 @@
+"""Distributed text-quality classifier: logistic regression trained with
+full-batch gradient descent, every iteration ONE global aggregation.
+
+The CCNet/GPT-3 quality-filter recipe re-expressed Spark-first: label a
+seed set by provenance (curated sources = positive, random crawl =
+negative), featurize every document with cheap scale-free text statistics
+(pure expressions from ``operators/text.py``), fit a linear model, score
+the whole corpus, keep documents above a threshold.
+
+Scale shape:
+- featurization is narrow (rides the scan);
+- each GD iteration aggregates the full corpus into d+1 partial means —
+  map-side combine, ONE 1-row result to the driver (the Lloyd-training
+  pattern: the d+2 scalars must materialize anyway to seed the next
+  iteration's expression);
+- scoring is a pure expression over the broadcast-by-literal weights —
+  zero shuffles, zero Python.
+
+Determinism: gradients round to ``round_decimals`` before they leave
+Spark, and the driver-side weight update rounds with the same rule
+(``similarity.spark_round_array``), so training is a deterministic
+function of the input bytes — replayable step-for-step by any engine
+(tests/test_classifier.py replays it in numpy and checks bit-equality;
+ulp-level accumulation differences sit below the rounding quantum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import text
+from .similarity import spark_round_array
+
+N_FEATURES = 5
+
+
+def text_features(t: Column) -> Column:
+    """Bounded, scale-free per-document feature vector (pure expression).
+
+    [log1p(tokens)/10, punct density, stopword ratio, duplicate-token
+    fraction, mean token length/10] — each O(1) magnitude so unscaled GD
+    converges.
+    """
+    n_chars = F.greatest(text.char_count(t), F.lit(1)).cast("double")
+    n_toks = F.greatest(text.token_count(t), F.lit(1)).cast("double")
+    return F.array(
+        F.log1p(text.token_count(t).cast("double")) / F.lit(10.0),
+        text.punct_count(t).cast("double") / n_chars,
+        text.stopword_ratio(t),
+        text.dup_token_fraction(t),
+        (F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / n_toks)
+        / F.lit(10.0),
+    )
+
+
+def sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def _dot_lit(x: Column, w: list[float], b: float) -> Column:
+    wlit = F.array(*[F.lit(float(v)) for v in w])
+    return F.aggregate(
+        F.zip_with(x, wlit, lambda a, c: a * c),
+        F.lit(float(b)),
+        lambda acc, v: acc + v,
+    )
+
+
+def train_logreg(
+    df: DataFrame,
+    features_col: str = "features",
+    label_col: str = "label",
+    iters: int = 16,
+    lr: float = 2.0,
+    round_decimals: int = 9,
+    cache: bool = True,
+) -> tuple[list[float], float]:
+    """Full-batch GD. Returns (weights, bias).
+
+    ``cache`` persists the two-column (features, label) projection for the
+    loop — ``iters`` scans of a narrow cached relation instead of
+    re-running the upstream featurization pipeline each round; unpersisted
+    on exit. At corpus scales where even the projection cannot cache,
+    pass False and accept the re-scan (or point ``df`` at a staged table).
+    """
+    import numpy as np
+
+    proj = df.select(
+        F.col(features_col).alias("x"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+    if cache:
+        proj = proj.persist()
+    try:
+        d_row = proj.select(F.size("x").alias("d")).head()
+        if d_row is None:
+            raise ValueError("train_logreg: empty input")
+        d = d_row["d"]
+        w, b = [0.0] * d, 0.0
+        x = F.col("x")
+        for _ in range(iters):
+            r = sigmoid(_dot_lit(x, w, b)) - F.col("y")
+            aggs = [
+                F.round(F.avg(r * F.element_at(x, j + 1)), round_decimals).alias(
+                    f"g{j}"
+                )
+                for j in range(d)
+            ] + [F.round(F.avg(r), round_decimals).alias("gb")]
+            row = proj.agg(*aggs).head()
+            g = np.array([row[f"g{j}"] for j in range(d)] + [row["gb"]])
+            upd = spark_round_array(
+                np.array(w + [b]) - lr * g, round_decimals
+            )
+            w, b = [float(v) for v in upd[:d]], float(upd[d])
+    finally:
+        if cache:
+            proj.unpersist()
+    return w, b
+
+
+def score_logreg(
+    df: DataFrame,
+    weights: list[float],
+    bias: float,
+    features_col: str = "features",
+    out_col: str = "p_quality",
+) -> DataFrame:
+    """Pure-expression scoring: sigmoid(w·x + b). No shuffle, no Python."""
+    return df.withColumn(
+        out_col, sigmoid(_dot_lit(F.col(features_col), weights, bias))
+    )
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    positive_sources: set[str],
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    iters: int = 16,
+    lr: float = 2.0,
+) -> tuple[list[float], float]:
+    """Provenance-labeled quality model: documents from ``positive_sources``
+    are the positive seed class (the curated-corpus trick)."""
+    feat = docs.select(
+        text_features(F.col(text_col)).alias("features"),
+        F.col(source_col)
+        .isin(*sorted(positive_sources))
+        .cast("int")
+        .alias("label"),
+    )
+    return train_logreg(feat, iters=iters, lr=lr)
+
+
+def score_quality(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "p_quality",
+) -> DataFrame:
+    """Attach the quality probability to every document (narrow)."""
+    return docs.withColumn(
+        out_col,
+        sigmoid(_dot_lit(text_features(F.col(text_col)), weights, bias)),
+    )

@@ -28,6 +28,42 @@ def as_double_array(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def spark_round_array(a, round_decimals: int):
+    """numpy array rounding that matches Spark ``F.round`` EXACTLY.
+
+    F.round converts the double via its SHORTEST DECIMAL REPR
+    (BigDecimal.valueOf = Double.toString) and rounds that HALF_UP;
+    np.round is half-even AND rounds the binary value — both differences
+    flip results near .5 boundaries (e.g. 0.0001245: repr says ...45 →
+    HALF_UP 0.000125, but the binary scaled value 124.4999… floors to
+    0.000124). Fast path: binary half-away-from-zero; values within 1e-9
+    of a scaled .5 boundary (repr-vs-binary gaps are ≤ ~1e-10 there) are
+    re-rounded through Decimal(repr(x)) — Python repr is the same shortest
+    round-trip decimal as Double.toString, so the correction IS Spark's
+    rule. Shared by every driver-side replay of a quantized Spark
+    computation (Lloyd training, logistic-regression GD).
+    """
+    import decimal
+
+    import numpy as np
+
+    scale = 10.0 ** round_decimals
+    scaled = a * scale
+    out = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / scale
+    frac = np.abs(scaled) - np.floor(np.abs(scaled))
+    near = np.abs(frac - 0.5) < 1e-9
+    if near.any():
+        q = decimal.Decimal(1).scaleb(-round_decimals)
+        flat_a, flat_o = a.reshape(-1), out.reshape(-1)
+        for i in np.flatnonzero(near.reshape(-1)):
+            flat_o[i] = float(
+                decimal.Decimal(repr(float(flat_a[i]))).quantize(
+                    q, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+    return out
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (deterministic order ⇒ bit-stable)."""
     return F.aggregate(
@@ -643,33 +679,7 @@ def train_centroids(
     C = X[:n_cells].copy()  # md5-order heads: a deterministic random init
 
     def rnd(a):
-        # Match Spark F.round EXACTLY. F.round converts the double via its
-        # SHORTEST DECIMAL REPR (BigDecimal.valueOf = Double.toString) and
-        # rounds that HALF_UP; np.round is half-even AND rounds the binary
-        # value — both differences flip results near .5 boundaries (e.g.
-        # 0.0001245: repr says ...45 → HALF_UP 0.000125, but the binary
-        # scaled value 124.4999… floors to 0.000124). Fast path: binary
-        # half-away-from-zero; values within 1e-9 of a scaled .5 boundary
-        # (repr-vs-binary gaps are ≤ ~1e-10 there) are re-rounded through
-        # Decimal(repr(x)) — Python repr is the same shortest round-trip
-        # decimal as Double.toString, so the correction IS Spark's rule.
-        import decimal
-
-        scale = 10.0 ** round_decimals
-        scaled = a * scale
-        out = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / scale
-        frac = np.abs(scaled) - np.floor(np.abs(scaled))
-        near = np.abs(frac - 0.5) < 1e-9
-        if near.any():
-            q = decimal.Decimal(1).scaleb(-round_decimals)
-            flat_a, flat_o = a.reshape(-1), out.reshape(-1)
-            for i in np.flatnonzero(near.reshape(-1)):
-                flat_o[i] = float(
-                    decimal.Decimal(repr(float(flat_a[i]))).quantize(
-                        q, rounding=decimal.ROUND_HALF_UP
-                    )
-                )
-        return out
+        return spark_round_array(a, round_decimals)
 
     for _ in range(iters):
         Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
