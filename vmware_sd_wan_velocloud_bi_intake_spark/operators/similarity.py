@@ -590,14 +590,10 @@ def semantic_dedup_survivors(
     scored = assigned.join(F.broadcast(cents), "cell").select(
         "cell", "vid", "v", "nrm", ccos.alias("ccos")
     )
-    groups = (
-        scored.groupBy("cell")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("ccos", "vid", "v", "nrm"))
-            ).alias("ms")
-        )
-        .where(F.size("ms") > 1)
+    groups = scored.groupBy("cell").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ccos", "vid", "v", "nrm"))
+        ).alias("ms")
     )
     ms = F.col("ms")
 
@@ -605,28 +601,26 @@ def semantic_dedup_survivors(
         c = dot(x["v"], y["v"]) / (x["nrm"] * y["nrm"])
         return F.round(c, round_decimals) if round_decimals is not None else c
 
-    # ms ascends by (ccos, vid); a member y loses to any earlier member x
-    # (x is farther from the centroid, or same distance with a lower id)
-    # whose cosine with y clears the threshold
-    loser_arr = F.flatten(
-        F.transform(
+    # ms ascends by (ccos, vid); member y survives iff NO earlier member x
+    # (farther from the centroid, or same distance with a lower id) clears
+    # the pair threshold against it. Emitting survivors in the same
+    # in-array pass avoids the losers-distinct + anti-join form, which
+    # would recompute the whole assignment on the anti-join side (or force
+    # a corpus-sized persist); singleton cells pass trivially.
+    surv_arr = F.filter(
+        ms,
+        lambda y: ~F.exists(
             ms,
-            lambda x: F.transform(
-                F.filter(
-                    ms,
-                    lambda y: (
-                        F.struct(x["ccos"], x["vid"])
-                        < F.struct(y["ccos"], y["vid"])
-                    )
-                    & (pair_cos(x, y) >= F.lit(threshold)),
-                ),
-                lambda y: y["vid"],
-            ),
-        )
+            lambda x: (
+                F.struct(x["ccos"], x["vid"]) < F.struct(y["ccos"], y["vid"])
+            )
+            & (pair_cos(x, y) >= F.lit(threshold)),
+        ),
     )
-    losers = groups.select(F.explode(loser_arr).alias("vid")).distinct()
-    return scored.join(losers, "vid", "left_anti").select(
-        F.col("vid").alias(vec_id), "cell", F.col("ccos").alias("centroid_cos")
+    return groups.select("cell", F.explode(surv_arr).alias("s")).select(
+        F.col("s.vid").alias(vec_id),
+        "cell",
+        F.col("s.ccos").alias("centroid_cos"),
     )
 
 
