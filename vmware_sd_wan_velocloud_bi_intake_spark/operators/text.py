@@ -262,6 +262,7 @@ def pack_sequences(
     budget: int,
     partition_by: str | None = None,
     drop_oversize: bool = False,
+    token_count_col: str | None = None,
 ):
     """Concat-and-chunk token packing — assign each document its position in
     the fixed-length training sequences a pretraining pipeline would emit.
@@ -297,10 +298,18 @@ def pack_sequences(
     from pyspark.sql import Window
 
     key = partition_by
+    # budget accounting defaults to whitespace tokens of ``text``; pass
+    # token_count_col to pack on a REAL tokenizer's counts instead (e.g.
+    # n_bpe_tokens from operators/bpe.bpe_encode — plans/tokenize.py)
+    n_tok = (
+        F.col(token_count_col).cast("long")
+        if token_count_col is not None
+        else token_count(F.col(text))
+    )
     staged = df.select(
         F.col(doc_id).alias("doc_id"),
         *([F.col(key)] if key else []),
-        token_count(F.col(text)).alias("n_tokens"),
+        n_tok.alias("n_tokens"),
     )
     if drop_oversize:
         staged = staged.filter(F.col("n_tokens") <= budget)
