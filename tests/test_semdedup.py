@@ -103,3 +103,50 @@ def test_no_cartesian_in_plan(spark, sf_smoke):
     # sim_ann_ivf shape, map-side max_by reduces before the exchange); a
     # true cartesian pair expansion would be a bug
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_matches_full_cross_pairs(spark, sf_smoke):
+    """With the SAME centroids, the incremental probe finds exactly the
+    (corpus, batch) cross pairs a full joint run would: assignment is a
+    pure function of (vector, cents), so probing the persisted index is
+    equivalent to re-clustering corpus+batch together and keeping the
+    cross-cell pairs."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    tau = 0.4
+    cents = similarity.train_centroids(corpus, 8, iters=3, round_decimals=6)
+    # index members assigned against the SAME trained cents the probe uses
+    base = corpus.select(
+        F.col("vec_id").alias("vid"),
+        similarity.as_double_array(F.col("embedding")).alias("v"),
+    ).withColumn("nrm", similarity.l2_norm(F.col("v")))
+    members = similarity._assign_cells(base, cents, round_decimals=6)
+    got = {
+        (r["batch_id"], r["corpus_id"])
+        for r in similarity.semantic_dedup_incremental(
+            batch, cents, members, threshold=tau
+        ).collect()
+    }
+
+    # numpy replay of the joint clustering, restricted to cross pairs
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cp = cents.toPandas().sort_values("cell")
+    C = np.stack(cp["cv"].to_numpy())
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cell = np.argmax(np.round(Xn @ Cn.T, 6), axis=1)
+    sims = np.round(Xn @ Xn.T, 6)
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if (
+                ids[i] % 5 == 0
+                and ids[j] % 5 != 0
+                and cell[i] == cell[j]
+                and sims[i, j] >= tau
+            ):
+                expected.add((int(ids[i]), int(ids[j])))
+    assert got == expected

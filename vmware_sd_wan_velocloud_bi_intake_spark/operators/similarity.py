@@ -624,6 +624,60 @@ def semantic_dedup_survivors(
     )
 
 
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    cents: DataFrame,
+    members: DataFrame,
+    threshold: float = 0.4,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Semantic near-dups of a NEW batch against a persisted IVF index —
+    the vector-family twin of ``dedup.near_dup_pairs_incremental``.
+
+    ``cents``/``members`` come from :func:`ivf_index` (write ``members``
+    bucketed on ``cell`` via ``sinks.bucketed.write_bucketed`` and the
+    corpus side of the join needs no shuffle at query time). The batch
+    broadcast-assigns to its cells (batch-sized), equi-joins the matching
+    cell's members, and keeps pairs whose cosine clears ``threshold`` —
+    cost is O(|batch| × cell size), never corpus²; the corpus is neither
+    re-assigned nor re-scanned beyond the probed cells.
+
+    Returns (batch_id, corpus_id, cos_sim) for every semantic-dup pair;
+    the canonical policy drops matched batch rows (the corpus is already
+    curated). Batch-internal duplicates are a separate concern — run
+    :func:`semantic_dedup_survivors` over the batch with the SAME
+    ``cents`` first, exactly like the LSH incremental flow runs in-batch
+    dedup before the index probe.
+    """
+    b = batch.select(
+        F.col(vec_id).alias("vid"),
+        as_double_array(F.col(embedding)).alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    assigned = _assign_cells(b, cents, round_decimals=round_decimals).select(
+        "cell",
+        F.col("vid").alias("batch_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    corpus = members.select(
+        "cell",
+        F.col("vid").alias("corpus_id"),
+        F.col("v").alias("cv2"),
+        F.col("nrm").alias("cnrm2"),
+    )
+    cos = dot(F.col("bv"), F.col("cv2")) / (F.col("bnrm") * F.col("cnrm2"))
+    if round_decimals is not None:
+        cos = F.round(cos, round_decimals)
+    return (
+        assigned.join(corpus, "cell")
+        .withColumn("cos_sim", cos)
+        .where(F.col("cos_sim") >= F.lit(threshold))
+        .select("batch_id", "corpus_id", "cos_sim")
+    )
+
+
 def train_centroids(
     emb: DataFrame,
     n_cells: int,
