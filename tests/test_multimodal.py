@@ -269,3 +269,47 @@ def test_pil_absent_keeps_notimplemented_contract():
 
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_media(b"\x89PNG\r\n\x1a\nfakedata")
+
+
+def test_wav_roundtrip_and_audio_features(spark):
+    """Real PCM decode through the stdlib wave container: a synthesized
+    sine payload roundtrips bit-exactly and its signal statistics match
+    the closed-form values."""
+    import numpy as np
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import multimodal
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    # 441 Hz (not a divisor of the rate): no sample lands exactly on zero,
+    # so the sign-product crossing count sees every crossing
+    sine = (10000 * np.sin(2 * np.pi * 441 * t / rate)).astype("<i2")
+    payload = multimodal.wav_encode(sine, sample_rate=rate)
+    dec = multimodal.wav_decode(payload)
+    assert dec["sample_rate"] == rate
+    assert dec["n_samples"] == rate
+    assert dec["duration_ms"] == 1000
+    assert np.array_equal(np.frombuffer(dec["pcm"], dtype="<i2"), sine)
+
+    silent = multimodal.wav_encode(np.zeros(100, dtype="<i2"), sample_rate=rate)
+    rows = [(1, bytearray(payload)), (2, bytearray(silent))]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.extract_audio_features(media).collect()
+    }
+    # sine RMS = amplitude/sqrt(2) (within quantization), 441 Hz -> ~882
+    # zero crossings/second
+    assert abs(feats[1]["rms"] - 10000 / np.sqrt(2)) < 50
+    assert abs(feats[1]["zero_crossings"] - 882) <= 2
+    assert feats[1]["peak"] == 10000
+    assert feats[2]["rms"] == 0.0 and feats[2]["zero_crossings"] == 0
+
+
+def test_wav_decode_rejects_non_wav(spark):
+    import pytest as _pytest
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import multimodal
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.wav_decode(b"ID3\x03\x00mp3-ish payload")

@@ -60,9 +60,33 @@ def _pq_index_search(spark, sf_dir):
 
 # DataFrame-returning extras timed alongside the catalog entries (operators
 # without a catalog vehicle; same noop-write timing)
+def _bpe_train_encode(spark, sf_dir):
+    """BPE: 16-merge training + full-corpus encode."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import bpe
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, num_merges=16)
+    return bpe.bpe_encode(docs, merges)
+
+
+def _classifier_train_score(spark, sf_dir):
+    """Quality classifier: 8 GD iterations + full-corpus scoring."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import classifier
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w, b = classifier.train_quality_classifier(
+        docs, positive_sources={"src0", "src1"}, iters=8
+    )
+    return classifier.score_quality(docs, w, b)
+
+
 CUSTOM = {
     "lm_train_score": _lm_train_score,
     "pq_index_search": _pq_index_search,
+    "bpe_train_encode": _bpe_train_encode,
+    "classifier_train_score": _classifier_train_score,
 }
 
 QUERIES = [

@@ -11,9 +11,11 @@ Decode is REAL for the formats a pure-Python decoder can carry: binary PPM
 :func:`decode_media`), and PPM resizes through a real nearest-neighbor
 resampler (:func:`ppm_resize`). JPEG/PNG/WebP decode and resize
 automatically whenever Pillow is importable (optional dependency — the
-engine never requires it); in a PIL-less environment like this one, and
-for audio/video always, those formats raise ``NotImplementedError``
-unless a decoder is injected. The schema, batch shape, UDF signatures,
+engine never requires it); PCM WAV audio decodes through the stdlib
+``wave`` container (:func:`wav_decode` → :func:`extract_audio_features`,
+real signal statistics over decoded samples). In a PIL-less environment
+like this one, remaining image formats — and compressed audio plus video
+always — raise ``NotImplementedError`` unless a decoder is injected. The schema, batch shape, UDF signatures,
 frame-index math, and partitioning are shared by every path and tested
 with real pixels where possible.
 
@@ -372,6 +374,112 @@ def resize_media(
 
     return media.select("media_id", "content", "meta").mapInPandas(
         run, RESIZED_SCHEMA
+    )
+
+
+def wav_decode(content: bytes) -> dict:
+    """REAL audio decode for PCM WAV containers — pure stdlib (``wave``),
+    no codec library. Returns sample_rate, n_channels, sample_width,
+    n_samples, duration_ms, and the raw PCM frame bytes."""
+    import io
+    import wave
+
+    if not (content[:4] == b"RIFF" and content[8:12] == b"WAVE"):
+        raise NotImplementedError(
+            "not a RIFF/WAVE payload; inject a codec-backed decoder for "
+            "compressed audio (mp3/ogg/flac)"
+        )
+    with wave.open(io.BytesIO(content), "rb") as w:
+        n = w.getnframes()
+        rate = w.getframerate()
+        return {
+            "sample_rate": rate,
+            "n_channels": w.getnchannels(),
+            "sample_width": w.getsampwidth(),
+            "n_samples": n,
+            "duration_ms": int(n * 1000 / rate) if rate else 0,
+            "pcm": w.readframes(n),
+        }
+
+
+def wav_encode(
+    samples, sample_rate: int = 16000, n_channels: int = 1
+) -> bytes:
+    """Build a 16-bit PCM WAV payload from an int16 iterable (fixture
+    builder for tests and the deterministic synthetic-audio path)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    arr = np.asarray(samples, dtype="<i2")
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, duration_ms long, "
+    "rms double, peak int, zero_crossings long"
+)
+
+
+def audio_feature_decoder(content: bytes) -> dict:
+    """Signal statistics over DECODED samples (16-bit PCM): RMS, peak,
+    zero-crossing count — the audio analog of :func:`pixel_feature_decoder`."""
+    import numpy as np
+
+    a = wav_decode(content)
+    if a["sample_width"] != 2:
+        raise NotImplementedError("audio features support 16-bit PCM only")
+    x = np.frombuffer(a["pcm"], dtype="<i2").astype("float64")
+    return {
+        "sample_rate": a["sample_rate"],
+        "n_channels": a["n_channels"],
+        "duration_ms": a["duration_ms"],
+        "rms": float(np.sqrt((x * x).mean())) if x.size else 0.0,
+        "peak": int(np.abs(x).max()) if x.size else 0,
+        "zero_crossings": int(((x[:-1] * x[1:]) < 0).sum()) if x.size > 1 else 0,
+    }
+
+
+def extract_audio_features(
+    media: DataFrame,
+    decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Arrow-batched audio feature extraction — same plumbing contract as
+    :func:`extract_features` (map-only, content projected away after)."""
+    import pandas as pd
+
+    if decoder is None:
+        decoder = audio_feature_decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    **{
+                        k: [f[k] for f in feats]
+                        for k in (
+                            "sample_rate",
+                            "n_channels",
+                            "duration_ms",
+                            "rms",
+                            "peak",
+                            "zero_crossings",
+                        )
+                    },
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, AUDIO_FEATURE_SCHEMA
     )
 
 
