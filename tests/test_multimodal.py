@@ -313,3 +313,20 @@ def test_wav_decode_rejects_non_wav(spark):
 
     with _pytest.raises(NotImplementedError):
         multimodal.wav_decode(b"ID3\x03\x00mp3-ish payload")
+
+
+def test_stereo_zero_crossings_not_counted_across_channels(spark):
+    """Constant +A left / -A right stereo: neither channel crosses zero,
+    but the raw interleaved stream flips sign at every sample — the
+    counter must de-interleave."""
+    import numpy as np
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import multimodal
+
+    frames = np.empty(200, dtype="<i2")
+    frames[0::2] = 1000   # left
+    frames[1::2] = -1000  # right
+    payload = multimodal.wav_encode(frames, sample_rate=8000, n_channels=2)
+    feats = multimodal.audio_feature_decoder(payload)
+    assert feats["n_channels"] == 2
+    assert feats["zero_crossings"] == 0

@@ -138,9 +138,30 @@ def test_estimated_bytes_uses_profiled_widths():
     )
 
     rows = [
-        {"column": "k", "dtype": "bigint", "n_rows": 100, "max_str": None},
-        {"column": "s", "dtype": "string", "n_rows": 100, "max_str": "abcd"},
+        {"column": "k", "dtype": "bigint", "n_rows": 100, "max_len": None},
+        {"column": "s", "dtype": "string", "n_rows": 100, "max_len": 4},
     ]
     # 8 (bigint) + 4+8 (string payload+header) = 20 bytes/row
     assert estimated_bytes(rows) == 2000
     assert estimated_bytes([]) == 0
+
+
+def test_estimated_bytes_uses_length_not_max_value(spark):
+    """The width stat is the max string LENGTH, never len(max VALUE):
+    'zz' sorts after a huge document but says nothing about row width."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.profile import (
+        profile_table,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.plans.hints import (
+        estimated_bytes,
+    )
+
+    df = spark.createDataFrame(
+        [("a" * 50_000,), ("zz",)], "doc string"
+    )
+    prof = [r.asDict() for r in profile_table(df).collect()]
+    doc = next(r for r in prof if r["column"] == "doc")
+    assert doc["max_str"] == "zz"        # range stat: lexicographic max
+    assert doc["max_len"] == 50_000      # width stat: longest value
+    # 2 rows x (50_000 + 8) — the 50 KB row drives the estimate
+    assert estimated_bytes(prof) == 2 * 50_008

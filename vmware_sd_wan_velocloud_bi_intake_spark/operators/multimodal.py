@@ -151,6 +151,24 @@ def bmp_decode(content: bytes) -> dict:
     return {"width": width, "height": height, "maxval": 255, "pixels": bytes(out)}
 
 
+def _pil_rgb(content: bytes):
+    """The ONE Pillow boundary: bytes → RGB Image, or None when Pillow is
+    absent or cannot identify the payload. Every PIL-optional path
+    (decode, resize) goes through here so the availability/dispatch
+    contract cannot drift between call sites."""
+    try:
+        from PIL import Image, UnidentifiedImageError
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with Image.open(io.BytesIO(content)) as im:
+            return im.convert("RGB")
+    except UnidentifiedImageError:
+        return None
+
+
 def _pil_decode(content: bytes) -> dict | None:
     """Pillow-backed decode (JPEG/PNG/…) when PIL is importable.
 
@@ -160,23 +178,15 @@ def _pil_decode(content: bytes) -> dict | None:
     the documented ``NotImplementedError`` contract, so environments
     without codec libraries behave exactly as before.
     """
-    try:
-        from PIL import Image, UnidentifiedImageError
-    except ImportError:
+    rgb = _pil_rgb(content)
+    if rgb is None:
         return None
-    import io
-
-    try:
-        with Image.open(io.BytesIO(content)) as im:
-            rgb = im.convert("RGB")
-            return {
-                "width": rgb.width,
-                "height": rgb.height,
-                "maxval": 255,
-                "pixels": rgb.tobytes(),
-            }
-    except UnidentifiedImageError:
-        return None
+    return {
+        "width": rgb.width,
+        "height": rgb.height,
+        "maxval": 255,
+        "pixels": rgb.tobytes(),
+    }
 
 
 def decode_media(content: bytes) -> dict:
@@ -312,21 +322,12 @@ def builtin_resizer(content: bytes, width: int, height: int) -> bytes:
     required."""
     if content.startswith(b"P6"):
         return ppm_resize(content, width, height)
-    try:
-        from PIL import Image, UnidentifiedImageError
-    except ImportError:
-        Image = None
-    if Image is not None:
-        import io
+    rgb = _pil_rgb(content)
+    if rgb is not None:
+        from PIL import Image
 
-        try:
-            with Image.open(io.BytesIO(content)) as im:
-                rgb = im.convert("RGB").resize(
-                    (width, height), Image.Resampling.NEAREST
-                )
-                return ppm_encode(width, height, rgb.tobytes())
-        except UnidentifiedImageError:
-            pass
+        out = rgb.resize((width, height), Image.Resampling.NEAREST)
+        return ppm_encode(width, height, out.tobytes())
     raise NotImplementedError(
         "no resizer for this payload (built-in: PPM P6; other image "
         "formats resize automatically when Pillow is installed); inject a "
@@ -437,13 +438,19 @@ def audio_feature_decoder(content: bytes) -> dict:
     if a["sample_width"] != 2:
         raise NotImplementedError("audio features support 16-bit PCM only")
     x = np.frombuffer(a["pcm"], dtype="<i2").astype("float64")
+    # crossings must be counted per channel on the de-interleaved signal:
+    # adjacent samples of the raw PCM stream alternate channels, and a
+    # sign flip between channels is not a crossing of either
+    nc = max(1, a["n_channels"])
+    ch = x[: (x.size // nc) * nc].reshape(-1, nc)
+    zc = int(((ch[:-1] * ch[1:]) < 0).sum()) if ch.shape[0] > 1 else 0
     return {
         "sample_rate": a["sample_rate"],
         "n_channels": a["n_channels"],
         "duration_ms": a["duration_ms"],
         "rms": float(np.sqrt((x * x).mean())) if x.size else 0.0,
         "peak": int(np.abs(x).max()) if x.size else 0,
-        "zero_crossings": int(((x[:-1] * x[1:]) < 0).sum()) if x.size > 1 else 0,
+        "zero_crossings": zc,
     }
 
 

@@ -231,59 +231,51 @@ def ivf_pq_index(
         F.col(vec_id).alias("vid"),
         as_double_array(F.col(embedding)).alias("v"),
     ).withColumn("nrm", l2_norm(F.col("v")))
-    sized = n_cells is None
-    if sized:
-        # persist only for the count + downstream reuse within this builder;
-        # released in the finally so the corpus-sized cache never outlives
-        # the call (callers materialize `members` by writing the index)
-        base.persist()
-    try:
-        if sized:
-            n_cells = max(8, math.ceil(math.sqrt(base.count())))
-        cents = train_centroids(
-            emb, n_cells, vec_id=vec_id, embedding=embedding, iters=train_iters
-        )
-        assigned = _assign_cells(base, cents)
-        if not residual:
-            books = train_pq_codebooks(
-                emb, m=m, ksub=ksub, vec_id=vec_id, embedding=embedding,
-                iters=train_iters,
-            )
-            members = assigned.select(
-                "cell", "vid", pq_encode_expr("v", books).alias("codes"), "nrm"
-            )
-            return cents, members, books
-        # residual space: r = x̂ − c(cell), computed JVM-side (normalize +
-        # zip_with fuse into the assignment projection; the centroid join
-        # is the same broadcast _assign_cells already did)
-        res_col = F.zip_with(
-            F.transform(
-                F.col("v"),
-                lambda x: x / F.greatest(F.col("nrm"), F.lit(1e-12)),
-            ),
-            F.col("cv"),
-            lambda a, b: a - b,
-        )
-        with_res = assigned.join(F.broadcast(cents), "cell").select(
-            "cell", "vid", "nrm", res_col.alias("r")
-        )
+    if n_cells is None:
+        # sizing needs only a row count — cache nothing: the returned
+        # `members` plan is lazy and materializes AFTER this call returns
+        # (typically by the index write), so a persist scoped to this
+        # builder would be released before anything reused it and pay a
+        # full corpus cache materialization for one count
+        n_cells = max(8, math.ceil(math.sqrt(emb.select(vec_id).count())))
+    cents = train_centroids(
+        emb, n_cells, vec_id=vec_id, embedding=embedding, iters=train_iters
+    )
+    assigned = _assign_cells(base, cents)
+    if not residual:
         books = train_pq_codebooks(
-            with_res, m=m, ksub=ksub, vec_id="vid", embedding="r",
-            iters=train_iters, normalize=False,
+            emb, m=m, ksub=ksub, vec_id=vec_id, embedding=embedding,
+            iters=train_iters,
         )
-        members = with_res.select(
-            "cell",
-            "vid",
-            pq_encode_expr("r", books, normalize=False).alias("codes"),
-            "nrm",
+        members = assigned.select(
+            "cell", "vid", pq_encode_expr("v", books).alias("codes"), "nrm"
         )
         return cents, members, books
-    finally:
-        if sized:
-            # training collected the centroid/codebook state to the driver
-            # above, so nothing still depends on the cached partitions;
-            # blocking=False keeps teardown off the critical path
-            base.unpersist()
+    # residual space: r = x̂ − c(cell), computed JVM-side (normalize +
+    # zip_with fuse into the assignment projection; the centroid join
+    # is the same broadcast _assign_cells already did)
+    res_col = F.zip_with(
+        F.transform(
+            F.col("v"),
+            lambda x: x / F.greatest(F.col("nrm"), F.lit(1e-12)),
+        ),
+        F.col("cv"),
+        lambda a, b: a - b,
+    )
+    with_res = assigned.join(F.broadcast(cents), "cell").select(
+        "cell", "vid", "nrm", res_col.alias("r")
+    )
+    books = train_pq_codebooks(
+        with_res, m=m, ksub=ksub, vec_id="vid", embedding="r",
+        iters=train_iters, normalize=False,
+    )
+    members = with_res.select(
+        "cell",
+        "vid",
+        pq_encode_expr("r", books, normalize=False).alias("codes"),
+        "nrm",
+    )
+    return cents, members, books
 
 
 def ann_ivf_pq_topk(

@@ -28,7 +28,9 @@ def _is_atomic(dtype: str) -> bool:
 
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """(column, dtype, n_rows, n_nulls, null_frac, ndv_approx, min_str,
-    max_str) — one output row per profiled column, computed in one scan.
+    max_str, max_len) — one output row per profiled column, one scan.
+    ``max_len`` is the maximum string LENGTH (width stat for size
+    estimation); NULL for non-string columns.
 
     ``ndv_approx`` is HLL++ at default precision (±~2.3%); min/max are
     string-rendered for a heterogeneous long-form schema. Complex types
@@ -55,6 +57,11 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
                 F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
                 F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
             ]
+        if dtypes[c] == "string":
+            # max VALUE (above) is a range stat; max LENGTH is the width
+            # stat size estimation needs — they are unrelated ('zz' sorts
+            # after a 50 KB document)
+            aggs.append(F.max(F.length(F.col(c))).alias(f"__len_{c}"))
     row = df.agg(*aggs)
     entries = []
     for c in cols:
@@ -81,6 +88,11 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
                 (
                     F.col(f"__max_{c}") if atomic else F.lit(None).cast("string")
                 ).alias("max_str"),
+                (
+                    F.col(f"__len_{c}")
+                    if dtypes[c] == "string"
+                    else F.lit(None).cast("int")
+                ).alias("max_len"),
             )
         )
     return row.select(F.explode(F.array(*entries)).alias("p")).select("p.*")

@@ -159,7 +159,12 @@ def cosine_topk_pairs(
             # block is a 5 GB matrix per worker, which is exactly the
             # 64×-scale OOM the scale_check caught (SCALE.md).
             chunk = max(1, 4_000_000 // max(n, 1))
-            pos_of = {int(v): j for j, v in enumerate(ids_b)}
+            # EVERY occurrence of an id (a re-ingested corpus can hold the
+            # same vec_id twice in one block — last-position-only would
+            # emit the query's own duplicate as a cos≈1 neighbor)
+            pos_of: dict = {}
+            for j, v in enumerate(ids_b):
+                pos_of.setdefault(int(v), []).append(j)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -169,11 +174,10 @@ def cosine_topk_pairs(
                     q_mat = np.stack(sub["qv"].to_numpy())
                     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
                     sims = (q_mat @ mat_b.T) / np.outer(q_norm, norm_b)
-                    # self-match: at most one column per row → -inf, never
-                    # selected (and filtered below for blocks smaller than k)
+                    # self-matches → -inf, never selected (and filtered
+                    # below for blocks smaller than k)
                     for i, q in enumerate(q_ids):
-                        j = pos_of.get(int(q))
-                        if j is not None:
+                        for j in pos_of.get(int(q), ()):
                             sims[i, j] = -np.inf
                     out_q, out_n, out_s = [], [], []
                     for i in range(len(q_ids)):

@@ -105,7 +105,16 @@ def write_zordered(
     # straddle. Bucket-aligned cuts keep every file inside one Morton cell
     # (range-partitioning the 2^b distinct bucket values is stable: each
     # output file receives whole buckets).
-    shift = len(cols) * bits - max(1, math.ceil(math.log2(n_files)))
+    bucket_bits = max(1, math.ceil(math.log2(n_files)))
+    if bucket_bits > len(cols) * bits:
+        # a negative shift is masked mod 64 by the JVM: every row would
+        # silently land in bucket 0 and the layout collapse to one file
+        raise ValueError(
+            f"write_zordered: n_files={n_files} needs {bucket_bits} bucket "
+            f"bits but the key has only {len(cols) * bits}; lower n_files "
+            "or raise bits"
+        )
+    shift = len(cols) * bits - bucket_bits
     bucket = F.shiftright(F.col("zvalue"), shift)
     (
         dz.repartitionByRange(n_files, bucket)

@@ -61,9 +61,13 @@ def estimated_bytes(profile_rows: list[dict]) -> int:
         dtype = r["dtype"]
         if dtype in _FIXED_WIDTHS:
             width += _FIXED_WIDTHS[dtype]
-        elif dtype == "string" and r.get("max_str") is not None:
-            # profiled max length bounds the payload; +8 for offset/len
-            width += len(r["max_str"]) + 8
+        elif dtype == "string" and r.get("max_len") is not None:
+            # profiled max LENGTH bounds the payload (+8 offset/len).
+            # NEVER len(max_str): that is the lexicographically-max VALUE,
+            # whose length says nothing about the widest row ('zz' sorts
+            # after a 50 KB document) — using it understates relation
+            # size by orders of magnitude and force-broadcasts giants
+            width += int(r["max_len"]) + 8
         else:
             width += _DEFAULT_WIDTH
     return n_rows * width

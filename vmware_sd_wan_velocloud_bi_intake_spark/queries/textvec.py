@@ -584,23 +584,30 @@ _IVF_TRAIN_ITERS = 4
 _IVF_CENTROID_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _trained_centroids(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    """The session's trained coarse quantizer for this sf_dir — trained
+    once (build-time artifact), shared by every vehicle over it
+    (`sim_ann_ivf`, `dedup_semantic`). ONE definition on purpose: the
+    oracles replay exactly these parameters (⌈√n⌉ cells, _IVF_TRAIN_ITERS
+    quantized-Lloyd steps, 6-decimal rounding); two drifting copies would
+    train different quantizers depending on which vehicle ran first."""
     import math
 
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    # quantizer trained once per session+sf (the production lifecycle — an
-    # IVF coarse quantizer is a build-time artifact, not per-query work);
-    # deterministic, so caching cannot change results
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_CENTROID_CACHE:
         n_cells = max(8, math.ceil(math.sqrt(emb.count())))
         _IVF_CENTROID_CACHE[key] = similarity.train_centroids(
             emb, n_cells, iters=_IVF_TRAIN_ITERS, round_decimals=6
         ).cache()
+    return _IVF_CENTROID_CACHE[key]
+
+
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     out = similarity.ann_ivf_topk_trained(
         emb, n_cells=None, k=3,  # adaptive ~sqrt(n) cells
         train_iters=_IVF_TRAIN_ITERS, round_decimals=6,
-        cents=_IVF_CENTROID_CACHE[key],
+        cents=_trained_centroids(spark, sf_dir, emb),
     )
     return out.select(
         "query_id", "neighbor_id", F.round(F.col("cos_sim"), 6).alias("cos_sim_r6"), "rk"
@@ -717,20 +724,12 @@ _SEMDEDUP_TAU = 0.4
 
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _IVF_CENTROID_CACHE:
-        n_cells = max(8, math.ceil(math.sqrt(emb.count())))
-        _IVF_CENTROID_CACHE[key] = similarity.train_centroids(
-            emb, n_cells, iters=_IVF_TRAIN_ITERS, round_decimals=6
-        ).cache()
     out = similarity.semantic_dedup_survivors(
         emb,
         threshold=_SEMDEDUP_TAU,
         round_decimals=6,
-        cents=_IVF_CENTROID_CACHE[key],
+        cents=_trained_centroids(spark, sf_dir, emb),
     )
     # centroid_cos is already rounded to 6 by the operator's quantized path
     return out.select(

@@ -136,7 +136,15 @@ def exact_dedup_state_func(key, pdfs: Iterator["pd.DataFrame"], state):
     import pandas as pd
 
     rows = pd.concat(list(pdfs), ignore_index=True)
-    batch_min = int(rows["doc_id"].min())
+    ids = rows["doc_id"].dropna()
+    if ids.empty:
+        # upstream cast('long') nulled every id in this group — int(NaN)
+        # here would kill the whole streaming query with an opaque error
+        raise ValueError(
+            "streaming_exact_dedup: doc_id values are not castable to "
+            "long (the keep_id contract); fix the id column upstream"
+        )
+    batch_min = int(ids.min())
     n = len(rows)
     if state.exists:
         keep, cnt = state.get
