@@ -1,0 +1,87 @@
+"""Small-file compaction (sinks/compact.py): file-count math from real
+on-disk bytes, data identity across the rewrite, refusal to swap on row
+loss, and the fused Z-order rewrite."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vmware_sd_wan_velocloud_bi_intake_spark.sinks import compact
+
+
+def _n_files(path):
+    return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def test_compacts_many_small_files(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    df = spark.range(50_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    df.repartition(64).write.parquet(path)  # the fragmented state
+    assert _n_files(path) == 64
+    total = compact.dataset_bytes(path)
+    # target a quarter of the dataset per file -> ~4 files
+    written = compact.compact_parquet(spark, path, target_bytes=total // 4)
+    assert written == _n_files(path)
+    assert written <= 6  # ceil division + writer rounding slack
+    back = spark.read.parquet(path)
+    assert back.count() == 50_000
+    assert back.agg(F.sum("id")).head()[0] == 49_999 * 50_000 // 2
+
+
+def test_compact_with_zorder_clusters_files(spark, tmp_path):
+    path = str(tmp_path / "zfrag")
+    (
+        spark.range(100_000)
+        .select(
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).alias("x"),
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)).alias("y"),
+        )
+        .repartition(40)
+        .write.parquet(path)
+    )
+    total = compact.dataset_bytes(path)
+    written = compact.compact_parquet(
+        spark, path, target_bytes=total // 8, zorder_by=["x", "y"]
+    )
+    assert written >= 4
+    # clustered: no single file spans the whole x domain
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo = min(
+            md.row_group(rg).column(0).statistics.min
+            for rg in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(rg).column(0).statistics.max
+            for rg in range(md.num_row_groups)
+        )
+        spans.append(hi - lo)
+    assert min(spans) < 999  # at least one file covers a strict x subrange
+    assert spark.read.parquet(path).count() == 100_000
+
+
+def test_compaction_failure_leaves_original_intact(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "keep")
+    spark.range(1000).repartition(8).write.parquet(path)
+    before = sorted(os.listdir(path))
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated write failure")
+
+    # break the staged write: the original dataset must be untouched
+    import pyspark.sql.readwriter as rw
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        compact.compact_parquet(spark, path)
+    assert sorted(os.listdir(path)) == before
+    assert spark.read.parquet(path).count() == 1000

@@ -1,0 +1,99 @@
+"""Small-file compaction: rewrite a parquet dataset into right-sized files.
+
+The operational reality of a 100 TB lake: streaming sinks, per-trigger
+micro-batches, and fine-grained upserts accrete thousands of KB-scale
+files per table; every downstream scan then pays a task per file and the
+NameNode/listing cost dwarfs the read. Compaction is the periodic rewrite
+into ``target_bytes``-sized files — the `OPTIMIZE` half of the lakehouse
+maintenance loop (the Z-order half lives in `operators/zorder.py`; pass
+``zorder_by`` to do both in one rewrite).
+
+Sizing reads the actual on-disk byte count (one directory listing, no data
+scan) and divides by the target; the rewrite is one `repartition` (or the
+Z-order range exchange) and the swap is the same staging-dir atomic
+replace as the upsert sink, so readers never observe a half-compacted
+table. Row-count identity is checked before the swap — a compaction that
+loses rows must fail loudly, not swap silently.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # the HDFS-block-ish sweet spot
+
+
+def dataset_bytes(path: str) -> int:
+    """On-disk parquet bytes under ``path`` (recursive, listing only)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def plan_file_count(path: str, target_bytes: int = DEFAULT_TARGET_BYTES) -> int:
+    return max(1, math.ceil(dataset_bytes(path) / max(target_bytes, 1)))
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 12,
+) -> int:
+    """Rewrite the dataset at ``path`` into ~``target_bytes`` files.
+
+    Returns the output file count. With ``zorder_by`` the rewrite clusters
+    on the Morton key (compaction is the natural moment to fix layout —
+    the data is being rewritten anyway, so the Z-order exchange is free
+    relative to a dedicated pass).
+    """
+    df = spark.read.parquet(path)
+    n_files = plan_file_count(path, target_bytes)
+    n_before = df.count()
+    staging = tempfile.mkdtemp(
+        prefix=os.path.basename(path) + ".compact.",
+        dir=os.path.dirname(path) or ".",
+    )
+    try:
+        if zorder_by:
+            from ..operators.zorder import zvalue_column
+
+            # zvalue needs >= 2^bucket_bits key values; clamp file count
+            # into the valid range instead of failing a tiny compaction
+            kbits = len(zorder_by) * zorder_bits
+            n_files = min(n_files, 1 << min(kbits, 30))
+            dz, _ = zvalue_column(df, zorder_by, bits=zorder_bits)
+            shift = kbits - max(1, math.ceil(math.log2(n_files)))
+            out = (
+                dz.repartitionByRange(n_files, F.shiftright("zvalue", shift))
+                .sortWithinPartitions("zvalue")
+                .drop("zvalue")
+            )
+        else:
+            out = df.repartition(n_files)
+        out.write.mode("overwrite").parquet(staging)
+        n_after = spark.read.parquet(staging).count()
+        if n_after != n_before:
+            raise RuntimeError(
+                f"compact_parquet: row count changed {n_before} -> {n_after}; "
+                "refusing the swap"
+            )
+        shutil.rmtree(path)
+        os.replace(staging, path)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    written = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    return written
