@@ -228,3 +228,44 @@ def test_streaming_curation_matches_batch_prefix(spark, sf_smoke, tmp_path):
     assert (
         got.where(F.col("text").rlike(r"[\w.+-]+@[\w-]+\.[\w.]+")).count() == 0
     )
+
+
+def test_streaming_quality_scoring_matches_batch(spark, sf_smoke, tmp_path):
+    """Train offline, score online: the streamed p_quality equals the
+    batch scoring bit-for-bit (pure expression), and min_p gates rows."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import classifier
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.jobs import (
+        streaming_score_quality,
+    )
+
+    batch = load_table(spark, sf_smoke, "documents")
+    w, b = classifier.train_quality_classifier(
+        batch, positive_sources={"src0"}, iters=4
+    )
+    stream_dir = tmp_path / "docs_stream_q"
+    stream_dir.mkdir()
+    (stream_dir / "documents.parquet").symlink_to(f"{sf_smoke}/documents.parquet")
+    schema = spark.read.parquet(f"{sf_smoke}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(str(stream_dir))
+
+    _run_to_memory(streaming_score_quality(stream, w, b), "scored_docs")
+    got = {
+        r["doc_id"]: r["p_quality"]
+        for r in spark.sql("SELECT doc_id, p_quality FROM scored_docs").collect()
+    }
+    expected = {
+        r["doc_id"]: r["p_quality"]
+        for r in classifier.score_quality(batch, w, b)
+        .select("doc_id", "p_quality")
+        .collect()
+    }
+    assert got == expected
+
+    thresh = sorted(expected.values())[len(expected) // 2]  # median gate
+    _run_to_memory(
+        streaming_score_quality(stream, w, b, min_p=thresh), "scored_gated"
+    )
+    kept = {
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM scored_gated").collect()
+    }
+    assert kept == {d for d, p in expected.items() if p >= thresh}

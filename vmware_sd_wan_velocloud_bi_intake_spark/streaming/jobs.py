@@ -132,3 +132,27 @@ def streaming_curate_documents(
     return gated.withColumn(
         "fp16", text.fingerprint(F.col("text"))
     ).dropDuplicates(["fp16"])
+
+
+def streaming_score_quality(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float,
+    min_p: float | None = None,
+) -> DataFrame:
+    """Model-based quality scoring over a document stream.
+
+    The classifier TRAINS in batch (operators/classifier.py — full-corpus
+    gradient descent needs global visibility, like LM training); the
+    trained (weights, bias) are a handful of scalars, so SCORING is a
+    pure per-row expression that streams for free — the standard
+    train-offline / score-online split. ``min_p`` additionally gates the
+    stream on the scored probability (the streaming half of the
+    CCNet-style quality filter).
+    """
+    from ..operators import classifier
+
+    scored = classifier.score_quality(docs, weights, bias)
+    if min_p is not None:
+        scored = scored.where(F.col("p_quality") >= F.lit(min_p))
+    return scored
