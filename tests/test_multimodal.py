@@ -330,3 +330,53 @@ def test_stereo_zero_crossings_not_counted_across_channels(spark):
     feats = multimodal.audio_feature_decoder(payload)
     assert feats["n_channels"] == 2
     assert feats["zero_crossings"] == 0
+
+
+def test_avi_roundtrip_real_frames(spark):
+    """Pure-Python AVI: encode 4 distinct RGB frames, decode them back
+    bit-exactly (DIB bottom-up BGR padding honored both ways)."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import multimodal
+
+    w, h = 3, 2  # odd row width exercises the 4-byte padding path
+    frames = [
+        bytes([(f * 40 + p) % 256 for p in range(w * h * 3)]) for f in range(4)
+    ]
+    payload = multimodal.avi_encode(frames, w, h, fps=10.0)
+    dec = multimodal.avi_decode(payload)
+    assert (dec["width"], dec["height"]) == (w, h)
+    assert dec["fps"] == pytest.approx(10.0)
+    assert dec["duration_ms"] == 400
+    assert dec["frames"] == frames
+
+
+def test_video_frame_sampling_feeds_image_operators(spark):
+    """The full video path: AVI → sampled frames as PPM payloads → the
+    image feature extractor, with the sampling cadence checked."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import multimodal
+
+    w, h = 2, 2
+    # 20 frames at 10 fps = 2 s; constant color per frame = its index
+    frames = [bytes([f * 10] * (w * h * 3)) for f in range(20)]
+    payload = multimodal.avi_encode(frames, w, h, fps=10.0)
+    media = spark.createDataFrame(
+        [(5, bytearray(payload))], "media_id long, content binary"
+    )
+    sampled = multimodal.sample_video_frames(media, fps=1.0, max_frames=16)
+    rows = sorted(sampled.collect(), key=lambda r: r["ts_ms"])
+    # 2 s at 1 fps -> samples at 0 and 1000 ms -> frames 0 and 10
+    assert [r["ts_ms"] for r in rows] == [0, 1000]
+    assert [r["frame_idx"] for r in rows] == [0, 10]
+    # frames re-wrap as PPM: image feature extraction consumes them as-is
+    feat_in = sampled.select(
+        F.col("ts_ms").alias("media_id"), F.col("frame").alias("content")
+    )
+    feats = {r["media_id"]: r for r in extract_features(feat_in).collect()}
+    assert feats[0]["byte_mean"] == 0.0          # frame 0 is all zeros
+    assert feats[1000]["byte_mean"] == 100.0     # frame 10 is constant 100
+
+
+def test_avi_decode_rejects_non_avi(spark):
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.avi_decode(b"\x00\x00\x00 ftypmp42 not an avi")

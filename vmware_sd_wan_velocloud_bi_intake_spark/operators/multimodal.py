@@ -13,9 +13,13 @@ resampler (:func:`ppm_resize`). JPEG/PNG/WebP decode and resize
 automatically whenever Pillow is importable (optional dependency — the
 engine never requires it); PCM WAV audio decodes through the stdlib
 ``wave`` container (:func:`wav_decode` → :func:`extract_audio_features`,
-real signal statistics over decoded samples). In a PIL-less environment
-like this one, remaining image formats — and compressed audio plus video
-always — raise ``NotImplementedError`` unless a decoder is injected. The schema, batch shape, UDF signatures,
+real signal statistics over decoded samples); uncompressed-DIB AVI video
+demuxes and decodes pure-Python (:func:`avi_decode` →
+:func:`sample_video_frames`, emitting PPM frames the image operators
+consume directly; MJPEG frames ride the Pillow boundary). In a PIL-less
+environment like this one, remaining image formats — and compressed
+audio/video codecs — raise ``NotImplementedError`` unless a decoder is
+injected. The schema, batch shape, UDF signatures,
 frame-index math, and partitioning are shared by every path and tested
 with real pixels where possible.
 
@@ -487,6 +491,192 @@ def extract_audio_features(
 
     return media.select("media_id", "content").mapInPandas(
         run, AUDIO_FEATURE_SCHEMA
+    )
+
+
+def _dib_to_rgb(raster: bytes, width: int, height: int) -> bytes:
+    """Bottom-up padded BGR DIB raster (the BMP/AVI '00db' frame format)
+    → top-down RGB, same strided conversion as :func:`bmp_decode`."""
+    row_size = (width * 3 + 3) & ~3
+    out = bytearray(width * height * 3)
+    for row in range(height):
+        start = (height - 1 - row) * row_size
+        rowbytes = raster[start : start + width * 3]
+        if len(rowbytes) < width * 3:
+            raise ValueError("truncated DIB frame")
+        base = row * width * 3
+        out[base + 0 : base + width * 3 : 3] = rowbytes[2::3]
+        out[base + 1 : base + width * 3 : 3] = rowbytes[1::3]
+        out[base + 2 : base + width * 3 : 3] = rowbytes[0::3]
+    return bytes(out)
+
+
+def _rgb_to_dib(pixels: bytes, width: int, height: int) -> bytes:
+    row_size = (width * 3 + 3) & ~3
+    out = bytearray(row_size * height)
+    for row in range(height):
+        src = (height - 1 - row) * width * 3
+        rowbytes = pixels[src : src + width * 3]
+        base = row * row_size
+        out[base + 0 : base + width * 3 : 3] = rowbytes[2::3]
+        out[base + 1 : base + width * 3 : 3] = rowbytes[1::3]
+        out[base + 2 : base + width * 3 : 3] = rowbytes[0::3]
+    return bytes(out)
+
+
+def avi_decode(content: bytes) -> dict:
+    """Pure-Python RIFF/AVI demux + frame decode.
+
+    Walks the RIFF chunk tree, reads the ``avih`` main header for
+    geometry/timing, and decodes every ``..db`` (uncompressed DIB) frame
+    to a top-down RGB raster; ``..dc`` (MJPEG) frames decode through the
+    optional Pillow boundary. Compressed streams without Pillow raise the
+    documented ``NotImplementedError``.
+
+    Returns {width, height, fps, duration_ms, frames: [RGB bytes]}.
+    """
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "not a RIFF/AVI payload; inject a codec-backed decoder for "
+            "other video containers"
+        )
+    avih = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int):
+        nonlocal avih
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            body = pos + 8
+            if fourcc == b"LIST":
+                walk(buf, body + 4, body + size)  # skip the list type tag
+            elif fourcc == b"avih":
+                avih = buf[body : body + size]
+            elif fourcc[2:4] in (b"db", b"dc"):
+                frames.append((fourcc[2:4], buf[body : body + size]))
+            pos = body + size + (size & 1)  # chunks pad to even offsets
+
+    walk(content, 12, len(content))
+    if avih is None:
+        raise ValueError("AVI has no avih header")
+    usec_pf = struct.unpack_from("<I", avih, 0)[0]
+    width = struct.unpack_from("<I", avih, 32)[0]
+    height = struct.unpack_from("<I", avih, 36)[0]
+    rgb_frames = []
+    for kind, payload in frames:
+        if kind == b"db":
+            rgb_frames.append(_dib_to_rgb(payload, width, height))
+        else:  # MJPEG
+            rgb = _pil_rgb(payload)
+            if rgb is None:
+                raise NotImplementedError(
+                    "MJPEG AVI frames need Pillow (or an injected decoder)"
+                )
+            rgb_frames.append(rgb.tobytes())
+    fps = 1_000_000 / usec_pf if usec_pf else 0.0
+    return {
+        "width": width,
+        "height": height,
+        "fps": fps,
+        "duration_ms": int(len(rgb_frames) * (usec_pf / 1000)),
+        "frames": rgb_frames,
+    }
+
+
+def avi_encode(
+    frames: list[bytes], width: int, height: int, fps: float = 10.0
+) -> bytes:
+    """Minimal uncompressed-DIB AVI writer (fixture builder + synthetic
+    video path): RIFF(hdrl(avih, strl(strh, strf)), movi('00db'...))."""
+    import struct
+
+    usec_pf = int(1_000_000 / fps)
+    dibs = [_rgb_to_dib(f, width, height) for f in frames]
+    frame_size = len(dibs[0]) if dibs else 0
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack(
+        "<14I",
+        usec_pf, frame_size * int(fps), 0, 0x10, len(dibs), 0, 1,
+        frame_size, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        # dwScale=1, dwRate=fps → rate/scale is the frame rate
+        b"vids", b"DIB ", 0, 0, 0, 0, 1,
+        int(fps), 0, len(dibs), frame_size, 0, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms long, width int, height int, "
+    "frame binary"
+)
+
+
+def sample_video_frames(
+    media: DataFrame,
+    fps: float = 1.0,
+    max_frames: int = 16,
+    decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Evenly-spaced frame sampling over a video column — the execution of
+    the :func:`frame_sample_indices` plan: decode the container, keep the
+    frame nearest each sampled timestamp, emit one row per kept frame as
+    a PPM payload (so downstream image operators — `extract_features`,
+    `resize_media` — consume frames with no extra plumbing). Map-only."""
+    import pandas as pd
+
+    if decoder is None:
+        decoder = avi_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "frame_idx", "ts_ms", "width", "height", "frame"
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                v = decoder(bytes(content))
+                n = len(v["frames"])
+                if n == 0 or v["fps"] <= 0:
+                    continue
+                frame_ms = 1000.0 / v["fps"]
+                dur = int(n * frame_ms)
+                stride = max(int(1000 / fps), dur // max_frames or 1)
+                for ts in range(0, dur, stride):
+                    idx = min(int(ts / frame_ms), n - 1)
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx)
+                    rows["ts_ms"].append(ts)
+                    rows["width"].append(v["width"])
+                    rows["height"].append(v["height"])
+                    rows["frame"].append(
+                        ppm_encode(v["width"], v["height"], v["frames"][idx])
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        run, VIDEO_FRAME_SCHEMA
     )
 
 
