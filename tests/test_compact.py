@@ -85,3 +85,40 @@ def test_compaction_failure_leaves_original_intact(spark, tmp_path, monkeypatch)
         compact.compact_parquet(spark, path)
     assert sorted(os.listdir(path)) == before
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_swap_failure_restores_original(spark, tmp_path, monkeypatch):
+    """If the rename-in fails mid-swap, the original dataset is restored —
+    at no instant is there fewer than one complete copy on disk."""
+    import os as _os
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.sinks import upsert
+
+    path = str(tmp_path / "swap")
+    spark.range(500).repartition(4).write.parquet(path)
+    before = sorted(_os.listdir(path))
+
+    real_replace = _os.replace
+    calls = {"n": 0}
+
+    def fail_second(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first call renames original aside; second
+            raise OSError("simulated EBUSY on rename-in")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", fail_second)
+    with pytest.raises(OSError, match="EBUSY"):
+        compact.compact_parquet(spark, path)
+    monkeypatch.setattr(_os, "replace", real_replace)
+    assert sorted(_os.listdir(path)) == before
+    assert spark.read.parquet(path).count() == 500
+
+
+def test_rejects_hive_partitioned_dataset(spark, tmp_path):
+    path = str(tmp_path / "parts")
+    spark.range(100).withColumn("p", F.pmod("id", F.lit(3))).write.partitionBy(
+        "p"
+    ).parquet(path)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact.compact_parquet(spark, path)

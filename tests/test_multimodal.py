@@ -380,3 +380,23 @@ def test_avi_decode_rejects_non_avi(spark):
 
     with pytest.raises(NotImplementedError):
         multimodal.avi_decode(b"\x00\x00\x00 ftypmp42 not an avi")
+
+
+def test_frame_sampling_respects_max_frames_cap(spark):
+    """17 frames at 1 fps with max_frames=16: the floor-stride form emitted
+    17 samples; the ceiling stride honors the cap."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import multimodal
+
+    frames = [bytes([f] * 12) for f in range(17)]
+    payload = multimodal.avi_encode(frames, 2, 2, fps=1.0)  # 17 s video
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, content binary"
+    )
+    n = multimodal.sample_video_frames(media, fps=1.0, max_frames=16).count()
+    assert n <= 16
+    # the expression plan obeys the same cap
+    df = spark.createDataFrame([(17_000,)], "duration_ms long")
+    plan_n = df.select(
+        F.size(multimodal.frame_sample_indices(F.col("duration_ms"), 1.0, 16))
+    ).head()[0]
+    assert plan_n <= 16

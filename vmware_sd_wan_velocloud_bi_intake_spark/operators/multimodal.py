@@ -138,20 +138,7 @@ def bmp_decode(content: bytes) -> dict:
         )
     top_down = height < 0
     height = abs(height)
-    row_size = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
-    out = bytearray(width * height * 3)
-    for row in range(height):
-        src_row = row if top_down else height - 1 - row
-        start = offset + src_row * row_size
-        rowbytes = content[start : start + width * 3]
-        if len(rowbytes) < width * 3:
-            raise ValueError("truncated BMP raster")
-        # BGR → RGB via strided slice assignment — no per-pixel objects
-        # (a megapixel image decoded per-pixel would dominate UDF time)
-        base = row * width * 3
-        out[base + 0 : base + width * 3 : 3] = rowbytes[2::3]
-        out[base + 1 : base + width * 3 : 3] = rowbytes[1::3]
-        out[base + 2 : base + width * 3 : 3] = rowbytes[0::3]
+    out = _dib_to_rgb(content[offset:], width, height, top_down=top_down)
     return {"width": width, "height": height, "maxval": 255, "pixels": bytes(out)}
 
 
@@ -494,16 +481,21 @@ def extract_audio_features(
     )
 
 
-def _dib_to_rgb(raster: bytes, width: int, height: int) -> bytes:
-    """Bottom-up padded BGR DIB raster (the BMP/AVI '00db' frame format)
-    → top-down RGB, same strided conversion as :func:`bmp_decode`."""
+def _dib_to_rgb(
+    raster: bytes, width: int, height: int, top_down: bool = False
+) -> bytes:
+    """Padded BGR DIB raster (the BMP / AVI '00db' frame format) → top-down
+    RGB. The ONE copy of the stride/padding conversion — :func:`bmp_decode`
+    and :func:`avi_decode` both route through it."""
     row_size = (width * 3 + 3) & ~3
     out = bytearray(width * height * 3)
     for row in range(height):
-        start = (height - 1 - row) * row_size
+        src_row = row if top_down else height - 1 - row
+        start = src_row * row_size
         rowbytes = raster[start : start + width * 3]
         if len(rowbytes) < width * 3:
-            raise ValueError("truncated DIB frame")
+            raise ValueError("truncated DIB raster")
+        # BGR → RGB via strided slice assignment — no per-pixel objects
         base = row * width * 3
         out[base + 0 : base + width * 3 : 3] = rowbytes[2::3]
         out[base + 1 : base + width * 3 : 3] = rowbytes[1::3]
@@ -574,6 +566,14 @@ def avi_decode(content: bytes) -> dict:
             if rgb is None:
                 raise NotImplementedError(
                     "MJPEG AVI frames need Pillow (or an injected decoder)"
+                )
+            if (rgb.width, rgb.height) != (width, height):
+                # the '..db' path validates via _dib_to_rgb; an unchecked
+                # JPEG-vs-avih mismatch would feed row-misaligned pixels
+                # to every downstream consumer with no error
+                raise ValueError(
+                    f"MJPEG frame is {rgb.width}x{rgb.height} but avih "
+                    f"declares {width}x{height}"
                 )
             rgb_frames.append(rgb.tobytes())
     fps = 1_000_000 / usec_pf if usec_pf else 0.0
@@ -662,7 +662,9 @@ def sample_video_frames(
                     continue
                 frame_ms = 1000.0 / v["fps"]
                 dur = int(n * frame_ms)
-                stride = max(int(1000 / fps), dur // max_frames or 1)
+                # CEILING division: floor makes range() overshoot the cap
+                # by one (17 s at max 16 -> stride 1062 -> 17 samples)
+                stride = max(int(1000 / fps), -(-dur // max_frames))
                 for ts in range(0, dur, stride):
                     idx = min(int(ts / frame_ms), n - 1)
                     rows["media_id"].append(mid)
@@ -691,7 +693,9 @@ def frame_sample_indices(
     """
     stride = F.greatest(
         F.lit(int(1000 / fps)),
-        (duration_ms / F.lit(max_frames)).cast("long"),
+        # ceiling, not floor: a floor stride lets sequence() emit
+        # max_frames+1 timestamps when duration isn't a multiple
+        F.ceil(duration_ms / F.lit(max_frames)).cast("long"),
     )
     return F.when(
         duration_ms.isNull() | (duration_ms <= 0), F.array().cast("array<long>")

@@ -344,7 +344,10 @@ def cosine_neardup_pairs(
 
 
 def _assign_cells(
-    base: DataFrame, cents: DataFrame, round_decimals: int | None = None
+    base: DataFrame,
+    cents: DataFrame,
+    round_decimals: int | None = None,
+    kernel: str | None = None,
 ) -> DataFrame:
     """Argmax-cosine cell per vector via map-side partial aggregation.
 
@@ -362,8 +365,62 @@ def _assign_cells(
     differences in dot-product accumulation can no longer flip a cell),
     which is what lets a TRAINED index stay oracle-hash-checkable.
 
+    ``kernel``: the QUANTIZED path defaults to an Arrow-batched numpy
+    matmul — the 64× scale point measured the expression form's candidate
+    fold at ~8 µs/pair (n × n_cells interpreted lambda evaluations
+    dominated the whole IVF family's wall clock), while BLAS pays ~ns,
+    and :func:`spark_round_array` keeps the rounded cosines bit-identical
+    so the argmax (ties → lowest cell, argmax-first on a cell-sorted
+    matrix) cannot differ from the expression form. UNROUNDED callers
+    stay on the expression path (``max_by`` partial aggregation): without
+    rounding, BLAS-vs-fold ulp differences could flip near-tie cells.
+    The score matrix chunks to ~32 MB per worker; the collected centroid
+    table is bounded by contract (it broadcasts either way).
+
     Returns (vid, cell, v, nrm).
     """
+    if kernel is None:
+        kernel = "numpy" if round_decimals is not None else "expr"
+    if kernel == "numpy":
+        import numpy as np
+
+        rows = sorted(
+            cents.select("cell", "cv", "cnrm").collect(),
+            key=lambda r: r["cell"],
+        )
+        cells_arr = np.array([r["cell"] for r in rows], dtype="int64")
+        C = np.stack([np.asarray(r["cv"], dtype="float64") for r in rows])
+        cn = np.maximum(
+            np.array([r["cnrm"] for r in rows], dtype="float64"), 1e-12
+        )
+        Cn = C / cn[:, None]
+        rd = round_decimals
+
+        def gen(batches):
+            import pandas as pd
+
+            n_cells = len(cells_arr)
+            chunk = max(1, 4_000_000 // max(n_cells, 1))
+            for pdf in batches:
+                for s in range(0, len(pdf), chunk):
+                    sub = pdf.iloc[s : s + chunk]
+                    V = np.stack(sub["v"].to_numpy())
+                    nrm = np.maximum(sub["nrm"].to_numpy(), 1e-12)
+                    sims = (V / nrm[:, None]) @ Cn.T
+                    sims = spark_round_array(sims, rd)
+                    idx = np.argmax(sims, axis=1)  # first max → lowest cell
+                    yield pd.DataFrame(
+                        {
+                            "vid": sub["vid"].to_numpy(),
+                            "cell": cells_arr[idx],
+                            "v": sub["v"],
+                            "nrm": sub["nrm"].to_numpy(),
+                        }
+                    )
+
+        return base.select("vid", "v", "nrm").mapInPandas(
+            gen, "vid long, cell long, v array<double>, nrm double"
+        )
     cand = base.join(F.broadcast(cents)).withColumn(
         "cell_cos",
         dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")),
@@ -544,6 +601,7 @@ def semantic_dedup_survivors(
     train_iters: int = 4,
     round_decimals: int | None = 6,
     cents: DataFrame | None = None,
+    kernel: str = "numpy",
 ) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540).
 
@@ -594,6 +652,58 @@ def semantic_dedup_survivors(
     scored = assigned.join(F.broadcast(cents), "cell").select(
         "cell", "vid", "v", "nrm", ccos.alias("ccos")
     )
+    if kernel == "numpy":
+        # The in-cell pair space is n²/cells ≈ n·√n with ⌈√n⌉ cells; the
+        # JVM fold pays ~8 µs per pair (interpreted lambda per element —
+        # the 64× scale point measured ratio 287 on the expression form),
+        # while a per-cell BLAS matmul pays ~ns. Dense per-row linear
+        # algebra is ground rule 1's explicit carve-out, and
+        # spark_round_array keeps the rounded pair cosines bit-identical
+        # to the expression form, so the oracle contract is unchanged.
+        # Memory is chunked: the score matrix never exceeds ~32 MB.
+        rd = round_decimals
+        tau = float(threshold)
+        out_schema = f"{vec_id} long, cell long, centroid_cos double"
+
+        def cell_survivors(pdf):
+            import numpy as np
+            import pandas as pd
+
+            m = len(pdf)
+            keep_cols = pd.DataFrame(
+                {
+                    vec_id: pdf["vid"].to_numpy(),
+                    "cell": pdf["cell"].to_numpy(),
+                    "centroid_cos": pdf["ccos"].to_numpy(),
+                }
+            )
+            if m <= 1:
+                return keep_cols
+            order = np.lexsort(
+                (pdf["vid"].to_numpy(), pdf["ccos"].to_numpy())
+            )
+            V = np.stack(pdf["v"].to_numpy())[order]
+            nrm = np.maximum(pdf["nrm"].to_numpy()[order], 1e-12)
+            Xn = V / nrm[:, None]
+            loser = np.zeros(m, dtype=bool)
+            chunk = max(1, 4_000_000 // m)
+            for s in range(1, m, chunk):
+                e = min(s + chunk, m)
+                sims = Xn[:e] @ Xn[s:e].T  # (e, c)
+                if rd is not None:
+                    sims = spark_round_array(sims, rd)
+                hit = sims >= tau
+                # only STRICTLY EARLIER members count against column j
+                rows = np.arange(e)[:, None]
+                cols = np.arange(s, e)[None, :]
+                loser[s:e] = (hit & (rows < cols)).any(axis=0)
+            keep = np.sort(order[~loser])  # positional, original row order
+            return keep_cols.iloc[keep]
+
+        return scored.groupBy("cell").applyInPandas(
+            cell_survivors, schema=out_schema
+        )
+
     groups = scored.groupBy("cell").agg(
         F.array_sort(
             F.collect_list(F.struct("ccos", "vid", "v", "nrm"))

@@ -23,8 +23,9 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import SparkSession
+
+from .upsert import swap_into_place
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # the HDFS-block-ish sweet spot
 
@@ -57,6 +58,19 @@ def compact_parquet(
     the data is being rewritten anyway, so the Z-order exchange is free
     relative to a dedicated pass).
     """
+    part_dirs = [
+        d
+        for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    ]
+    if part_dirs:
+        # a flat rewrite would silently destroy the hive layout that
+        # partition-pruned readers and merge.py's dynamic overwrite depend
+        # on — compact each partition directory instead
+        raise ValueError(
+            f"compact_parquet: {path} is hive-partitioned "
+            f"(e.g. {part_dirs[0]}); compact per-partition directory"
+        )
     df = spark.read.parquet(path)
     n_files = plan_file_count(path, target_bytes)
     n_before = df.count()
@@ -66,34 +80,28 @@ def compact_parquet(
     )
     try:
         if zorder_by:
-            from ..operators.zorder import zvalue_column
+            from ..operators.zorder import write_zordered
 
             # zvalue needs >= 2^bucket_bits key values; clamp file count
             # into the valid range instead of failing a tiny compaction
             kbits = len(zorder_by) * zorder_bits
             n_files = min(n_files, 1 << min(kbits, 30))
-            dz, _ = zvalue_column(df, zorder_by, bits=zorder_bits)
-            shift = kbits - max(1, math.ceil(math.log2(n_files)))
-            out = (
-                dz.repartitionByRange(n_files, F.shiftright("zvalue", shift))
-                .sortWithinPartitions("zvalue")
-                .drop("zvalue")
+            write_zordered(
+                df, staging, zorder_by, n_files=n_files, bits=zorder_bits
             )
         else:
-            out = df.repartition(n_files)
-        out.write.mode("overwrite").parquet(staging)
+            df.repartition(n_files).write.mode("overwrite").parquet(staging)
         n_after = spark.read.parquet(staging).count()
         if n_after != n_before:
             raise RuntimeError(
                 f"compact_parquet: row count changed {n_before} -> {n_after}; "
                 "refusing the swap"
             )
-        shutil.rmtree(path)
-        os.replace(staging, path)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    written = len(
-        [f for f in os.listdir(path) if f.endswith(".parquet")]
-    )
-    return written
+    # rename-based swap: a complete copy exists at every instant (the
+    # rmtree-then-replace form loses ALL copies if the replace fails and
+    # the cleanup then removes staging)
+    swap_into_place(staging, path)
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])

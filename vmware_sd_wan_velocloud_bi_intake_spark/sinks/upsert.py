@@ -93,6 +93,36 @@ def write_csv_report(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("header", "true").csv(path)
 
 
+def swap_into_place(staging: str, path: str) -> None:
+    """Crash-safe directory swap: at every instant a complete copy of the
+    data exists on disk.
+
+    rmtree-then-replace has a data-loss window — if the replace (or a
+    partial rmtree) fails, the original is gone and the generic cleanup
+    that removes the staging dir destroys the only remaining copy. The
+    rename protocol never holds fewer than one complete copy: the
+    original renames ASIDE (not deleted), staging renames in, and only
+    then is the set-aside copy removed; a failure between the renames
+    restores the original. Shared by the upsert sinks and compaction.
+    """
+    old = None
+    if os.path.exists(path):
+        old = tempfile.mkdtemp(
+            prefix=os.path.basename(path) + ".old.",
+            dir=os.path.dirname(path) or ".",
+        )
+        os.rmdir(old)
+        os.replace(path, old)
+    try:
+        os.replace(staging, path)
+    except BaseException:
+        if old is not None:
+            os.replace(old, path)  # restore the original
+        raise
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def _atomic_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     """Write to a staging dir, then swap — readers never see partial output."""
     staging = tempfile.mkdtemp(
@@ -100,9 +130,7 @@ def _atomic_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     )
     try:
         df.write.mode("overwrite").parquet(staging)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(staging, path)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
+    swap_into_place(staging, path)
