@@ -122,3 +122,33 @@ def test_rejects_hive_partitioned_dataset(spark, tmp_path):
     ).parquet(path)
     with pytest.raises(ValueError, match="hive-partitioned"):
         compact.compact_parquet(spark, path)
+
+
+def test_compact_partitioned_rewrites_only_fragmented_leaves(spark, tmp_path):
+    path = str(tmp_path / "hive")
+    # p=0 and p=1 fragmented (8 files each), p=2 already one file
+    df = spark.range(3000).withColumn("p", F.pmod("id", F.lit(2)))
+    df.repartition(8).write.partitionBy("p").parquet(path)
+    spark.range(3000, 3500).withColumn("p", F.lit(2)).coalesce(1).write.mode(
+        "append"
+    ).partitionBy("p").parquet(path)
+    before = spark.read.parquet(path)
+    before_rows = sorted(r["id"] for r in before.collect())
+
+    done = compact.compact_partitioned(spark, path)
+    assert set(done) == {"p=0", "p=1"}  # p=2 skipped: already compact
+    assert all(n == 1 for n in done.values())
+    for leaf in ("p=0", "p=1"):
+        files = [
+            f
+            for f in os.listdir(os.path.join(path, leaf))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+    after = spark.read.parquet(path)
+    assert sorted(r["id"] for r in after.collect()) == before_rows
+    # partition column survives the per-leaf rewrite (values ride the
+    # directory name, not the files)
+    assert after.filter(F.col("p") == 2).count() == 500
+    # second run is a no-op: nothing left fragmented
+    assert compact.compact_partitioned(spark, path) == {}

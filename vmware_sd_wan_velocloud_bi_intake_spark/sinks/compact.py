@@ -105,3 +105,62 @@ def compact_parquet(
     # the cleanup then removes staging)
     swap_into_place(staging, path)
     return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+
+def _leaf_partition_dirs(path: str) -> list[str]:
+    """Hive leaf directories under ``path`` (every level is ``k=v``),
+    depth-first, deterministic order."""
+    leaves: list[str] = []
+
+    def walk(d: str) -> None:
+        subs = sorted(
+            s
+            for s in os.listdir(d)
+            if "=" in s and os.path.isdir(os.path.join(d, s))
+        )
+        if not subs:
+            if d != path:
+                leaves.append(d)
+            return
+        for s in subs:
+            walk(os.path.join(d, s))
+
+    walk(path)
+    return leaves
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 12,
+) -> dict[str, int]:
+    """Compact a hive-partitioned dataset one leaf partition at a time.
+
+    Partition values live in the directory names, so each leaf can be
+    rewritten independently with the same staged-swap protocol as
+    :func:`compact_parquet` — the operation is atomic PER PARTITION (the
+    same granularity at which streaming sinks fragment the table and at
+    which ``merge.py``'s dynamic overwrite commits), and a crash leaves
+    every partition either old or new, never mixed. Leaves already at or
+    under their planned file count are skipped — the maintenance loop
+    touches only fragmented partitions, so repeated runs are cheap no-ops.
+
+    Returns {relative leaf dir: output file count} for the leaves
+    rewritten. ``zorder_by`` must not include partition columns (they are
+    constant within a leaf).
+    """
+    done: dict[str, int] = {}
+    for leaf in _leaf_partition_dirs(path):
+        files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+        if len(files) <= plan_file_count(leaf, target_bytes):
+            continue
+        done[os.path.relpath(leaf, path)] = compact_parquet(
+            spark,
+            leaf,
+            target_bytes=target_bytes,
+            zorder_by=zorder_by,
+            zorder_bits=zorder_bits,
+        )
+    return done
