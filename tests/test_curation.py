@@ -193,3 +193,39 @@ def test_boilerplate_stage_strips_chrome_before_gate(spark, docs):
     a = {r["doc_id"]: r["text"] for r in res.redacted.collect()}
     b = {r["doc_id"]: r["text"] for r in base.redacted.collect()}
     assert a == b
+
+
+def test_passage_dedup_stage_cuts_shared_passages(spark, docs):
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import spans
+
+    passage = (
+        "standard disclaimer text repeated verbatim across many documents "
+        "for exactly this passage dedup stage to find and remove"
+    )
+    salted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 2,
+            F.concat_ws(" ", "text", F.lit(passage)),
+        ).otherwise(F.col("text")),
+    )
+    res = curate_corpus(
+        salted, min_quality=0.0, passage_dedup_k=8
+    )
+    try:
+        out = res.curated
+        # no k-gram of the injected passage survives more than once
+        hits = out.where(F.col("text").contains(passage)).count()
+        assert hits == 1  # exactly the owner keeps the passage
+        # stage equivalence: curated == remove_duplicate_spans(near_kept)
+        want = spans.remove_duplicate_spans(
+            res.near_kept, "doc_id", "text", k=8
+        )
+        got_rows = {(r["doc_id"], r["text"]) for r in out.collect()}
+        want_rows = {(r["doc_id"], r["text"]) for r in want.collect()}
+        assert got_rows == want_rows
+        # audit exposes the stage
+        stages = {r["stage"] for r in res.audit().collect()}
+        assert "passage_nonempty" in stages
+    finally:
+        res.release()

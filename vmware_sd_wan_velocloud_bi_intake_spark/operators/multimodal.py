@@ -535,7 +535,7 @@ def avi_decode(content: bytes) -> dict:
             "other video containers"
         )
     avih = None
-    frames: list[bytes] = []
+    frames: list[tuple[bytes, bytes]] = []  # (kind, chunk payload)
 
     def walk(buf: bytes, pos: int, end: int):
         nonlocal avih

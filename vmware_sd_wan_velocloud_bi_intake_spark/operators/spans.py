@@ -1,0 +1,217 @@
+"""Duplicated-passage detection and removal (ExactSubstr-style dedup).
+
+Doc-level dedup (operators/dedup.py) drops whole near-identical documents;
+this module removes REPEATED PASSAGES — quotes, licence blocks, syndicated
+paragraphs — that recur across otherwise-distinct documents. Lee et al.
+2021 ("Deduplicating Training Data Makes Language Models Better",
+arXiv:2107.06499) showed substring-level dedup is the half that measurably
+reduces memorization; their single-machine suffix array does not shard,
+so the engine uses the k-gram-grain equivalent that does:
+
+1. every k-token shingle of every document → ``(hash, doc_id, pos)``
+   (one narrow map, hashes built in-array before the explode);
+2. ONE map-side-combined ``groupBy(hash)`` finds shingles occurring more
+   than once and elects the lexicographically-first ``(doc_id, pos)``
+   occurrence as the canonical owner;
+3. every NON-owner occurrence of a duplicated shingle marks its k tokens;
+   overlapping/adjacent marks merge into maximal spans per document
+   (gaps-and-islands, the w02 pattern — one doc-keyed window);
+4. removal filters the marked token ranges out of the token stream and
+   rebuilds the text.
+
+Resolution contract: a duplicated passage of L ≥ k tokens yields L−k+1
+duplicated shingles whose union covers it exactly, so detected spans are
+the maximal duplicated runs at k-token grain; passages shorter than ``k``
+are below the resolution floor and survive (the paper's threshold plays
+the same role — they use 50 tokens). The owner occurrence survives in
+full, so shared content keeps exactly one copy in the corpus.
+
+Scale shape: the shingle stream is |corpus tokens| narrow rows — linear,
+never pairwise. The duplicate relation after the groupBy holds ONLY
+hashes seen twice-plus (web corpora: a few percent), and the join back to
+occurrences is a plain equi-join AQE can skew-split when one shingle goes
+viral (a window over ``hash`` could not split that partition — why this
+is groupBy+join, not a window). Span merge shuffles once on ``doc_id``.
+No driver state, no collect.
+
+Hashing: ``xxhash64`` (JVM, 8-byte shuffle rows) by default; a 64-bit
+collision marks a non-duplicated shingle as duplicated and costs k
+spuriously-removed tokens — acceptable for corpus cleaning at 10^13
+shingles, but auditable: pass ``hash_fn="md5"`` (128-bit, 32-byte rows)
+when provenance review needs collision odds ~0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HASH_FNS = {
+    "xxhash64": F.xxhash64,
+    "md5": lambda c: F.md5(c.cast("string")),
+}
+
+
+def _tokens(text_col: str) -> Column:
+    # raw \S+ runs, exactly chunk_documents' tokenizer: output is training
+    # text, so casing/punctuation must survive (normalize_text would
+    # lowercase the corpus)
+    return F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(r"\S+"), 0
+    )
+
+
+def _shingle_occurrences(
+    df: DataFrame, doc_id: str, text_col: str, k: int, hash_fn: str
+) -> DataFrame:
+    """(doc_id, pos, h) — one row per k-token shingle occurrence. The
+    hash array builds per-row BEFORE the explode (narrow-signature rule:
+    the exchange carries 8-byte hashes, never token text)."""
+    try:
+        hf = _HASH_FNS[hash_fn]
+    except KeyError:
+        raise ValueError(f"hash_fn must be one of {sorted(_HASH_FNS)}")
+    staged = df.select(
+        F.col(doc_id).alias("doc_id"), _tokens(text_col).alias("_toks")
+    ).withColumn("_n_sh", F.size("_toks") - F.lit(k - 1))
+    return (
+        staged.where(F.col("_n_sh") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_n_sh") - 1),
+                    lambda i: hf(
+                        F.array_join(F.slice("_toks", i + 1, k), " ")
+                    ),
+                )
+            ).alias("pos", "h"),
+        )
+    )
+
+
+_POS_BITS = 22  # 4M tokens per document
+
+
+def _pack_owner(doc: Column, pos: Column) -> Column:
+    """(doc_id, pos) → one long whose ordering equals the lexicographic
+    struct ordering. Bounds-checked: ``assert_true`` turns an
+    out-of-contract id into a task failure, never a silent wrong owner."""
+    ok = (
+        (doc >= 0)
+        & (doc < F.lit(1 << (63 - _POS_BITS)))
+        & (pos < F.lit(1 << _POS_BITS))
+    )
+    guarded = F.when(
+        F.assert_true(
+            ok, "doc_id/pos outside the owner-packing contract"
+        ).isNull(),
+        F.shiftleft(doc, _POS_BITS) + pos,
+    )
+    return guarded
+
+
+def duplicate_spans(
+    df: DataFrame,
+    doc_id: str,
+    text_col: str,
+    *,
+    k: int = 20,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, start_tok, end_tok) — maximal token ranges (0-based,
+    end-exclusive) covered by non-owner occurrences of duplicated
+    k-shingles. Every span is ≥ k tokens by construction.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    sh = _shingle_occurrences(df, doc_id, text_col, k, hash_fn)
+    # owner election packs (doc_id, pos) into ONE long: min over a struct
+    # is not hash-aggregable (Catalyst falls back to SortAggregate, which
+    # sorts the entire shingle stream per partition before the partials);
+    # min over a long keeps the aggregate a pure HashAggregate with
+    # map-side combine. 2^22 positions (4M tokens/doc) × 2^41 doc ids is
+    # the packing contract, guarded per row so a violation fails loudly
+    # instead of electing a wrong owner.
+    packed = _pack_owner(F.col("doc_id"), F.col("pos"))
+    dups = (
+        sh.groupBy("h")
+        .agg(
+            F.count("*").alias("_c"),
+            F.min(packed).alias("_owner"),
+        )
+        .where(F.col("_c") > 1)
+        .select("h", "_owner")
+    )
+    marked = (
+        sh.join(dups, "h")
+        .where(packed != F.col("_owner"))
+        .select("doc_id", "pos", (F.col("pos") + F.lit(k)).alias("end"))
+    )
+    # gaps-and-islands over coverage: a new span starts only when this
+    # shingle begins STRICTLY past everything covered so far (pos ==
+    # running end means adjacent coverage — merge)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = marked.select(
+        "doc_id",
+        "pos",
+        "end",
+        F.sum(
+            (F.col("pos") > F.coalesce(prev_end, F.lit(-1)))
+            .cast("int")
+        )
+        .over(w)
+        .alias("_isl"),
+    )
+    return islands.groupBy("doc_id", "_isl").agg(
+        F.min("pos").alias("start_tok"), F.max("end").alias("end_tok")
+    ).select("doc_id", "start_tok", "end_tok")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    doc_id: str,
+    text_col: str,
+    *,
+    k: int = 20,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The input with every duplicated non-owner passage cut out of
+    ``text_col`` (other columns untouched, no rows dropped).
+
+    Documents with nothing to cut keep their ORIGINAL text byte-for-byte;
+    a cut document's text is rebuilt from its surviving tokens, so its
+    whitespace runs collapse to single spaces (the chunk_documents
+    trade-off — inherent to token-array surgery, disclosed not hidden). A
+    document that was entirely duplicated content comes back as the empty
+    string; the downstream quality gate is where such rows die, not a
+    silent deletion here.
+    """
+    spans = duplicate_spans(
+        df, doc_id, text_col, k=k, hash_fn=hash_fn
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
+    )
+    joined = df.join(
+        per_doc, df[doc_id] == per_doc["doc_id"], "left"
+    ).drop(per_doc["doc_id"])
+    sp = F.col("_spans")
+    toks = _tokens(text_col)
+    kept = F.filter(
+        toks,
+        lambda _t, i: ~F.exists(
+            sp, lambda s: (i >= s["start_tok"]) & (i < s["end_tok"])
+        ),
+    )
+    rebuilt = F.when(sp.isNull(), F.col(text_col)).otherwise(
+        F.array_join(kept, " ")
+    )
+    out_cols = [
+        rebuilt.alias(text_col) if c == text_col else F.col(c)
+        for c in df.columns
+    ]
+    return joined.select(*out_cols)

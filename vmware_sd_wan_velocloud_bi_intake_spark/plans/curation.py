@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators import dedup, lm, text
+from ..operators import dedup, lm, spans, text
 
 
 @dataclass
@@ -44,6 +44,7 @@ class CurationResult:
     exact_kept: DataFrame
     near_kept: DataFrame
     cached: list[DataFrame] = field(default_factory=list)
+    passage_kept: DataFrame | None = None
 
     def release(self) -> None:
         """Unpersist every relation the pipeline cached (idempotent)."""
@@ -62,6 +63,15 @@ class CurationResult:
             self.near_kept.select(F.lit("near_kept").alias("stage"), "doc_id"),
             self.curated.select(F.lit("curated").alias("stage"), "doc_id"),
         ]
+        if self.passage_kept is not None:
+            # row count never changes at this stage (passages are cut, docs
+            # are not dropped) — audit the surviving non-empty docs so the
+            # stage is visible when it hollows documents out
+            frames.append(
+                self.passage_kept.where(F.length("text") > 0).select(
+                    F.lit("passage_nonempty").alias("stage"), "doc_id"
+                )
+            )
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
@@ -84,6 +94,7 @@ def curate_corpus(
     max_perplexity: float | None = None,
     lm_min_count: int = 2,
     boilerplate_doc_freq: int | None = None,
+    passage_dedup_k: int | None = None,
 ) -> CurationResult:
     """Run the full curation pipeline over a documents table.
 
@@ -105,6 +116,12 @@ def curate_corpus(
     3. **Exact dedup**: keep the minimum doc_id per normalized digest.
     4. **Near-dup clustering**: LSH candidate pairs → Jaccard verify →
        connected components → cluster-canonical survivors.
+    4b. **Passage dedup** (optional, ``passage_dedup_k``): after whole-doc
+       dedup has removed document-level copies, cut the REPEATED PASSAGES
+       the survivors still share (operators/spans.py, ExactSubstr-style at
+       k-token grain) — ordered after near-dup so the span pass never
+       wastes shingle volume on documents about to be dropped whole, and
+       before decontamination so the overlap check sees the final text.
     5. **Decontaminate** (optional): drop docs whose shingle overlap with
        the ``blocklist`` corpus reaches ``decon_threshold``. The blocklist
        passes through the SAME redaction first — suspects are shingled
@@ -185,19 +202,25 @@ def curate_corpus(
     losers = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
     near_kept = exact_kept.join(losers, "doc_id", "left_anti")
 
+    passage_kept = None
     curated = near_kept
+    if passage_dedup_k is not None:
+        passage_kept = spans.remove_duplicate_spans(
+            near_kept, "doc_id", "text", k=passage_dedup_k
+        )
+        curated = passage_kept
     if blocklist is not None:
         scrubbed_block = blocklist.select(
             text.redact_pii(F.col(text_col)).alias("text")
         )
         contaminated = (
             dedup.contamination_ratios(
-                near_kept, scrubbed_block, "doc_id", "text", shingle_n=shingle_n
+                curated, scrubbed_block, "doc_id", "text", shingle_n=shingle_n
             )
             .where(F.col("overlap") >= F.lit(decon_threshold))
             .select("doc_id")
         )
-        curated = near_kept.join(contaminated, "doc_id", "left_anti")
+        curated = curated.join(contaminated, "doc_id", "left_anti")
 
     return CurationResult(
         curated=curated,
@@ -206,4 +229,5 @@ def curate_corpus(
         exact_kept=exact_kept,
         near_kept=near_kept,
         cached=cached,
+        passage_kept=passage_kept,
     )
