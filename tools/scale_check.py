@@ -82,11 +82,23 @@ def _classifier_train_score(spark, sf_dir):
     return classifier.score_quality(docs, w, b)
 
 
+def _span_dedup(spark, sf_dir):
+    """ExactSubstr-grain passage removal; replicated fixtures make every
+    document a full duplicate of its K−1 replicas, so the marked-span
+    volume is the worst case (≈ the whole corpus)."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import spans
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return spans.remove_duplicate_spans(docs, "doc_id", "text", k=20)
+
+
 CUSTOM = {
     "lm_train_score": _lm_train_score,
     "pq_index_search": _pq_index_search,
     "bpe_train_encode": _bpe_train_encode,
     "classifier_train_score": _classifier_train_score,
+    "span_dedup": _span_dedup,
 }
 
 QUERIES = [
