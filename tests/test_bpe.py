@@ -166,3 +166,15 @@ def test_merge_pass_expr_non_overlapping_sweep(spark):
         bpe.merge_pass_expr(F.col("sym"), "a", "a").alias("m")
     ).head()["m"]
     assert out == ["aa", "a", END]
+
+
+def test_encode_survives_null_text(spark):
+    """A NULL text row encodes to an empty token list instead of killing
+    the Arrow batch (r6 advisor finding: normalize_text(NULL) is NULL)."""
+    docs = spark.createDataFrame(
+        [(0, "aa ab aa"), (1, None), (2, "aa")], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe(docs, num_merges=2)
+    out = {r["doc_id"]: r["tokens"] for r in bpe.bpe_encode(docs, merges).collect()}
+    assert out[1] == []
+    assert out[2] != []

@@ -87,3 +87,17 @@ def test_text_only_semantic_dedup_composes(spark):
     survivors = {r["vec_id"] for r in out.collect()}
     assert {3, 4} <= survivors
     assert len(survivors & {0, 1, 2}) == 1
+
+
+def test_null_text_embeds_as_zero_vector(spark):
+    """NULL text behaves like empty text (zero vector), not a kernel crash
+    (r6 advisor finding)."""
+    docs = spark.createDataFrame(
+        [(0, None), (1, "hello world")], "doc_id long, text string"
+    )
+    got = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in embedding.hashed_doc_embedding(docs, dim=16).collect()
+    }
+    assert np.array_equal(got[0], np.zeros(16, dtype="float32"))
+    assert np.linalg.norm(got[1]) > 0.99

@@ -229,3 +229,33 @@ def test_no_shuffle_carries_token_text(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "array_join" not in m.group(1)
+
+
+def test_many_disjoint_spans_rebuild_exact(spark):
+    """Pathological shape for the r6 per-token F.exists (O(T×S)/doc): one
+    doc carrying many disjoint duplicated passages. The gap-slice rebuild
+    must cut every span and only the spans — verified against a Python
+    replay of the documented span semantics."""
+    k = 2
+    # 40 distinct two-token passages, each repeated in doc 1..40, spaced
+    # by unique filler so the spans in doc 0 stay disjoint
+    passages = [f"dup{i}a dup{i}b" for i in range(40)]
+    doc0_words = []
+    for i, p in enumerate(passages):
+        doc0_words.extend(p.split())
+        doc0_words.append(f"filler{i}")
+    rows = [(0, " ".join(doc0_words))] + [
+        (i + 1, f"solo{i}x {p} solo{i}y") for i, p in enumerate(passages)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in spans.remove_duplicate_spans(
+            df, "doc_id", "text", k=k
+        ).collect()
+    }
+    # doc 0 owns every duplicated shingle (lowest (doc_id, pos)), so its
+    # text survives byte-for-byte; each later doc loses its passage copy
+    assert out[0] == rows[0][1]
+    for i in range(40):
+        assert out[i + 1] == f"solo{i}x solo{i}y"

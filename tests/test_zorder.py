@@ -143,3 +143,25 @@ def test_zvalue_interleaving_locality(spark):
     assert vals[(1023, 0)] >> 18 == 2
     assert vals[(0, 1023)] >> 18 == 1
     assert vals[(512, 512)] >> 18 == 3
+
+
+def test_zvalue_rejects_non_quantizable_column(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "x long, s string")
+    with pytest.raises(ValueError, match="non-numeric"):
+        zorder.zvalue_column(df, ["x", "s"], bits=8)
+
+
+def test_zvalue_temporal_columns_cluster(spark):
+    """date/timestamp quantize on their linear epoch forms — distinct
+    values must land in distinct buckets, not all collapse to 0."""
+    import datetime as dt
+
+    rows = [
+        (dt.date(2024, 1, 1 + i), dt.datetime(2024, 1, 1, i), i)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "d date, ts timestamp, x int")
+    dz, stats = zorder.zvalue_column(df, ["d", "ts"], bits=8)
+    zs = [r["zvalue"] for r in dz.collect()]
+    assert len(set(zs)) == len(zs)
+    assert stats["d"][0] is not None and stats["ts"][1] is not None

@@ -232,7 +232,7 @@ def bpe_encode(
 
     staged = docs.select(
         F.col(doc_id).alias("doc_id"),
-        normalize_text(F.col(text_col)).alias("_norm"),
+        F.coalesce(normalize_text(F.col(text_col)), F.lit("")).alias("_norm"),
     )
     return staged.mapInPandas(
         gen, schema="doc_id long, tokens array<string>, n_bpe_tokens long"

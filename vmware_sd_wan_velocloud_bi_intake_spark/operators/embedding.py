@@ -80,7 +80,7 @@ def hashed_doc_embedding(
 
     staged = docs.select(
         F.col(doc_id).alias("doc_id"),
-        normalize_text(F.col(text_col)).alias("_norm"),
+        F.coalesce(normalize_text(F.col(text_col)), F.lit("")).alias("_norm"),
     )
     return staged.mapInPandas(
         gen, schema="vec_id long, embedding array<float>"

@@ -578,8 +578,10 @@ def ann_ivf_topk_trained(
     ).withColumn("nrm", l2_norm(F.col("v")))
     if cents is None:
         if n_cells is None:
-            base.persist()  # sizing count doubles as the cache materializer
-            n_cells = max(8, math.ceil(math.sqrt(base.count())))
+            # sizing needs only a row count; base flows through the plan
+            # exactly once (train_centroids reads ``emb``, not ``base``),
+            # so persisting here would leak executor cache for the session
+            n_cells = max(8, math.ceil(math.sqrt(emb.select(vec_id).count())))
         cents = train_centroids(
             emb,
             n_cells,
@@ -635,8 +637,10 @@ def semantic_dedup_survivors(
     ).withColumn("nrm", l2_norm(F.col("v")))
     if cents is None:
         if n_cells is None:
-            base.persist()  # sizing count doubles as the cache materializer
-            n_cells = max(8, math.ceil(math.sqrt(base.count())))
+            # sizing needs only a row count; base flows through the plan
+            # exactly once (train_centroids reads ``emb``, not ``base``),
+            # so persisting here would leak executor cache for the session
+            n_cells = max(8, math.ceil(math.sqrt(emb.select(vec_id).count())))
         cents = train_centroids(
             emb,
             n_cells,

@@ -23,8 +23,14 @@ Resolution contract: a duplicated passage of L ≥ k tokens yields L−k+1
 duplicated shingles whose union covers it exactly, so detected spans are
 the maximal duplicated runs at k-token grain; passages shorter than ``k``
 are below the resolution floor and survive (the paper's threshold plays
-the same role — they use 50 tokens). The owner occurrence survives in
-full, so shared content keeps exactly one copy in the corpus.
+the same role — they use 50 tokens). Owner election is best-effort
+preservation, as in ExactSubstr: each duplicated shingle's owner
+occurrence is never marked, so shared content usually keeps a copy — but
+when duplicated passages OVERLAP, two shingles can elect owners in
+different documents and a non-owner mark in one doc may cover tokens of
+that doc's owner occurrence of the other shingle, leaving no fully-intact
+copy of the overlapping region anywhere (Lee et al. accept the same:
+"deduplication is lossy at the margins").
 
 Scale shape: the shingle stream is |corpus tokens| narrow rows — linear,
 never pairwise. The duplicate relation after the groupBy holds ONLY
@@ -199,15 +205,44 @@ def remove_duplicate_spans(
     joined = df.join(
         per_doc, df[doc_id] == per_doc["doc_id"], "left"
     ).drop(per_doc["doc_id"])
-    sp = F.col("_spans")
+    sp = F.array_sort(F.col("_spans"))  # disjoint, so start_tok sorts them
     toks = _tokens(text_col)
-    kept = F.filter(
-        toks,
-        lambda _t, i: ~F.exists(
-            sp, lambda s: (i >= s["start_tok"]) & (i < s["end_tok"])
+    # O(T+S) rebuild: the spans are disjoint and sorted, so the kept text
+    # is exactly the GAPS between them — [prev.end, cur.start) per span
+    # plus the tail after the last span. Each gap is one slice; flatten
+    # copies every surviving token once. (The r6 shape — per-token
+    # F.exists over the span array — was O(T×S)/doc and quadratic on a
+    # pathological doc with thousands of disjoint duplicated passages.)
+    gaps = F.transform(
+        sp,
+        lambda s, i: F.struct(
+            F.when(i == 0, F.lit(0).cast("long"))
+            .otherwise(F.element_at(sp, i)["end_tok"])  # 1-based: prev
+            .alias("lo"),
+            s["start_tok"].alias("hi"),
         ),
     )
-    rebuilt = F.when(sp.isNull(), F.col(text_col)).otherwise(
+    tail_lo = F.element_at(sp, -1)["end_tok"]
+    kept = F.concat(
+        F.flatten(
+            F.transform(
+                gaps,
+                lambda g: F.slice(
+                    toks,
+                    (g["lo"] + 1).cast("int"),
+                    (g["hi"] - g["lo"]).cast("int"),
+                ),
+            )
+        ),
+        F.slice(
+            toks,
+            (tail_lo + 1).cast("int"),
+            F.greatest(
+                F.size(toks) - tail_lo.cast("int"), F.lit(0)
+            ),
+        ),
+    )
+    rebuilt = F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
         F.array_join(kept, " ")
     )
     out_cols = [

@@ -66,14 +66,35 @@ def zvalue_column(
     """
     if len(cols) * bits > 60:
         raise ValueError("zvalue: k*bits must fit a signed long (<= 60)")
+    # a non-orderable-as-number column (e.g. a string passed by mistake)
+    # would silently quantize every row to bucket 0 — no clustering, no
+    # error — because (cmax - cmin).cast('double') is NULL; fail loudly
+    ok = ("tinyint", "smallint", "int", "bigint", "float", "double",
+          "date", "timestamp", "timestamp_ntz")
+    srcs: dict[str, Column] = {}
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        if dt not in ok and not dt.startswith("decimal"):
+            raise ValueError(
+                f"zvalue: column {c!r} has non-numeric/temporal type {dt}; "
+                "Z-order needs a linearly quantizable domain"
+            )
+        # temporals have no (date) or an awkward interval (timestamp)
+        # subtraction; stage the linear numeric form up front
+        if dt == "date":
+            srcs[c] = F.unix_date(F.col(c))
+        elif dt.startswith("timestamp"):
+            srcs[c] = F.col(c).cast("double")  # epoch seconds
+        else:
+            srcs[c] = F.col(c)
     row = df.agg(
-        *[F.min(c).alias(f"min_{c}") for c in cols],
-        *[F.max(c).alias(f"max_{c}") for c in cols],
+        *[F.min(srcs[c]).alias(f"min_{c}") for c in cols],
+        *[F.max(srcs[c]).alias(f"max_{c}") for c in cols],
     ).head()
     stats = {c: (row[f"min_{c}"], row[f"max_{c}"]) for c in cols}
     qs = [
         _quantize(
-            F.col(c), F.lit(stats[c][0]), F.lit(stats[c][1]), bits
+            srcs[c], F.lit(stats[c][0]), F.lit(stats[c][1]), bits
         )
         for c in cols
     ]
