@@ -88,6 +88,11 @@ def main() -> None:
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 3)
+    # r6 recorded the first sentinel (1.498 s, BENCH_r06.json) — publishing
+    # the ratio AND the r6-host-equivalent total makes cross-round
+    # comparison numeric: total_r7/sentinel_r7 vs total_r6/sentinel_r6
+    # cancels same-box contention drift (±40% between rounds 4 and 5)
+    R6_SENTINEL = 1.498
     print(
         json.dumps(
             {
@@ -97,6 +102,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": infer_sf(SF_DIR),
                 "sentinel_sec": sentinel,
+                "total_over_sentinel": round(total / sentinel, 3),
+                "r6_host_equivalent_total": round(
+                    total / sentinel * R6_SENTINEL, 3
+                ),
                 "runs": N_RUNS,
             }
         )

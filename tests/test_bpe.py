@@ -178,3 +178,15 @@ def test_encode_survives_null_text(spark):
     out = {r["doc_id"]: r["tokens"] for r in bpe.bpe_encode(docs, merges).collect()}
     assert out[1] == []
     assert out[2] != []
+
+
+def test_checkpoint_cadence_does_not_change_training(spark, docs):
+    """checkpoint_every only truncates lineage; the merge table must be
+    identical at any cadence (r7: per-merge eager checkpoints were a full
+    vocab materialization JOB each — half the trainer's wall time)."""
+    a = [tuple(r) for r in bpe.train_bpe(docs, num_merges=6, checkpoint_every=1).orderBy("rank").collect()]
+    b = [tuple(r) for r in bpe.train_bpe(docs, num_merges=6, checkpoint_every=4).orderBy("rank").collect()]
+    c = [tuple(r) for r in bpe.train_bpe(docs, num_merges=6, checkpoint_every=100).orderBy("rank").collect()]
+    assert a == b == c
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        bpe.train_bpe(docs, num_merges=2, checkpoint_every=0)

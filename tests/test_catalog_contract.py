@@ -11,12 +11,11 @@ from vmware_sd_wan_velocloud_bi_intake_spark.queries import all_queries
 DRIVER_WINDOW = 50
 
 # the block VERDICT r1 flagged as never driver-verified (or the vehicles
-# that absorbed them) — must stay inside the window
+# that absorbed them — r7 folded f09_epoch_roundtrip into f28_json_extract
+# and a15_census into p07_edge_attributes) — must stay inside the window
 ROUND1_UNCHECKED_BLOCK = {
     "eav_melt_pivot",
     "u01_geo_enrich",
-    "a15_census",
-    "f09_epoch_roundtrip",
     "f28_json_extract",
     "a17_order_banding",
     "j10_asof_join",

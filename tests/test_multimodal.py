@@ -254,9 +254,10 @@ def test_pil_decode_and_resize_when_available(spark):
 
 
 def test_pil_absent_keeps_notimplemented_contract():
-    """In THIS environment (no Pillow) the fallback must be inert: PNG
+    """In THIS environment (no Pillow) the fallback must be inert: JPEG
     magic bytes still raise the documented NotImplementedError from
-    decode_media. Skips when Pillow IS present."""
+    decode_media (PNG no longer needs Pillow — stdlib decoder, r7).
+    Skips when Pillow IS present."""
     try:
         import PIL  # noqa: F401
 
@@ -268,7 +269,7 @@ def test_pil_absent_keeps_notimplemented_contract():
     )
 
     with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_media(b"\x89PNG\r\n\x1a\nfakedata")
+        decode_media(b"\xff\xd8\xff\xe0fake-jpeg-payload")
 
 
 def test_wav_roundtrip_and_audio_features(spark):
@@ -400,3 +401,140 @@ def test_frame_sampling_respects_max_frames_cap(spark):
         F.size(multimodal.frame_sample_indices(F.col("duration_ms"), 1.0, 16))
     ).head()[0]
     assert plan_n <= 16
+
+
+# ---------------------------------------------------------------------------
+# Stdlib PNG decode (round 7): the most common web-corpus image format with
+# no Pillow and no codec libs — zlib inflate + per-scanline unfilter.
+# ---------------------------------------------------------------------------
+def _gradient_rgb(w, h):
+    return bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in ((x * 17) % 256, (y * 29) % 256, (x * y * 7 + 3) % 256)
+    )
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_scanline_filter(filter_type):
+    """png_decode must invert png_encode bit-for-bit under each of the five
+    spec filters (None/Sub/Up/Average/Paeth) — the unfilter arithmetic is
+    exercised per filter, not just on whatever a single encoder emits."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    w, h = 9, 5
+    pixels = _gradient_rgb(w, h)
+    img = png_decode(png_encode(w, h, pixels, filter_type=filter_type))
+    assert (img["width"], img["height"], img["maxval"]) == (w, h, 255)
+    assert img["pixels"] == pixels
+
+
+def test_png_color_type_conversions():
+    """Gray (0), palette (3), gray+alpha (4) and RGBA (6) payloads all
+    land as row-major RGB matching the spec conversion rules (alpha
+    dropped, gray replicated, palette looked up)."""
+    import struct
+    import zlib
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.multimodal import (
+        png_decode,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def build(w, h, color, raster, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b"")
+
+    # 2x1 grayscale: values 10, 200 (filter 0 per line)
+    img = png_decode(build(2, 1, 0, bytes([0, 10, 200])))
+    assert img["pixels"] == bytes([10, 10, 10, 200, 200, 200])
+    # 2x1 RGBA: alpha dropped
+    img = png_decode(build(2, 1, 6, bytes([0, 1, 2, 3, 255, 4, 5, 6, 0])))
+    assert img["pixels"] == bytes([1, 2, 3, 4, 5, 6])
+    # 2x1 gray+alpha
+    img = png_decode(build(2, 1, 4, bytes([0, 9, 255, 90, 1])))
+    assert img["pixels"] == bytes([9, 9, 9, 90, 90, 90])
+    # 2x1 palette: indices 1, 0 into a 2-entry palette
+    img = png_decode(
+        build(2, 1, 3, bytes([0, 1, 0]), plte=bytes([10, 20, 30, 40, 50, 60]))
+    )
+    assert img["pixels"] == bytes([40, 50, 60, 10, 20, 30])
+
+
+def test_png_dispatch_and_unsupported_shapes():
+    """decode_media routes PNG magic to the stdlib decoder; 16-bit and
+    interlaced payloads raise NotImplementedError (the Pillow/injection
+    boundary), corrupt payloads raise ValueError."""
+    import struct
+    import zlib
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.multimodal import (
+        decode_media,
+        png_decode,
+        png_encode,
+    )
+
+    w, h = 3, 2
+    pixels = _gradient_rgb(w, h)
+    img = decode_media(png_encode(w, h, pixels))
+    assert img["pixels"] == pixels
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(7)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        png_decode(deep)
+    with pytest.raises(ValueError, match="IHDR"):
+        png_decode(b"\x89PNG\r\n\x1a\nnothing-here")
+    with pytest.raises(ValueError, match="size mismatch"):
+        png_decode(
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(5)))
+            + chunk(b"IEND", b"")
+        )
+
+
+def test_png_feeds_feature_extraction(spark):
+    """End to end through the engine: PNG payloads ride extract_features'
+    Arrow batches and produce statistics over the REAL decoded pixels."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.multimodal import (
+        extract_features,
+        pixel_feature_decoder,
+    )
+
+    w, h = 4, 3
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.multimodal import (
+        png_encode,
+    )
+
+    pixels = _gradient_rgb(w, h)
+    df = spark.createDataFrame(
+        [(1, bytearray(png_encode(w, h, pixels)))], "media_id long, content binary"
+    )
+    row = extract_features(df, decoder=pixel_feature_decoder).head()
+    # statistics over the DECODED raster, not the compressed container
+    assert row["n_bytes"] == w * h * 3
+    exp_mean = sum(pixels) / len(pixels)
+    assert abs(row["byte_mean"] - exp_mean) < 1e-6

@@ -56,18 +56,21 @@ def test_semi_and_anti_joins_both_physical(spark, sf_smoke):
 
 
 # Bounded nested-loop joins that are the designed shape, not an accident:
-# - a15_census: cross of two SINGLE-ROW global aggregates (scalar stitching)
+# - p07_edge_attributes: the folded a15 census — every row × ONE broadcast
+#   census row (cross of two single-row global aggregates)
 # - sim_ann_ivf: every vector × an 8-row broadcast centroid table (IVF
 #   coarse assignment — k-row broadcast fan-out, never n×n)
 # - a19_grouping_rollup: the grand-total tier stitches three SINGLE-ROW
 #   global aggregates (two-pass rollup — the price of dropping the 9x
 #   rollup×distinct expand)
+# - txt_bpe: merge table (num_merges rows) × the single-row encode totals
 _SCALAR_CROSS_OK = {
-    "a15_census",
+    "p07_edge_attributes",
     "sim_ann_ivf",
     "a19_grouping_rollup",
     # same deliberate broadcast n x n_cells assignment as sim_ann_ivf
     "dedup_semantic",
+    "txt_bpe",
 }
 
 

@@ -324,3 +324,57 @@ def test_opq_rotation_lifts_anisotropic_recall(spark, aniso):
     print(f"\nOPQ anisotropic recall@3: plain={r_plain:.3f} rotated={r_rot:.3f}")
     assert r_rot >= r_plain + 0.05, (r_rot, r_plain)
     assert r_rot >= 0.28, r_rot
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_append_equals_rebuild_at_fixed_quantizers(spark, emb, residual):
+    """ivf_pq_append at the index's frozen centroids/codebooks must encode
+    a batch to EXACTLY the rows the builder would have produced — so
+    members ∪ append(batch) is bit-identical to an index built over the
+    grown corpus with the same quantizers. Also partition-invariant:
+    append(A ∪ B) == append(A) ∪ append(B) (the encode is map-only, no
+    cross-batch state)."""
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    cents, members, books = pq.ivf_pq_index(
+        corpus, n_cells=8, m=8, ksub=16, train_iters=4, residual=residual
+    )
+
+    def rows(df):
+        return sorted(
+            (r["cell"], r["vid"], tuple(r["codes"]), round(r["nrm"], 9))
+            for r in df.collect()
+        )
+
+    # the append path reproduces the builder's own encoding bit-for-bit
+    assert rows(
+        pq.ivf_pq_append(corpus, cents, books, residual=residual)
+    ) == rows(members)
+    # batch-split invariance on the new data
+    b1 = batch.where(F.col("vec_id") % 2 == 0)
+    b2 = batch.where(F.col("vec_id") % 2 == 1)
+    assert rows(pq.ivf_pq_append(batch, cents, books, residual=residual)) == sorted(
+        rows(pq.ivf_pq_append(b1, cents, books, residual=residual))
+        + rows(pq.ivf_pq_append(b2, cents, books, residual=residual))
+    )
+
+
+def test_appended_vectors_are_searchable(spark, emb):
+    """A vector that exists ONLY via append must come back as the top
+    neighbor of an identical query (recall through the grown index; the
+    query rides a shifted id so the search's self-exclusion doesn't
+    apply)."""
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0).limit(10)
+    cents, members, books = pq.ivf_pq_index(
+        corpus, n_cells=8, m=8, ksub=16, train_iters=4
+    )
+    grown = members.unionByName(pq.ivf_pq_append(batch, cents, books))
+    queries = batch.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    hits = pq.ann_ivf_pq_topk(queries, cents, grown, books, k=1, nprobe=2)
+    got = {r["query_id"]: r["neighbor_id"] for r in hits.where("rk = 1").collect()}
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    assert set(got) == {b + 1_000_000 for b in batch_ids}
+    assert all(got[q] == q - 1_000_000 for q in got)

@@ -6,6 +6,7 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
+from vmware_sd_wan_velocloud_bi_intake_spark.operators import profile
 from vmware_sd_wan_velocloud_bi_intake_spark.operators.profile import profile_table
 from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
 
@@ -165,3 +166,82 @@ def test_estimated_bytes_uses_length_not_max_value(spark):
     assert doc["max_len"] == 50_000      # width stat: longest value
     # 2 rows x (50_000 + 8) — the 50 KB row drives the estimate
     assert estimated_bytes(prof) == 2 * 50_008
+
+
+# ---------------------------------------------------------------------------
+# Profile-driven SKEW routing (round 7): key_frequency_profile feeds
+# hints.skew_decision, which flips routed_sum / routed_dim_join between the
+# plain and salted forms — the broadcast-switch discipline applied to skew.
+# ---------------------------------------------------------------------------
+def test_key_frequency_profile_finds_heavy_hitter(spark):
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id") % 97).alias("k")
+    )
+    prof = profile.key_frequency_profile(df, ["k"], top=3)
+    rows = {r["value_str"]: r for r in prof.collect()}
+    assert "7" in rows
+    top = rows["7"]
+    assert top["key_count"] > 5_000  # half the rows + the id%97==7 tail
+    assert 0.5 <= top["key_frac"] <= 0.6
+    assert top["n_rows"] == 10_000
+
+
+def test_key_frequency_profile_validation(spark, sf_smoke):
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile.key_frequency_profile(
+            load_table(spark, sf_smoke, "nation"), ["nope"]
+        )
+    with pytest.raises(ValueError, match="no key columns"):
+        profile.key_frequency_profile(load_table(spark, sf_smoke, "nation"), [])
+
+
+def test_skew_routing_strategy_switch(spark):
+    """The decision must flip the PLAN, not just the numbers: a skewed key
+    profile routes the aggregation through the two-phase salted form (two
+    keyed exchanges) and the join through the exploded-dim salted form;
+    a balanced profile keeps the single-exchange / plain-broadcast plans.
+    Results are identical on both routes."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.plans import hints
+
+    # 90% of rows share key 7: top count 9000 > 5 x (10000/8 partitions),
+    # comfortably past the AQE-style skew threshold at the test session's
+    # 8 shuffle partitions
+    skewed = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 97).alias("k"),
+        (F.col("id") % 13).alias("v"),
+    )
+    balanced = spark.range(10_000).select(
+        (F.col("id") % 97).alias("k"), (F.col("id") % 13).alias("v")
+    )
+
+    def agg_plan(df):
+        prof = profile.key_frequency_profile(df, ["k"], top=3)
+        out = hints.routed_sum(df, "k", {"v_sum": F.sum("v")}, prof)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        return out, plan.count("Exchange hashpartitioning")
+
+    out_skew, ex_skew = agg_plan(skewed)
+    out_bal, ex_bal = agg_plan(balanced)
+    assert ex_skew == 2, "skewed key must take the two-phase salted route"
+    assert ex_bal == 1, "balanced key must keep the single-exchange plan"
+    # same answer either way: salted vs plain on the SAME skewed data
+    plain = skewed.groupBy("k").agg(F.sum("v").alias("v_sum"))
+    assert sorted(map(tuple, out_skew.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    dim = spark.createDataFrame([(7, "hot"), (1, "a"), (2, "b")], "k long, name string")
+    prof_skew = profile.key_frequency_profile(skewed, ["k"], top=3)
+    joined = hints.routed_dim_join(skewed, dim, "k", prof_skew)
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in jplan or "explode" in jplan, (
+        "skewed fact must take the salted-dim route"
+    )
+    prof_bal = profile.key_frequency_profile(balanced, ["k"], top=3)
+    jplain = hints.routed_dim_join(balanced, dim, "k", prof_bal)
+    assert "explode" not in jplain._jdf.queryExecution().executedPlan().toString()
+    # row-for-row equality with the unsalted join on the same input
+    want = skewed.join(F.broadcast(dim), "k")
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))

@@ -209,3 +209,65 @@ def test_streaming_exact_dedup_survives_restart(spark, tmp_path):
     # idempotent no-op restart
     _run_once()
     assert _table() == expected
+
+
+def test_streaming_exact_dedup_ttl_evicts_state(spark, tmp_path):
+    """Event-time TTL bounds the fingerprint store: a fingerprint idle
+    past last-arrival + state_ttl is evicted once the watermark passes,
+    so a later duplicate re-enters as a fresh original (documented recall
+    trade-off) — while a fingerprint refreshed within the TTL keeps
+    accumulating across the same horizon."""
+    import datetime
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.stateful import (
+        streaming_exact_dedup,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    hr = datetime.timedelta(hours=1)
+    schema = "doc_id long, ts timestamp, text string"
+    # X refreshes every hour (stays inside the 10-minute TTL *relative to
+    # the advancing watermark* because each arrival reschedules the
+    # timeout); Y is seen once, then not until 3 h later — evicted.
+    batches = [
+        [(1, t0, "text x"), (2, t0, "text y")],
+        [(3, t0 + hr, "text x")],
+        [(4, t0 + 2 * hr, "text x")],
+        [(9, t0 + 3 * hr, "text y")],
+    ]
+    stream_dir = tmp_path / "ttl_stream"
+    stream_dir.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stream_dir / f"b{i:03d}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir / "*.parquet"))
+    )
+    q = (
+        streaming_exact_dedup(
+            stream, ts_col="ts", watermark="0 seconds", state_ttl="10 minutes"
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dedup_ttl")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["dedup_key"], r["keep_id"], r["dup_count"])
+        for r in spark.sql("SELECT * FROM dedup_ttl").collect()
+    }
+    kx = {k for (k, kid, _c) in got if kid in (1, 3, 4)}
+    ky = {k for (k, kid, _c) in got if kid in (2, 9)}
+    assert len(kx) == 1 and len(ky) == 1 and kx != ky
+    (kx,), (ky,) = kx, ky
+    # X never evicted: cumulative counts with the min-id survivor
+    assert {(kid, c) for (k, kid, c) in got if k == kx} == {(1, 1), (1, 2), (1, 3)}
+    # Y evicted between its arrivals: the second sighting RESTARTS as a
+    # fresh original (keep_id 9, count 1) instead of accumulating to (2, 2)
+    assert {(kid, c) for (k, kid, c) in got if k == ky} == {(2, 1), (9, 1)}

@@ -6,10 +6,13 @@ feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
 operators so the heavy per-item work stays columnar and partition-parallel.
 
 Decode is REAL for the formats a pure-Python decoder can carry: binary PPM
-(P6) and uncompressed 24-bit BMP decode to actual pixel bytes
-(:func:`ppm_decode` / :func:`bmp_decode`, dispatched by magic bytes in
+(P6), uncompressed 24-bit BMP, and 8-bit PNG (stdlib ``zlib`` inflate +
+all five scanline unfilters — the most common web-corpus image format
+needs no codec library) decode to actual pixel bytes (:func:`ppm_decode` /
+:func:`bmp_decode` / :func:`png_decode`, dispatched by magic bytes in
 :func:`decode_media`), and PPM resizes through a real nearest-neighbor
-resampler (:func:`ppm_resize`). JPEG/PNG/WebP decode and resize
+resampler (:func:`ppm_resize`). JPEG/WebP (and 16-bit/interlaced PNG
+exotics) decode and resize
 automatically whenever Pillow is importable (optional dependency — the
 engine never requires it); PCM WAV audio decodes through the stdlib
 ``wave`` container (:func:`wav_decode` → :func:`extract_audio_features`,
@@ -142,6 +145,161 @@ def bmp_decode(content: bytes) -> dict:
     return {"width": width, "height": height, "maxval": 255, "pixels": bytes(out)}
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    # PNG spec predictor: nearest of (left, up, up-left) to a + b − c,
+    # ties broken left → up → up-left
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_decode(content: bytes) -> dict:
+    """Stdlib-only PNG decoder → real pixel bytes (no Pillow, no codec
+    libs): chunk walk, ``zlib`` IDAT inflate, per-scanline unfilter (all
+    five spec filters — None/Sub/Up/Average/Paeth), channel conversion to
+    row-major RGB. Supports the dominant web-corpus shape: 8-bit depth,
+    color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA —
+    alpha dropped, matching Pillow's ``convert("RGB")``), no interlace.
+    16-bit and Adam7 payloads raise ``NotImplementedError`` (decode those
+    via the optional Pillow path or an injected decoder).
+
+    The unfilter loop is per-byte Python — right for the engine's
+    Arrow-batched feature UDFs over test/report-sized images; route bulk
+    decode through an injected codec library in production (the
+    documented :func:`extract_features` contract).
+    """
+    import struct
+    import zlib
+
+    if not content.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG payload")
+    pos, idat, plte, hdr = 8, bytearray(), None, None
+    while pos + 8 <= len(content):
+        length, ctype = struct.unpack_from(">I4s", content, pos)
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + payload + crc
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = hdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad PNG compression/filter method ({comp}/{filt})")
+    if depth != 8 or interlace != 0 or color not in (0, 2, 3, 4, 6):
+        raise NotImplementedError(
+            f"png_decode supports 8-bit non-interlaced color types "
+            f"0/2/3/4/6 (got depth={depth}, color={color}, "
+            f"interlace={interlace})"
+        )
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG raster size mismatch: {len(raw)} != {h * (stride + 1)}"
+        )
+    out = bytearray(h * stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        prev = out[(y - 1) * stride : y * stride] if y else bytes(stride)
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG scanline filter {f}")
+        out[y * stride : (y + 1) * stride] = line
+    if color == 2:
+        pixels = bytes(out)
+    elif color == 6:  # RGBA → RGB (drop alpha, Pillow convert('RGB') rule)
+        pixels = bytes(b for i, b in enumerate(out) if i % 4 != 3)
+    elif color == 0:  # gray → replicate
+        pixels = bytes(b for b in out for _ in range(3))
+    elif color == 4:  # gray+alpha → replicate the gray byte
+        pixels = bytes(out[i] for i in range(0, len(out), 2) for _ in range(3))
+    else:  # palette
+        pixels = bytes(
+            plte[3 * idx + k] for idx in out for k in range(3)
+        )
+    return {"width": w, "height": h, "maxval": 255, "pixels": pixels}
+
+
+def png_encode(width: int, height: int, pixels: bytes, filter_type: int = 0) -> bytes:
+    """Minimal stdlib RGB PNG writer (single IDAT, one filter for every
+    scanline) — the round-trip partner :func:`png_decode`'s tests drive
+    through all five filters; also a real PNG any viewer opens."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height * 3:
+        raise ValueError("png_encode: pixels must be RGB row-major")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    stride = width * 3
+    raw = bytearray()
+    for y in range(height):
+        line = bytearray(pixels[y * stride : (y + 1) * stride])
+        prev = pixels[(y - 1) * stride : y * stride] if y else bytes(stride)
+        enc = bytearray(line)
+        if filter_type == 1:
+            for i in range(stride - 1, 2, -1):
+                enc[i] = (line[i] - line[i - 3]) & 0xFF
+        elif filter_type == 2:
+            for i in range(stride):
+                enc[i] = (line[i] - prev[i]) & 0xFF
+        elif filter_type == 3:
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                enc[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif filter_type == 4:
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                ul = prev[i - 3] if i >= 3 else 0
+                enc[i] = (line[i] - _paeth(left, prev[i], ul)) & 0xFF
+        elif filter_type != 0:
+            raise ValueError(f"bad filter {filter_type}")
+        raw.append(filter_type)
+        raw += enc
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _pil_rgb(content: bytes):
     """The ONE Pillow boundary: bytes → RGB Image, or None when Pillow is
     absent or cannot identify the payload. Every PIL-optional path
@@ -183,24 +341,35 @@ def _pil_decode(content: bytes) -> dict | None:
 def decode_media(content: bytes) -> dict:
     """Magic-byte-dispatched decode to real pixels for supported formats.
 
-    P6 → :func:`ppm_decode`; BM → :func:`bmp_decode`; anything else tries
-    Pillow if it is importable (:func:`_pil_decode` — JPEG/PNG/WebP/… with
-    no injection needed). Only when no decoder applies does this raise
-    ``NotImplementedError`` — audio/video (and image formats in a
-    PIL-less environment like this one) still need a decoder injected
-    into :func:`extract_features` in production.
+    P6 → :func:`ppm_decode`; BM → :func:`bmp_decode`; PNG →
+    :func:`png_decode` (stdlib zlib — no Pillow needed for the most
+    common web-corpus image format; 16-bit/Adam7 exotics fall through to
+    Pillow when importable); anything else tries Pillow if it is
+    importable (:func:`_pil_decode` — JPEG/WebP/… with no injection
+    needed). Only when no decoder applies does this raise
+    ``NotImplementedError`` — audio/video (and JPEG in a PIL-less
+    environment like this one) still need a decoder injected into
+    :func:`extract_features` in production.
     """
     if content.startswith(b"P6"):
         return ppm_decode(content)
     if content.startswith(b"BM"):
         return bmp_decode(content)
+    if content.startswith(b"\x89PNG\r\n\x1a\n"):
+        try:
+            return png_decode(content)
+        except NotImplementedError:
+            img = _pil_decode(content)
+            if img is not None:
+                return img
+            raise
     img = _pil_decode(content)
     if img is not None:
         return img
     raise NotImplementedError(
-        "no decoder for this payload (built-ins: PPM P6, 24-bit BMP; "
-        "JPEG/PNG decode automatically when Pillow is installed); inject "
-        "a codec-backed decoder for other formats"
+        "no decoder for this payload (built-ins: PPM P6, 24-bit BMP, "
+        "8-bit PNG; JPEG decodes automatically when Pillow is installed); "
+        "inject a codec-backed decoder for other formats"
     )
 
 

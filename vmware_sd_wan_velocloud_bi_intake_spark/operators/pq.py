@@ -188,6 +188,73 @@ def pq_score_expr(codes: str, lut: str, m: int) -> Column:
     return F.expr(" + ".join(terms))
 
 
+def _residualize(assigned: DataFrame, cents: DataFrame) -> DataFrame:
+    """(cell, vid, nrm, r) with r = x̂ − centroid(cell) — the IVF-PQ
+    residual projection shared by the index builder and the append path
+    (codes from the two must come from the identical expression)."""
+    res_col = F.zip_with(
+        F.transform(
+            F.col("v"),
+            lambda x: x / F.greatest(F.col("nrm"), F.lit(1e-12)),
+        ),
+        F.col("cv"),
+        lambda a, b: a - b,
+    )
+    return assigned.join(F.broadcast(cents), "cell").select(
+        "cell", "vid", "nrm", res_col.alias("r")
+    )
+
+
+def ivf_pq_append(
+    batch: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+    rotation: list[list[float]] | None = None,
+    residual: bool = False,
+) -> DataFrame:
+    """Encode a NEW batch at FROZEN quantizers → pq_members rows
+    (cell, vid, codes, nrm) to append to the index's members relation.
+
+    Real corpora grow; rebuilding the whole IVF-PQ index per batch is
+    O(corpus) work for O(batch) new data. This is the
+    ``lsh_bucket_table`` / ``semantic_dedup_incremental`` discipline
+    (operators/similarity.py) applied to IVF-PQ: the coarse quantizer and
+    codebooks are build-time artifacts — freeze them, broadcast-assign the
+    batch to cells, encode with the existing codebooks, and append. Cost
+    is O(batch × n_cells) assignment + O(batch) encode; the corpus is
+    never touched. Pass the SAME ``rotation``/``residual`` the index was
+    built with — codes from different spaces are not interchangeable
+    (guarded by the append-equals-rebuild test in tests/test_pq.py).
+
+    Standard caveat (faiss ships the same): appended vectors are encoded
+    at quantizers trained before they existed, so recall decays if the
+    batch distribution drifts — retrain + rebuild when drift accumulates
+    (monitor via the cell-occupancy profile).
+    """
+    from .similarity import _assign_cells
+
+    if rotation is not None:
+        batch = batch.withColumn(embedding, rotate_expr(embedding, rotation))
+    base = batch.select(
+        F.col(vec_id).alias("vid"),
+        as_double_array(F.col(embedding)).alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    assigned = _assign_cells(base, centroids)
+    if not residual:
+        return assigned.select(
+            "cell", "vid", pq_encode_expr("v", codebooks).alias("codes"), "nrm"
+        )
+    with_res = _residualize(assigned, centroids)
+    return with_res.select(
+        "cell",
+        "vid",
+        pq_encode_expr("r", codebooks, normalize=False).alias("codes"),
+        "nrm",
+    )
+
+
 def ivf_pq_index(
     emb: DataFrame,
     n_cells: int | None = None,
@@ -254,17 +321,7 @@ def ivf_pq_index(
     # residual space: r = x̂ − c(cell), computed JVM-side (normalize +
     # zip_with fuse into the assignment projection; the centroid join
     # is the same broadcast _assign_cells already did)
-    res_col = F.zip_with(
-        F.transform(
-            F.col("v"),
-            lambda x: x / F.greatest(F.col("nrm"), F.lit(1e-12)),
-        ),
-        F.col("cv"),
-        lambda a, b: a - b,
-    )
-    with_res = assigned.join(F.broadcast(cents), "cell").select(
-        "cell", "vid", "nrm", res_col.alias("r")
-    )
+    with_res = _residualize(assigned, cents)
     books = train_pq_codebooks(
         with_res, m=m, ksub=ksub, vec_id="vid", embedding="r",
         iters=train_iters, normalize=False,

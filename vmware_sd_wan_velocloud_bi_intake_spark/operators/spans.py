@@ -184,9 +184,23 @@ def remove_duplicate_spans(
     *,
     k: int = 20,
     hash_fn: str = "xxhash64",
+    spans_df: DataFrame | None = None,
+    keep_span_stats: bool = False,
 ) -> DataFrame:
     """The input with every duplicated non-owner passage cut out of
     ``text_col`` (other columns untouched, no rows dropped).
+
+    ``spans_df`` lets a caller that already materialized
+    :func:`duplicate_spans` output (doc_id, start_tok, end_tok) reuse it
+    instead of re-running the shingle pipeline.
+
+    ``keep_span_stats`` appends two observability columns per row —
+    ``n_dup_spans`` and ``span_tokens_cut`` (0 for untouched docs) —
+    computed inside the SAME per-doc aggregation the rebuild already
+    pays, so reporting what was cut costs nothing extra. The
+    dedup_survivors catalog vehicle hash-checks the span pass through
+    these plus the rebuilt-text length (a separate duplicate_spans
+    branch would re-run the whole shingle pipeline once per consumer).
 
     Documents with nothing to cut keep their ORIGINAL text byte-for-byte;
     a cut document's text is rebuilt from its surviving tokens, so its
@@ -196,11 +210,17 @@ def remove_duplicate_spans(
     string; the downstream quality gate is where such rows die, not a
     silent deletion here.
     """
-    spans = duplicate_spans(
-        df, doc_id, text_col, k=k, hash_fn=hash_fn
+    spans = (
+        spans_df
+        if spans_df is not None
+        else duplicate_spans(df, doc_id, text_col, k=k, hash_fn=hash_fn)
     )
     per_doc = spans.groupBy("doc_id").agg(
-        F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans"),
+        F.count("*").alias("_n_spans"),
+        F.sum(F.col("end_tok") - F.col("start_tok"))
+        .cast("long")
+        .alias("_tokens_cut"),
     )
     joined = df.join(
         per_doc, df[doc_id] == per_doc["doc_id"], "left"
@@ -249,4 +269,11 @@ def remove_duplicate_spans(
         rebuilt.alias(text_col) if c == text_col else F.col(c)
         for c in df.columns
     ]
+    if keep_span_stats:
+        out_cols += [
+            F.coalesce("_n_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
+            F.coalesce("_tokens_cut", F.lit(0).cast("long")).alias(
+                "span_tokens_cut"
+            ),
+        ]
     return joined.select(*out_cols)

@@ -19,14 +19,15 @@ from .base import Q
 
 # Round-1-unchecked block (VERDICT.md "What's missing" #1), including the
 # vehicles that absorbed judge-blessed folds (o02→f09, w06→f28, f22→a17,
-# a20→a19, eav_melt+eav_pivot→eav_melt_pivot), then the TPC-H shapes and the
-# new medallion entries; the remainder (all round-1-green) follows.
+# a20→a19, eav_melt+eav_pivot→eav_melt_pivot; r7: f09→f28, a15→p07 — freeing
+# two slots so the round-5/6 flagship operators BPE and the quality
+# classifier get their own hash-checked rows, per the r6 verdict's top
+# item), then the TPC-H shapes and the new medallion entries; the remainder
+# (all round-1-green) follows.
 ORDER: list[str] = [
     # -- previously outside the driver window -----------------------------
     "eav_melt_pivot",
     "u01_geo_enrich",
-    "a15_census",
-    "f09_epoch_roundtrip",
     "f28_json_extract",
     "a17_order_banding",
     "j10_asof_join",
@@ -66,6 +67,8 @@ ORDER: list[str] = [
     "a11_kth_from_series",
     "f24_overlay_rows",
     "txt_profile",
+    "txt_bpe",
+    "txt_quality_clf",
     "dedup_semantic",
     "dedup_signatures",
     "dedup_survivors",

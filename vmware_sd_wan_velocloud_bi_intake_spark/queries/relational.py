@@ -69,15 +69,25 @@ GROUP BY l_returnflag, l_linestatus
 
 
 # --------------------------------------------------------------------------
-# P7/F2/A16 + O4/T5: edge-attribute projection — regex name validation +
-# banding — carrying the deterministic hash-bucket sample gate as columns
+# P7/F2/A16 + O4/T5 + A15: edge-attribute projection — regex name validation
+# + banding — carrying the deterministic hash-bucket sample gate as columns
 # (the reference's probabilistic 1-in-10 refresh, powerbi_main_fun.py:271-272,
 # :629-631, restated as a stable content hash; checking the bucket over ALL
 # rows is strictly stronger than checking the sampled subset).
-# Consolidates the former o04_hash_sample entry.
+# Consolidates the former o04_hash_sample entry and (r7) the former
+# a15_census vehicle (reference inventory_sla.py:110-140): the three census
+# scalars ride every row as broadcast constants — a 1-row broadcast
+# nested-loop join, so the per-row projection stays one scan.
 # --------------------------------------------------------------------------
 def p07_edge_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    census = cust.agg(F.count("*").alias("n_customers")).crossJoin(
+        orders.agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers_with_orders"),
+        )
+    )
     bucket = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
     return cust.select(
         F.col("c_custkey"),
@@ -89,7 +99,7 @@ def p07_edge_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_acctbal") > 0, 1).otherwise(0).alias("is_positive_bal"),
         bucket.alias("sample_bucket"),
         bucket.isin("0", "1").alias("in_refresh_sample"),
-    )
+    ).crossJoin(F.broadcast(census))
 
 
 P07_ORACLE = """
@@ -104,7 +114,10 @@ SELECT
        ELSE 'high' END AS acctbal_band,
   CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS is_positive_bal,
   substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) AS sample_bucket,
-  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0', '1') AS in_refresh_sample
+  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0', '1') AS in_refresh_sample,
+  (SELECT COUNT(*) FROM customer) AS n_customers,
+  (SELECT COUNT(*) FROM orders) AS n_orders,
+  (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_customers_with_orders
 FROM customer
 """
 
@@ -463,8 +476,9 @@ QUERIES: dict[str, Q] = {
     "p07_edge_attributes": Q(
         p07_edge_attributes,
         P07_ORACLE,
-        ("P7", "F2", "A16", "O4", "T5", "O3"),
-        "attribute projection: regex validation, banding, hash-sample gate",
+        ("P7", "F2", "A16", "O4", "T5", "O3", "A15"),
+        "attribute projection: regex validation, banding, hash-sample gate, "
+        "broadcast census constants",
     ),
     "a06_customer_rollup": Q(
         a06_customer_rollup,

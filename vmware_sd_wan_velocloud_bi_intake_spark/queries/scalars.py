@@ -14,58 +14,30 @@ from .base import Q
 
 
 # --------------------------------------------------------------------------
-# F9/F7 + O1/O2: epoch-ms round trip + ISO formatting over a DETERMINISTIC
-# ordered limit — the reference's maxSamples row cap (powerbi_main_fun.py:
-# 1908, Functions/vco_calls.py:283) as orderBy+limit (TakeOrdered: per-
-# partition top-k, no full sort). Consolidates the former o02_ordered_limit
-# entry (per VERDICT round 1: fold into existing multi-op queries).
-# Reference: epoch conversions powerbi_main_fun.py:1700-1706; ISO parse :848.
-# --------------------------------------------------------------------------
-def f09_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").orderBy("event_id").limit(100)
-    iso = F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-    return ev.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.unix_millis(F.col("ts")).alias("ts_ms"),
-        iso.alias("ts_iso"),
-        F.unix_millis(
-            F.to_timestamp(iso, "yyyy-MM-dd HH:mm:ss.SSSSSS")
-        ).alias("ts_ms_roundtrip"),
-    )
-
-
-F09_ORACLE = """
-SELECT
-  event_id,
-  event_type,
-  value,
-  epoch_ms(ts) AS ts_ms,
-  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_iso,
-  epoch_ms(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '%Y-%m-%d %H:%M:%S.%f'))
-    AS ts_ms_roundtrip
-FROM events
-ORDER BY event_id
-LIMIT 100
-"""
-
-
-# --------------------------------------------------------------------------
-# F28/F18 + W6/S4: JSON path extraction + typed coercion from the props
-# column, with the fixed-historical-window measures alongside (the Dec-2019-
-# style pinned interval, powerbi_main_fun.py:543-545, as FILTER aggregates
-# over the same event_type grain). Consolidates the former w06_fixed_window
-# entry (per VERDICT round 1: fold into existing multi-op queries).
+# F28/F18 + W6/S4 + F7-F9/O1/O2: JSON path extraction + typed coercion from
+# the props column, with the fixed-historical-window measures alongside (the
+# Dec-2019-style pinned interval, powerbi_main_fun.py:543-545, as FILTER
+# aggregates over the same event_type grain). Consolidates the former
+# w06_fixed_window entry AND (r7) the former f09_epoch_roundtrip vehicle:
+# the input is the deterministic first-5000-events slice (TakeOrdered:
+# per-partition top-k, no full sort — the reference's maxSamples row cap,
+# powerbi_main_fun.py:1908, Functions/vco_calls.py:283), and the epoch-ms /
+# ISO round-trip conversions (powerbi_main_fun.py:1700-1706, :848)
+# aggregate per group, so one hash covers both conversion directions —
+# any lossy format/parse step skews sum_ts_ms_rt off sum_ts_ms.
 # Reference: dict-key chains into module data powerbi_main_fun.py:1988-1990;
 # bool/typed coercion Functions/helpers.py:39-92.
 # --------------------------------------------------------------------------
 def f28_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id").limit(5000)
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     lo = F.to_timestamp(F.lit("2024-01-05 00:00:00"))
     hi = F.to_timestamp(F.lit("2024-01-12 00:00:00"))
     in_window = (F.col("ts") >= lo) & (F.col("ts") < hi)
+    iso = F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    rt_ms = F.unix_millis(
+        F.to_timestamp(iso, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    )
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
         F.count(k).alias("n_k"),
@@ -75,6 +47,8 @@ def f28_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(in_window, dec("value")))
         .cast("double")
         .alias("sum_value_window"),
+        F.sum(F.unix_millis(F.col("ts"))).alias("sum_ts_ms"),
+        F.sum(rt_ms).alias("sum_ts_ms_rt"),
     )
 
 
@@ -91,8 +65,11 @@ SELECT
     AS n_events_window,
   CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-05 00:00:00'
                  AND ts < TIMESTAMP '2024-01-12 00:00:00'
-                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value_window
-FROM events
+                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value_window,
+  CAST(SUM(epoch_ms(ts)) AS BIGINT) AS sum_ts_ms,
+  CAST(SUM(epoch_ms(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'),
+                             '%Y-%m-%d %H:%M:%S.%f'))) AS BIGINT) AS sum_ts_ms_rt
+FROM (SELECT * FROM events ORDER BY event_id LIMIT 5000)
 GROUP BY event_type
 """
 
@@ -225,27 +202,10 @@ GROUP BY region
 """
 
 
-# --------------------------------------------------------------------------
-# A15: distinct-entity census (the reference's SLA audit).
-# Reference: inventory_sla.py:110-140.
-# --------------------------------------------------------------------------
-def a15_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    c = cust.agg(F.count("*").alias("n_customers"))
-    o = orders.agg(
-        F.count("*").alias("n_orders"),
-        F.countDistinct("o_custkey").alias("n_customers_with_orders"),
-    )
-    return c.crossJoin(o)
-
-
-A15_ORACLE = """
-SELECT
-  (SELECT COUNT(*) FROM customer) AS n_customers,
-  (SELECT COUNT(*) FROM orders) AS n_orders,
-  (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_customers_with_orders
-"""
+# NOTE (r7): the former a15_census vehicle (A15 distinct-entity census,
+# reference inventory_sla.py:110-140) folded into relational.p07_edge_
+# attributes — the census rides that vehicle as broadcast constant columns,
+# freeing a driver-window slot for the txt_bpe entry.
 
 
 QUERIES: dict[str, Q] = {
@@ -261,17 +221,11 @@ QUERIES: dict[str, Q] = {
         ("U1", "U2", "J9", "T7"),
         "external-enrichment mapInPandas with cache + rate limiter",
     ),
-    "a15_census": Q(a15_census, A15_ORACLE, ("A15",), "distinct-entity census audit"),
-    "f09_epoch_roundtrip": Q(
-        f09_epoch_roundtrip,
-        F09_ORACLE,
-        ("F7", "F8", "F9", "O1", "O2"),
-        "deterministic ordered limit + epoch-ms / ISO round-trips",
-    ),
     "f28_json_extract": Q(
         f28_json_extract,
         F28_ORACLE,
-        ("F28", "F18", "F19", "W6", "S4"),
-        "JSON extraction + typed coercion + fixed-window measures",
+        ("F28", "F18", "F19", "W6", "S4", "F7", "F8", "F9", "O1", "O2"),
+        "JSON extraction + typed coercion + fixed-window measures over the "
+        "ordered-limit slice, with epoch/ISO round-trip sums",
     ),
 }

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup, similarity, text
+from ..operators import bpe, classifier, dedup, similarity, spans, text
 from ..sources.tables import load_table
 from .base import Q
 
@@ -756,8 +756,16 @@ WHERE a.vec_id NOT IN (SELECT vec_id FROM losers)
 # End-to-end dedup application (beyond-ref): the survivor set after exact
 # dedup (keep lowest doc_id per content digest) AND near-dup removal (drop
 # the higher id of every verified Jaccard pair) — what a training-data
-# pipeline actually ships downstream.
+# pipeline actually ships downstream. Round 7 additionally carries the
+# PASSAGE-grain pass on every survivor (operators.spans, the ExactSubstr
+# k-gram dedup): duplicated-span count, tokens cut, and the LENGTH of the
+# span-cleaned rebuilt text — hash-verifying duplicate_spans AND the
+# remove_duplicate_spans gap-slice rebuild every round (the r6 verdict's
+# top item: the flagship span operator had no CORRECTNESS row).
 # --------------------------------------------------------------------------
+_SPAN_K = 10
+
+
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Carries the FULL exact-phase output (dedup_key, dup_count) on every
     # survivor — this vehicle hash-verifies operators.dedup.exact_dedup_keys
@@ -773,12 +781,31 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", threshold=0.4, num_hashes=4, bands=2, shingle_n=3
     )
     near_losers = near.select(F.col("doc_b").alias("doc_id")).distinct()
-    return exact_keep.join(near_losers, "doc_id", "left_anti").select(
-        "doc_id", "dedup_key", "dup_count"
+    surv = exact_keep.join(near_losers, "doc_id", "left_anti")
+    # span pass over the WHOLE corpus (owner election is corpus-wide — a
+    # survivor's passage may be owned by a dropped doc). ONE call carries
+    # stats AND the rebuilt text (keep_span_stats — the stats ride the
+    # rebuild's own per-doc aggregation); a separate duplicate_spans
+    # branch would re-run the whole shingle pipeline per consumer
+    clean = spans.remove_duplicate_spans(
+        docs, "doc_id", "text", k=_SPAN_K, keep_span_stats=True
+    ).select(
+        "doc_id",
+        F.length("text").alias("clean_len"),
+        "n_dup_spans",
+        "span_tokens_cut",
+    )
+    return surv.join(clean, "doc_id", "left").select(
+        "doc_id",
+        "dedup_key",
+        "dup_count",
+        "n_dup_spans",
+        "span_tokens_cut",
+        "clean_len",
     )
 
 
-DEDUP_SURVIVORS_ORACLE = r"""
+DEDUP_SURVIVORS_ORACLE_TMPL = r"""
 WITH norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
   FROM documents
@@ -821,9 +848,262 @@ WITH norm AS (
   WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
         / len(list_distinct(list_concat(x.sl, y.sl))) >= 0.4
 )
-SELECT doc_id, dedup_key, dup_count FROM exact_keep
-WHERE doc_id NOT IN (SELECT doc_id FROM near_losers)
+, sptoks AS MATERIALIZED (
+  -- passage pass: raw \S+ tokens (training text keeps casing), k-gram
+  -- spans at string grain (the engine's xxhash64 is collision-free here;
+  -- tests/test_spans.py pins the md5 path equal)
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS t
+  FROM documents
+), spsh AS MATERIALIZED (
+  SELECT doc_id, u.i - 1 AS pos,
+         array_to_string(t[u.i : u.i + {K} - 1], ' ') AS s
+  FROM sptoks, UNNEST(range(1, greatest(len(t) - {K} + 2, 1))) AS u(i)
+), spranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY s) AS c
+  FROM spsh
+), spmark AS (
+  SELECT doc_id, pos, pos + {K} AS e FROM spranked WHERE c > 1 AND rn > 1
+), spflag AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM spmark
+), spislands AS (
+  SELECT doc_id, pos, e,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM spflag
+), spans AS MATERIALIZED (
+  SELECT doc_id, min(pos) AS start_tok, max(e) AS end_tok
+  FROM spislands GROUP BY doc_id, isl
+), spagg AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans,
+         CAST(SUM(end_tok - start_tok) AS BIGINT) AS span_tokens_cut
+  FROM spans GROUP BY doc_id
+), spkept AS (
+  -- surviving tokens of span-carrying docs; rebuilt text is the
+  -- single-space join, so its length = kept chars + (kept - 1)
+  SELECT tk.doc_id, SUM(length(tk.tok)) AS keptchars, COUNT(*) AS nkept
+  FROM (SELECT doc_id, t[u.i] AS tok, u.i - 1 AS p
+        FROM sptoks, UNNEST(range(1, len(t) + 1)) AS u(i)) tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tk.doc_id AND tk.p >= s.start_tok AND tk.p < s.end_tok)
+  GROUP BY tk.doc_id
+)
+SELECT ek.doc_id, ek.dedup_key, ek.dup_count,
+       COALESCE(sa.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(sa.span_tokens_cut, 0) AS span_tokens_cut,
+       CASE WHEN sa.doc_id IS NULL THEN length(d.text)
+            ELSE CAST(COALESCE(sk.keptchars + sk.nkept - 1, 0) AS BIGINT)
+       END AS clean_len
+FROM exact_keep ek
+JOIN documents d ON d.doc_id = ek.doc_id
+LEFT JOIN spagg sa ON sa.doc_id = ek.doc_id
+LEFT JOIN spkept sk ON sk.doc_id = ek.doc_id
+WHERE ek.doc_id NOT IN (SELECT doc_id FROM near_losers)
 """
+
+DEDUP_SURVIVORS_ORACLE = DEDUP_SURVIVORS_ORACLE_TMPL.format(K=_SPAN_K)
+
+
+# --------------------------------------------------------------------------
+# Distributed BPE train + encode (beyond-ref; Sennrich et al. 2016): train
+# the merge table on the corpus, then encode the corpus with it. Output
+# grain = merge rank (left/right/pair_count per learned merge), with the
+# corpus-wide encode totals as constant columns so ONE hash covers both the
+# trainer's argmax trajectory and the encoder's token stream. The DuckDB
+# oracle replays training as UNROLLED per-merge CTEs (the Lloyd-replay
+# discipline): vocab state rides as a chr(31)-delimited symbol string where
+# one merge sweep is exactly SQL replace() — left-to-right, non-overlapping,
+# whole-symbol-anchored via doubled separators (pattern ␟l␟␟r␟ → ␟lr␟ can
+# only match symbol-aligned pairs, and the replacement's shared boundary
+# halves keep consecutive merges matchable). Encode totals come from the
+# final vocab (Σ freq·|syms|): a later merge can never create an
+# earlier-rank pair (any pair containing a rank-i token has rank > i), so
+# the canonical lowest-rank-first encode equals the training-order sweep
+# replay for every in-corpus word — making the trainer's final state the
+# oracle for the encoder.
+# --------------------------------------------------------------------------
+_BPE_MERGES = 8  # each merge is one argmax job (the driver-loop floor,
+# ~0.3 s/job regardless of sf); 8 unrolled oracle iterations still gate
+# the full trainer trajectory + the encode totals
+_BPE_MIN_COUNT = 2
+
+
+def txt_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(
+        docs, num_merges=_BPE_MERGES, min_count=_BPE_MIN_COUNT
+    )
+    enc = bpe.bpe_encode(docs, merges)
+    stats = enc.agg(
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+    return merges.select(
+        "rank",
+        F.col("left").alias("lhs"),  # lhs/rhs: `left` breaks bare SQL SELECTs
+        F.col("right").alias("rhs"),
+        "pair_count",
+    ).crossJoin(F.broadcast(stats))
+
+
+def _bpe_oracle(num_merges: int, min_count: int) -> str:
+    """Unrolled BPE-training replay (see the vehicle comment for why
+    replace() on the doubled-separator string IS the merge pass)."""
+    sep = "chr(31)"
+    steps, merge_selects = [], []
+    prev = "s0"
+    for i in range(num_merges):
+        nxt = f"s{i + 1}"
+        steps.append(f"""sy{i} AS MATERIALIZED (
+  SELECT freq, string_split(s, {sep}||{sep}) AS a FROM {prev}
+), pc{i} AS MATERIALIZED (
+  SELECT a[t.j+1] AS l, a[t.j+2] AS r, SUM(freq) AS cnt
+  FROM sy{i}, LATERAL (SELECT unnest(generate_series(1, len(a)-3)) AS j) t
+  GROUP BY 1, 2
+), b{i} AS MATERIALIZED (
+  SELECT l, r, cnt FROM pc{i} WHERE cnt >= {min_count}
+  ORDER BY cnt DESC, l, r LIMIT 1
+), {nxt} AS MATERIALIZED (
+  SELECT freq,
+    CASE WHEN (SELECT COUNT(*) FROM b{i}) = 0 THEN s
+    ELSE replace(s,
+      {sep}||(SELECT l FROM b{i})||{sep}||{sep}||(SELECT r FROM b{i})||{sep},
+      {sep}||(SELECT l FROM b{i})||(SELECT r FROM b{i})||{sep})
+    END AS s
+  FROM {prev}
+)""")
+        merge_selects.append(
+            f"SELECT {i} AS rank, l AS lhs, r AS rhs, "
+            f"CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        )
+        prev = nxt
+    return f"""
+WITH dn AS MATERIALIZED (
+  SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents
+), wf AS MATERIALIZED (
+  SELECT w.word, COUNT(*) AS freq
+  FROM dn, LATERAL (SELECT unnest(string_split(t, ' ')) AS word) w
+  WHERE length(w.word) > 0
+  GROUP BY w.word
+), s0 AS MATERIALIZED (
+  SELECT freq,
+    {sep}||{sep}||
+      array_to_string(
+        list_append(
+          list_transform(generate_series(1, length(word)),
+                         i -> substr(word, i, 1)),
+          '</w>'),
+        {sep}||{sep})
+    ||{sep}||{sep} AS s
+  FROM wf
+), {", ".join(steps)}, merges AS (
+  {" UNION ALL ".join(merge_selects)}
+), enc AS (
+  SELECT CAST(SUM(freq * (len(string_split(s, {sep}||{sep})) - 2)) AS BIGINT)
+    AS total_bpe_tokens
+  FROM {prev}
+), nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT m.rank, m.lhs, m.rhs, m.pair_count, e.total_bpe_tokens, d.n_docs
+FROM merges m CROSS JOIN enc e CROSS JOIN nd d
+"""
+
+
+TXT_BPE_ORACLE = _bpe_oracle(_BPE_MERGES, _BPE_MIN_COUNT)
+
+
+# --------------------------------------------------------------------------
+# Provenance-labeled quality classifier (beyond-ref; the CCNet/GPT-3 quality
+# filter): featurize every document with the 5 scale-free text statistics,
+# label by source provenance, train logistic regression with quantized
+# full-batch GD (gradients AND the weight update round to 1e-6 each step —
+# the train_centroids discipline, so training is a deterministic function of
+# the input bytes), then score the corpus with the learned weights. The
+# oracle replays every GD step as unrolled CTEs; ulp-level exp()/avg
+# differences between engines sit ~1e-10 below the rounding quantum.
+# --------------------------------------------------------------------------
+_CLF_ITERS = 8  # full replay in the oracle; 8 quantized steps keep the
+# vehicle ~3 s at sf0.1 (each step is one global aggregation job) while
+# still gating every feature and the whole GD trajectory
+_CLF_LR = 2.0
+_CLF_RD = 6  # rounding quantum for the cross-engine GD replay
+_CLF_POS_PATTERN = "^src1[0-9]$"  # deterministic provenance split
+
+
+def txt_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        classifier.text_features(F.col("text")).alias("features"),
+        F.col("source").rlike(_CLF_POS_PATTERN).cast("int").alias("label"),
+    )
+    w, b = classifier.train_logreg(
+        feat, iters=_CLF_ITERS, lr=_CLF_LR, round_decimals=_CLF_RD
+    )
+    return classifier.score_logreg(feat, w, b).select(
+        "doc_id",
+        F.col("label").cast("long").alias("label"),
+        F.round("p_quality", 6).alias("p_quality_r6"),
+    )
+
+
+def _clf_oracle(iters: int, lr: float, rd: int) -> str:
+    """Unrolled quantized-GD replay: features mirror
+    operators.classifier.text_features term for term (token count as \\S+
+    runs, punct density over raw length, en-stopword ratio, duplicate-token
+    fraction over the normalized split, mean token length / 10)."""
+    feat = r"""feat AS MATERIALIZED (
+  SELECT doc_id,
+    ln(1 + len(regexp_extract_all(coalesce(text, ''), '\S+'))) / 10.0 AS x1,
+    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+      / GREATEST(length(text), 1) AS x2,
+    CASE WHEN len(regexp_extract_all(coalesce(text, ''), '\S+')) = 0 THEN 0.0
+         ELSE CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE)
+              / len(regexp_extract_all(coalesce(text, ''), '\S+')) END AS x3,
+    (len(w) - len(list_distinct(w)))::DOUBLE / len(w) AS x4,
+    (CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      / GREATEST(len(regexp_extract_all(coalesce(text, ''), '\S+')), 1)) / 10.0 AS x5,
+    CAST(source SIMILAR TO 'src1[0-9]' AS INT)::DOUBLE AS y
+  FROM (SELECT *, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents)
+)"""
+    steps = []
+    prev = "w0"
+    for i in range(iters):
+        g, nxt = f"g{i}", f"w{i + 1}"
+        steps.append(f"""{g} AS MATERIALIZED (
+  SELECT ROUND(AVG(r * x1), {rd}) AS g1, ROUND(AVG(r * x2), {rd}) AS g2,
+         ROUND(AVG(r * x3), {rd}) AS g3, ROUND(AVG(r * x4), {rd}) AS g4,
+         ROUND(AVG(r * x5), {rd}) AS g5, ROUND(AVG(r), {rd}) AS gb
+  FROM (
+    SELECT f.*, 1.0/(1.0 + exp(-(w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3
+                                 + w.w4*f.x4 + w.w5*f.x5 + w.b))) - f.y AS r
+    FROM feat f CROSS JOIN {prev} w
+  )
+), {nxt} AS MATERIALIZED (
+  SELECT ROUND(w.w1 - {lr}*g.g1, {rd}) AS w1, ROUND(w.w2 - {lr}*g.g2, {rd}) AS w2,
+         ROUND(w.w3 - {lr}*g.g3, {rd}) AS w3, ROUND(w.w4 - {lr}*g.g4, {rd}) AS w4,
+         ROUND(w.w5 - {lr}*g.g5, {rd}) AS w5, ROUND(w.b - {lr}*g.gb, {rd}) AS b
+  FROM {prev} w CROSS JOIN {g} g
+)""")
+        prev = nxt
+    return f"""
+WITH {feat},
+w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4, 0.0 AS w5, 0.0 AS b),
+{", ".join(steps)}
+SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
+  ROUND(1.0/(1.0 + exp(-(w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3
+                          + w.w4*f.x4 + w.w5*f.x5 + w.b))), 6) AS p_quality_r6
+FROM feat f CROSS JOIN {prev} w
+"""
+
+
+TXT_CLF_ORACLE = _clf_oracle(_CLF_ITERS, _CLF_LR, _CLF_RD)
 
 
 # NOTE: the SRP-LSH ANN path (operators/similarity.ann_lsh_topk, 12-band
@@ -849,8 +1129,22 @@ QUERIES: dict[str, Q] = {
         dedup_survivors,
         DEDUP_SURVIVORS_ORACLE,
         ("beyond:dedup", "S9"),
-        "survivor set after exact + LSH/Jaccard near-dup removal "
-        "(oracle replicates both phases end to end)",
+        "survivor set after exact + LSH/Jaccard near-dup removal, carrying "
+        "the passage-grain span-dedup stats + cleaned-text length",
+    ),
+    "txt_bpe": Q(
+        txt_bpe,
+        TXT_BPE_ORACLE,
+        ("beyond:text",),
+        "distributed BPE: merge-table training + corpus encode totals "
+        "(oracle replays every merge as unrolled CTEs)",
+    ),
+    "txt_quality_clf": Q(
+        txt_quality_clf,
+        TXT_CLF_ORACLE,
+        ("beyond:text",),
+        "provenance-labeled logreg quality classifier: quantized-GD "
+        "training replayed step-for-step by the oracle, corpus scored",
     ),
     "dedup_incremental": Q(
         dedup_incremental,

@@ -133,8 +133,18 @@ DEDUP_OUTPUT_SCHEMA = T.StructType(
 def exact_dedup_state_func(key, pdfs: Iterator["pd.DataFrame"], state):
     """Per-fingerprint dedup state: fold the batch's arrivals into
     (min keep_id, cumulative dup_count) and emit the updated row."""
+    yield from _dedup_fold(key, pdfs, state, ttl_ms=None)
+
+
+def _dedup_fold(key, pdfs, state, ttl_ms):
     import pandas as pd
 
+    if getattr(state, "hasTimedOut", False):
+        # watermark passed last-arrival + TTL: evict. A later duplicate of
+        # this fingerprint re-enters as a fresh original — the documented
+        # recall trade-off of bounding the store.
+        state.remove()
+        return
     rows = pd.concat(list(pdfs), ignore_index=True)
     ids = rows["doc_id"].dropna()
     if ids.empty:
@@ -152,13 +162,51 @@ def exact_dedup_state_func(key, pdfs: Iterator["pd.DataFrame"], state):
     else:
         keep, cnt = batch_min, n
     state.update((keep, cnt))
+    if ttl_ms is not None:
+        last_ms = int(rows["ts"].max().timestamp() * 1000)
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
     yield pd.DataFrame(
         {"dedup_key": [key[0]], "keep_id": [keep], "dup_count": [cnt]}
     )
 
 
+def make_ttl_dedup_state_func(ttl_ms: int):
+    """Event-time-TTL variant of :func:`exact_dedup_state_func` — a named
+    factory (no loop-variable lambda capture) whose closure holds only the
+    immutable TTL scalar."""
+
+    def fn(key, pdfs, state):
+        yield from _dedup_fold(key, pdfs, state, ttl_ms=ttl_ms)
+
+    return fn
+
+
+_DURATION_UNITS_MS = {
+    "second": 1_000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def _duration_ms(spec: str) -> int:
+    try:
+        n, unit = spec.split()
+        return int(n) * _DURATION_UNITS_MS[unit.rstrip("s")]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"bad duration {spec!r}: expected '<n> seconds|minutes|hours|days'"
+        ) from None
+
+
 def streaming_exact_dedup(
-    docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    state_ttl: str = "30 days",
 ) -> DataFrame:
     """Cross-micro-batch exact dedup over a document stream — the stateful
     completion of ``jobs.streaming_curate_documents``'s per-run
@@ -176,24 +224,45 @@ def streaming_exact_dedup(
     equals the batch twin exactly (tested with a kill/restart in
     tests/test_stateful_streaming.py).
 
-    Scale: one digest-keyed shuffle per trigger — identical partitioning
-    to the batch groupBy; state is O(distinct corpus) like any streaming
-    dedup (bound it upstream by partitioning the corpus into keyspace
-    shards if the fingerprint universe outgrows the store).
+    Scale / state bound: without ``ts_col`` the state is O(distinct
+    corpus) and never evicts — correct, but at a 100 TB-stream horizon the
+    store grows with every distinct document forever. Pass the stream's
+    event-time column as ``ts_col`` to bound it: the input is watermarked
+    (``watermark`` lateness) and each fingerprint schedules an event-time
+    timeout at its last arrival + ``state_ttl`` — once the watermark
+    passes that, the state row is evicted (the streaming_event_dedup
+    watermark discipline applied to the fingerprint store). Trade-off,
+    explicit: a duplicate arriving more than ``state_ttl`` of event time
+    after its fingerprint's last sighting re-enters as a fresh original
+    (its keep_id restarts, its earlier dup_count is frozen in the sink) —
+    the recall loss every TTL'd dedup accepts. For exact-forever
+    semantics shard the keyspace upstream instead and keep NoTimeout.
     """
     from ..operators.text import normalize_text
     from pyspark.sql import functions as F
 
-    keyed = docs.select(
+    cols = [
         F.col(doc_id).cast("long").alias("doc_id"),
         F.md5(normalize_text(F.col(text_col))).alias("dedup_key"),
+    ]
+    if ts_col is None:
+        keyed = docs.select(*cols)
+        return keyed.groupBy("dedup_key").applyInPandasWithState(
+            exact_dedup_state_func,
+            outputStructType=DEDUP_OUTPUT_SCHEMA,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    keyed = docs.withWatermark(ts_col, watermark).select(
+        *cols, F.col(ts_col).alias("ts")
     )
     return keyed.groupBy("dedup_key").applyInPandasWithState(
-        exact_dedup_state_func,
+        make_ttl_dedup_state_func(_duration_ms(state_ttl)),
         outputStructType=DEDUP_OUTPUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf="NoTimeout",
+        timeoutConf="EventTimeTimeout",
     )
 
 
