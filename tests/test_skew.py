@@ -3,6 +3,8 @@ salting changes the physical distribution, never the answer."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from vmware_sd_wan_velocloud_bi_intake_spark.operators.skew import (
@@ -60,3 +62,36 @@ def test_salted_broadcast_join_matches_plain(spark):
         "key", "id", "label"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_sum_validates_merge_dispatch(spark):
+    """A max aggregate without the _max suffix would re-merge partial
+    maxima by SUM — plausible numbers, wrong answer. The r7 guard turns
+    all three mis-dispatch shapes into loud errors and keeps the tagged
+    forms working."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.skew import salted_sum
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") % 13).alias("v")
+    )
+    with pytest.raises(ValueError, match="_max suffix"):
+        salted_sum(df, "k", {"v_top": F.max("v")})
+    with pytest.raises(ValueError, match="not\\s+algebraic"):
+        salted_sum(df, "k", {"v_avg": F.avg("v")})
+    with pytest.raises(ValueError, match="selects a min re-merge"):
+        salted_sum(df, "k", {"v_min": F.max("v")})
+    got = {
+        r["k"]: (r["v_max"], r["n_count"], r["v_sum"])
+        for r in salted_sum(
+            df,
+            "k",
+            {"v_max": F.max("v"), "n_count": F.count("*"), "v_sum": F.sum("v")},
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["v_max"], r["n_count"], r["v_sum"])
+        for r in df.groupBy("k")
+        .agg(F.max("v").alias("v_max"), F.count("*").alias("n_count"), F.sum("v").alias("v_sum"))
+        .collect()
+    }
+    assert got == want

@@ -42,7 +42,15 @@ def salted_sum(
     Phase 1 groups by (key, salt) with map-side combine; phase 2 merges the
     ``n_salts`` partials per key. The extra shuffle is tiny (n_keys × salts
     rows) and the hot key's reduce work spreads across ``n_salts`` tasks.
+
+    Merge dispatch is VALIDATED against each expression's head aggregate
+    (r7): a ``F.max(...)`` under a name without the ``_max`` suffix would
+    silently re-merge partial maxima by SUM — plausible numbers, wrong
+    answer — so a suffix/expression mismatch or a non-algebraic head
+    (avg, countDistinct, …) raises instead.
     """
+    import re
+
     salt = salt_col(n_salts, salt_from or key)
     partial = (
         df.withColumn("__salt", salt)
@@ -56,15 +64,40 @@ def salted_sum(
         "max": F.max,
     }
 
-    def merge(name: str) -> Column:
+    def merge(name: str, expr: Column) -> Column:
         # callers tag the merge op in the agg name suffix if not a sum;
         # default merge is sum (covers sum + count)
-        for op, fn in remerge.items():
-            if name.endswith(f"_{op}"):
-                return fn(name).alias(name)
-        return F.sum(name).alias(name)
+        tagged = next(
+            (op for op in remerge if name.endswith(f"_{op}")), None
+        )
+        txt = str(expr).replace("Column<'", "").rstrip("'>")
+        # unwrap CAST(...)/TRY_CAST(...) shells around the aggregate
+        head = re.match(r"(?i)^(?:(?:try_)?cast\()*\s*(\w+)\(", txt)
+        head_op = head.group(1).lower() if head else None
+        if head_op == "cast":
+            head_op = None  # nested/odd shapes: stay permissive, as before
+        if head_op in remerge and tagged not in (None, head_op):
+            raise ValueError(
+                f"salted_sum: {name!r} is a {head_op} aggregate but its "
+                f"_{tagged} suffix selects a {tagged} re-merge"
+            )
+        if head_op in ("min", "max") and tagged is None:
+            raise ValueError(
+                f"salted_sum: {name!r} is a {head_op} aggregate — name it "
+                f"with the _{head_op} suffix or the partials re-merge by "
+                "sum (silently wrong)"
+            )
+        if head_op is not None and head_op not in remerge:
+            raise ValueError(
+                f"salted_sum: {name!r} head aggregate {head_op!r} is not "
+                "algebraic under salting (sum/count/min/max only) — its "
+                "per-salt partials cannot be re-merged correctly"
+            )
+        return remerge[tagged or "sum"](name).alias(name)
 
-    return partial.groupBy(key).agg(*[merge(n) for n in value_aggs])
+    return partial.groupBy(key).agg(
+        *[merge(n, e) for n, e in value_aggs.items()]
+    )
 
 
 def salted_broadcast_join(

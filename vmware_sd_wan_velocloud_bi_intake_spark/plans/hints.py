@@ -149,7 +149,14 @@ def routed_sum(
 ) -> DataFrame:
     """groupBy(key).agg(...) that self-routes through the salted two-phase
     form when the key profile shows a heavy hitter. Same result either
-    way (salted_sum's contract); the profile only picks the plan."""
+    way (salted_sum's contract); the profile only picks the plan.
+
+    Inherits salted_sum's merge-naming convention: aggregates must be
+    algebraic, and non-sum merges tag the output name suffix (``_min`` /
+    ``_max`` / ``_count``) so the phase-2 re-merge picks the right
+    combiner — a bare ``F.max(...)`` named without the suffix would be
+    re-merged by SUM on the salted route while the plain route returns
+    the true max."""
     parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if skew_decision(key_profile, key, parts, skew_factor):
         from ..operators.skew import salted_sum
