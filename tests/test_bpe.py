@@ -190,3 +190,23 @@ def test_checkpoint_cadence_does_not_change_training(spark, docs):
     assert a == b == c
     with pytest.raises(ValueError, match="checkpoint_every"):
         bpe.train_bpe(docs, num_merges=2, checkpoint_every=0)
+
+
+def test_bpe_artifact_roundtrip(spark, docs, tmp_path):
+    """save_bpe → load_bpe must reproduce the merge table exactly, and a
+    reloaded tokenizer must encode identically to the in-memory one
+    (the artifact IS the tokenizer — crash-safe atomic write)."""
+    merges = bpe.train_bpe(docs, num_merges=6)
+    p = str(tmp_path / "tok" / "merges.json")
+    bpe.save_bpe(merges, p)
+    back = bpe.load_bpe(spark, p)
+    assert sorted(map(tuple, merges.collect())) == sorted(map(tuple, back.collect()))
+    a = {r["doc_id"]: r["tokens"] for r in bpe.bpe_encode(docs, merges).collect()}
+    b = {r["doc_id"]: r["tokens"] for r in bpe.bpe_encode(docs, back).collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="bpe-merges/v1"):
+        import json
+        bad = str(tmp_path / "bad.json")
+        with open(bad, "w") as f:
+            json.dump({"format": "other"}, f)
+        bpe.load_bpe(spark, bad)

@@ -100,3 +100,12 @@ def test_scoring_is_narrow(spark, sf_smoke):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "pythonUDF" not in plan.lower()
+
+
+def test_logreg_artifact_roundtrip(spark, tmp_path):
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import classifier
+
+    p = str(tmp_path / "m" / "quality.json")
+    classifier.save_logreg([0.1, -0.25, 3.5], -1.75, p)
+    w, b = classifier.load_logreg(p)
+    assert w == [0.1, -0.25, 3.5] and b == -1.75

@@ -259,3 +259,36 @@ def test_many_disjoint_spans_rebuild_exact(spark):
     assert out[0] == rows[0][1]
     for i in range(40):
         assert out[i + 1] == f"solo{i}x solo{i}y"
+
+
+def test_precomputed_spans_df_matches_internal_path(spark):
+    """The spans_df fast path must be byte-identical to letting
+    remove_duplicate_spans derive the spans itself."""
+    passage = " ".join(f"shared{i}" for i in range(8))
+    rows = [
+        (1, f"alpha {passage} omega"),
+        (2, f"beta {passage} gamma delta"),
+        (3, "nothing duplicated here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sp = spans.duplicate_spans(df, "doc_id", "text", k=4)
+    a = sorted(
+        map(tuple, spans.remove_duplicate_spans(df, "doc_id", "text", k=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            spans.remove_duplicate_spans(
+                df, "doc_id", "text", k=4, spans_df=sp
+            ).collect(),
+        )
+    )
+    assert a == b
+    stats = {
+        r["doc_id"]: (r["n_dup_spans"], r["span_tokens_cut"])
+        for r in spans.remove_duplicate_spans(
+            df, "doc_id", "text", k=4, keep_span_stats=True
+        ).collect()
+    }
+    assert stats[3] == (0, 0)
+    assert stats[2][0] >= 1 and stats[2][1] >= 8

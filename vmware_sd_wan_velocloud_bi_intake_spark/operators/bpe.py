@@ -251,3 +251,62 @@ def bpe_encode(
     return staged.mapInPandas(
         gen, schema="doc_id long, tokens array<string>, n_bpe_tokens long"
     )
+
+
+def save_bpe(merges: DataFrame, path: str) -> None:
+    """Persist a trained merge table as a portable JSON artifact.
+
+    The table is bounded by ``num_merges`` (driver-held already — the
+    trainer built it from collected argmax rows), so this is a driver-side
+    JSON dump, written atomically (tmp + rename, the engine's crash-safe
+    swap discipline) so a killed job never leaves a half tokenizer. The
+    format is engine-neutral: any runtime that applies ranked merges can
+    consume it.
+    """
+    import json
+    import os
+    import tempfile
+
+    rows = [
+        {
+            "rank": int(r["rank"]),
+            "left": r["left"],
+            "right": r["right"],
+            "pair_count": int(r["pair_count"]),
+        }
+        for r in merges.orderBy("rank").collect()
+    ]
+    payload = {"format": "bpe-merges/v1", "end_marker": END, "merges": rows}
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+
+
+def load_bpe(spark, path: str) -> DataFrame:
+    """Inverse of :func:`save_bpe` — returns the merge table with the
+    exact trainer schema, ready for :func:`bpe_encode`."""
+    import json
+
+    with open(path) as f:
+        payload = json.load(f)
+    if payload.get("format") != "bpe-merges/v1":
+        raise ValueError(f"not a bpe-merges/v1 artifact: {path}")
+    if payload.get("end_marker") != END:
+        raise ValueError(
+            f"artifact end marker {payload.get('end_marker')!r} != {END!r}"
+        )
+    rows = [
+        (int(r["rank"]), r["left"], r["right"], int(r["pair_count"]))
+        for r in payload["merges"]
+    ]
+    return spark.createDataFrame(
+        rows, "rank long, left string, right string, pair_count long"
+    )

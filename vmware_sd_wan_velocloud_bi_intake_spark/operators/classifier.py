@@ -166,3 +166,39 @@ def score_quality(
         out_col,
         sigmoid(_dot_lit(text_features(F.col(text_col)), weights, bias)),
     )
+
+
+def save_logreg(weights: list[float], bias: float, path: str) -> None:
+    """Persist trained classifier weights as a JSON artifact (atomic
+    tmp+rename). d+1 floats — the whole model is driver-held by design."""
+    import json
+    import os
+    import tempfile
+
+    payload = {
+        "format": "logreg/v1",
+        "weights": [float(w) for w in weights],
+        "bias": float(bias),
+    }
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+
+
+def load_logreg(path: str) -> tuple[list[float], float]:
+    """Inverse of :func:`save_logreg`."""
+    import json
+
+    with open(path) as f:
+        payload = json.load(f)
+    if payload.get("format") != "logreg/v1":
+        raise ValueError(f"not a logreg/v1 artifact: {path}")
+    return [float(w) for w in payload["weights"]], float(payload["bias"])

@@ -225,8 +225,18 @@ def remove_duplicate_spans(
     joined = df.join(
         per_doc, df[doc_id] == per_doc["doc_id"], "left"
     ).drop(per_doc["doc_id"])
-    sp = F.array_sort(F.col("_spans"))  # disjoint, so start_tok sorts them
-    toks = _tokens(text_col)
+    # stage the two heavy shared intermediates as real columns (the
+    # txt_profile staging rule): the token array (a regex extraction over
+    # the whole text) is consumed by every gap slice AND the tail slice
+    # AND the size() bound, and the sorted span array by the gap transform
+    # and the tail lookup — unstaged, Catalyst re-evaluates each per use
+    joined = joined.select(
+        "*",
+        _tokens(text_col).alias("_toks"),
+        F.array_sort(F.col("_spans")).alias("_sp"),  # disjoint → start_tok sorts
+    )
+    sp = F.col("_sp")
+    toks = F.col("_toks")
     # O(T+S) rebuild: the spans are disjoint and sorted, so the kept text
     # is exactly the GAPS between them — [prev.end, cur.start) per span
     # plus the tail after the last span. Each gap is one slice; flatten

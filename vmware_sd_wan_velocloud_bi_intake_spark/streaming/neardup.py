@@ -1,0 +1,151 @@
+"""Streaming near-duplicate ingest: the `near_dup_pairs_incremental`
+daily-ingest shape (operators/dedup.py) lifted onto Structured Streaming
+micro-batches via ``foreachBatch``.
+
+Each micro-batch is (1) exact-deduped and near-deduped WITHIN the batch
+(min-id survivor, the batch engine's rule), (2) near-dup-checked against
+the PERSISTED LSH index — an O(batch) bucket equi-join plus the
+writer-maintained summary for the degenerate-bucket cap, the corpus is
+never re-shingled — and (3) the novel survivors are appended to the
+survivors table while their band rows and per-bucket counts grow the
+index. Duplicate-of-corpus docs are dropped; first arrival wins across
+batches (within a batch, lowest id — so with ids monotone in arrival
+order the stream converges to exactly the batch run's survivor set,
+which is what the parity test pins).
+
+Idempotent under micro-batch REPLAY (the foreachBatch at-least-once
+reality): every write is a dynamic partition overwrite keyed by
+``_batch_id``, so a retried batch rewrites its own partitions
+byte-identically instead of appending twice. The summary is therefore
+stored as per-batch PARTS (counts are associative); readers aggregate the
+parts — a bounded table, one row per (batch, bucket) touched.
+
+Scale: per batch the work is O(|batch| × bucket-hit-rate) — the index
+side contributes precomputed rows through the bucket join (write it
+bucketed for an exchange-free corpus side at rest), and the summary keeps
+the viral-bucket cap O(|batch|). State lives in storage, not the state
+store: executors hold nothing between batches, so this composes with any
+cluster size and survives restarts through the checkpoint + the
+batch-id-keyed writes alone.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+
+
+def _summary(spark, parts_dir: str) -> DataFrame:
+    parts = spark.read.parquet(parts_dir)
+    return parts.groupBy("bucket").agg(
+        F.sum("n_members").cast("long").alias("n_members")
+    )
+
+
+def make_near_dup_ingest(
+    index_dir: str,
+    survivors_dir: str,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 1024,
+) -> Callable[[DataFrame, int], None]:
+    """Build the ``foreachBatch`` body: ``fn(batch_df, batch_id)``.
+
+    Wire it as ``stream.writeStream.foreachBatch(fn)`` (output mode
+    append, any trigger). The LSH knobs must match across every ingest
+    that shares ``index_dir`` — band rows from different (num_hashes,
+    bands, shingle_n) are not comparable.
+    """
+    summary_dir = index_dir.rstrip("/") + "_summary_parts"
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # ---- within-batch dedup (exact, then verified near-dup) --------
+        exact = dedup.exact_dedup_keys(batch_df, doc_id, text_col)
+        keep = exact.select(F.col("keep_id").alias(doc_id))
+        batch1 = batch_df.join(keep, doc_id, "left_semi")
+        in_pairs = dedup.near_dup_pairs(
+            batch1,
+            doc_id,
+            text_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            max_bucket=max_bucket,
+        )
+        in_losers = in_pairs.select(F.col("doc_b").alias(doc_id)).distinct()
+        batch2 = batch1.join(in_losers, doc_id, "left_anti")
+        # ---- against the persisted corpus index (O(batch)) -------------
+        if os.path.isdir(index_dir):
+            index = spark.read.parquet(index_dir)
+            pairs = dedup.near_dup_pairs_incremental(
+                batch2,
+                index,
+                doc_id,
+                text_col,
+                threshold=threshold,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_n=shingle_n,
+                max_bucket=max_bucket,
+                corpus_summary=_summary(spark, summary_dir),
+            )
+            corpus_losers = pairs.select(
+                F.col("new_doc").alias(doc_id)
+            ).distinct()
+            novel = batch2.join(corpus_losers, doc_id, "left_anti")
+        else:
+            novel = batch2
+        # ---- idempotent writes, keyed by the replayable batch id -------
+        novel = novel.withColumn("_batch_id", F.lit(int(batch_id))).persist()
+        try:
+            conf_key = "spark.sql.sources.partitionOverwriteMode"
+            prev = spark.conf.get(conf_key, None)
+            spark.conf.set(conf_key, "dynamic")
+            try:
+                (
+                    novel.write.mode("overwrite")
+                    .partitionBy("_batch_id")
+                    .parquet(survivors_dir)
+                )
+                rows = dedup.lsh_bucket_table(
+                    novel, doc_id, text_col, num_hashes, bands, shingle_n
+                ).withColumn("_batch_id", F.lit(int(batch_id)))
+                (
+                    rows.write.mode("overwrite")
+                    .partitionBy("_batch_id")
+                    .parquet(index_dir)
+                )
+                (
+                    spark.read.parquet(index_dir)
+                    .where(F.col("_batch_id") == int(batch_id))
+                    .groupBy("bucket")
+                    .agg(F.count("*").cast("long").alias("n_members"))
+                    .withColumn("_batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .partitionBy("_batch_id")
+                    .parquet(summary_dir)
+                )
+            finally:
+                if prev is not None:
+                    spark.conf.set(conf_key, prev)
+        finally:
+            novel.unpersist()
+
+    return ingest
+
+
+def read_survivors(spark, survivors_dir: str) -> DataFrame:
+    """The accumulated survivor corpus (drops the bookkeeping column)."""
+    return spark.read.parquet(survivors_dir).drop("_batch_id")

@@ -254,8 +254,14 @@ def streaming_exact_dedup(
             outputMode="update",
             timeoutConf="NoTimeout",
         )
-    keyed = docs.withWatermark(ts_col, watermark).select(
-        *cols, F.col(ts_col).alias("ts")
+    # NULL event times carry no TTL information and would NaT-poison the
+    # per-key max inside the state function; the watermark machinery
+    # ignores them anyway, so drop them at the source (documented: with a
+    # ts_col, rows without an event time do not participate in dedup)
+    keyed = (
+        docs.where(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(*cols, F.col(ts_col).alias("ts"))
     )
     return keyed.groupBy("dedup_key").applyInPandasWithState(
         make_ttl_dedup_state_func(_duration_ms(state_ttl)),
