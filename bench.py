@@ -87,6 +87,12 @@ def main() -> None:
             elapsed = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
+    # a second probe AFTER the passes: host drift during the run (the box
+    # shows ±20% swings over minutes) is visible as start≠end; the min of
+    # the two is the best same-run speed reference
+    sentinel_end = sentinel_sec(spark)
+    sentinel = min(sentinel, sentinel_end)
+
     total = round(sum(timings.values()), 3)
     # r6 recorded the first sentinel (1.498 s, BENCH_r06.json) — publishing
     # the ratio AND the r6-host-equivalent total makes cross-round
@@ -102,6 +108,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": infer_sf(SF_DIR),
                 "sentinel_sec": sentinel,
+                "sentinel_end_sec": sentinel_end,
                 "total_over_sentinel": round(total / sentinel, 3),
                 "r6_host_equivalent_total": round(
                     total / sentinel * R6_SENTINEL, 3
