@@ -292,3 +292,58 @@ def test_precomputed_spans_df_matches_internal_path(spark):
     }
     assert stats[3] == (0, 0)
     assert stats[2][0] >= 1 and stats[2][1] >= 8
+
+
+def test_rebuild_property_arbitrary_disjoint_spans(spark):
+    """Property: for ANY disjoint span set (injected via spans_df), the
+    gap-slice rebuild equals the Python-list reference cut. Exercises
+    empty docs, full-coverage docs, adjacent-to-end spans, and single-token
+    gaps — shapes the pipeline-derived spans only hit incidentally."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def doc_and_spans(draw):
+        n = draw(st.integers(min_value=0, max_value=30))
+        toks = [f"t{i}" for i in range(n)]
+        spans_ = []
+        pos = 0
+        while pos < n:
+            start = draw(st.integers(min_value=pos, max_value=n))
+            if start >= n:
+                break
+            end = draw(st.integers(min_value=start + 1, max_value=n))
+            spans_.append((start, end))
+            pos = end + 1  # keep spans disjoint AND non-adjacent-mergeable
+        return toks, spans_
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(doc_and_spans(), min_size=1, max_size=4))
+    def check(cases):
+        rows = [(i, " ".join(toks)) for i, (toks, _) in enumerate(cases)]
+        span_rows = [
+            (i, s, e)
+            for i, (_, sps) in enumerate(cases)
+            for (s, e) in sps
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        spdf = spark.createDataFrame(
+            span_rows or [(-1, 0, 1)],  # dummy row keyed off-corpus
+            "doc_id long, start_tok long, end_tok long",
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in spans.remove_duplicate_spans(
+                df, "doc_id", "text", spans_df=spdf
+            ).collect()
+        }
+        for i, (toks, sps) in enumerate(cases):
+            covered = {p for (s, e) in sps for p in range(s, e)}
+            expect = (
+                " ".join(t for j, t in enumerate(toks) if j not in covered)
+                if sps
+                else " ".join(toks)  # untouched docs keep original text
+            )
+            assert out[i] == expect, (i, toks, sps)
+
+    check()
