@@ -107,3 +107,27 @@ def test_end_to_end_readstream_wiring(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in read_survivors(spark, surv).collect()}
     assert got == _expected_batch_survivors(docs)
+
+
+def test_replay_after_partial_crash_converges(spark, tmp_path):
+    """Crash-mid-publish: survivors landed but the index write died. The
+    engine replays the batch (foreachBatch at-least-once); the replay must
+    rewrite the survivor partition byte-identically AND complete the index
+    — converging to exactly the clean-run state."""
+    import shutil
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx4")
+    surv = str(tmp_path / "surv4")
+    ingest = make_near_dup_ingest(idx, surv, **_KNOBS)
+    b0 = docs.where("doc_id < 3")
+    ingest(b0, 0)
+    # simulate the crash: batch 0's index partition vanishes, survivors stay
+    shutil.rmtree(idx)
+    ingest(b0, 0)  # replay
+    got = {r["doc_id"] for r in read_survivors(spark, surv).collect()}
+    assert got == _expected_batch_survivors(b0)
+    idx_docs = {
+        r["doc_id"] for r in spark.read.parquet(idx).select("doc_id").collect()
+    }
+    assert idx_docs == got

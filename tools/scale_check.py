@@ -208,13 +208,18 @@ def build_scaled(
         )
 
 
+# min-of-N per point; 1 for very long compositions (noise rejection matters
+# less when the measured effect is 10x the jitter)
+N_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
+
+
 def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     cat = all_queries()
     out = {}
     for name in names:
         fn = CUSTOM[name] if name in CUSTOM else cat[name].fn
         best = None
-        for _ in range(2):
+        for _ in range(N_RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             el = time.perf_counter() - t0

@@ -24,9 +24,11 @@ tests/test_bpe.py and the DuckDB first-iteration oracle):
   below ``min_count``.
 
 Scale: the corpus is touched once. Vocab-table lineage is truncated with
-``localCheckpoint`` every iteration (the ``duplicate_components`` pattern)
-so the plan stays flat across hundreds of merges; on a cluster with
-executor churn swap in a reliable ``checkpoint`` dir at the call site.
+``localCheckpoint`` every ``checkpoint_every`` merges (the
+``duplicate_components`` pattern) so the plan stays flat across hundreds
+of merges without paying a vocab materialization job per merge; on a
+cluster with executor churn swap in a reliable ``checkpoint`` dir at the
+call site.
 """
 
 from __future__ import annotations

@@ -18,7 +18,13 @@ reality): every write is a dynamic partition overwrite keyed by
 ``_batch_id``, so a retried batch rewrites its own partitions
 byte-identically instead of appending twice. The summary is therefore
 stored as per-batch PARTS (counts are associative); readers aggregate the
-parts — a bounded table, one row per (batch, bucket) touched.
+parts — a bounded table, one row per (batch, bucket) touched. Two replay
+cases compose (both pinned in tests/test_streaming_neardup.py): a replay
+AFTER a complete publish finds the batch's own rows in the index, every
+doc self-matches at jaccard 1, ``novel`` is empty, and a dynamic
+overwrite carrying zero partitions touches nothing; a replay after a
+PARTIAL publish recomputes the identical novel set (the pipeline is
+deterministic) and rewrites/completes the batch's partitions.
 
 Scale: per batch the work is O(|batch| × bucket-hit-rate) — the index
 side contributes precomputed rows through the bucket join (write it
