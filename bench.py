@@ -88,10 +88,12 @@ def main() -> None:
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
     # a second probe AFTER the passes: host drift during the run (the box
-    # shows ±20% swings over minutes) is visible as start≠end; the min of
-    # the two is the best same-run speed reference
+    # shows ±20% swings over minutes) is visible as start≠end. The
+    # NORMALIZATION keeps using the start-of-run probe — r6's recorded
+    # 1.498 s was exactly that statistic, and dividing r7 by a min-of-two
+    # while r6 used a single probe would bias the ratio upward (mixed
+    # methodologies defeat the drift cancellation they exist for)
     sentinel_end = sentinel_sec(spark)
-    sentinel = min(sentinel, sentinel_end)
 
     total = round(sum(timings.values()), 3)
     # r6 recorded the first sentinel (1.498 s, BENCH_r06.json) — publishing

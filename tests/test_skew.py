@@ -95,3 +95,27 @@ def test_salted_sum_validates_merge_dispatch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_salted_sum_same_combiner_suffixes_stay_legal(spark):
+    """A sum aggregate named *_count (or count named *_sum) re-merges by
+    F.sum either way — previously-correct call shapes must not start
+    raising (the r7 guard compares combiner FUNCTIONS, not suffixes)."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.skew import salted_sum
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") % 2).alias("is_err")
+    )
+    got = {
+        r["k"]: (r["error_count"], r["total_sum"])
+        for r in salted_sum(
+            df, "k", {"error_count": F.sum("is_err"), "total_sum": F.count("*")}
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["error_count"], r["total_sum"])
+        for r in df.groupBy("k")
+        .agg(F.sum("is_err").alias("error_count"), F.count("*").alias("total_sum"))
+        .collect()
+    }
+    assert got == want

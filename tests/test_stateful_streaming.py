@@ -271,3 +271,62 @@ def test_streaming_exact_dedup_ttl_evicts_state(spark, tmp_path):
     # Y evicted between its arrivals: the second sighting RESTARTS as a
     # fresh original (keep_id 9, count 1) instead of accumulating to (2, 2)
     assert {(kid, c) for (k, kid, c) in got if k == ky} == {(2, 1), (9, 1)}
+
+
+def test_ttl_deadline_monotone_under_late_duplicates(spark, tmp_path):
+    """A late (within-watermark) duplicate must never pull the eviction
+    deadline BACKWARDS: the timeout derives from the max event time the
+    fingerprint has ever seen (carried in state), not the batch max. With
+    the r7 pre-fix behavior the 11:30 straggler rescheduled X's timeout
+    to 12:10, batch 4's watermark (12:25) silently evicted it, and the
+    14:35 duplicate restarted as a fresh original."""
+    import datetime
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.stateful import (
+        streaming_exact_dedup,
+    )
+
+    t = lambda h, m: datetime.datetime(2024, 1, 1, h, m)
+    schema = "doc_id long, ts timestamp, text string"
+    batches = [
+        [(1, t(12, 0), "text x")],
+        [(2, t(11, 30), "text x")],   # late duplicate (wm is 10:00)
+        [(7, t(14, 25), "filler z")],  # advances wm to 12:25
+        [(8, t(14, 30), "filler w")],  # X has no data: eviction window
+        [(3, t(14, 35), "text x")],    # arrives while wm 12:30 < 12:40
+    ]
+    stream_dir = tmp_path / "ttl_mono"
+    stream_dir.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stream_dir / f"b{i:03d}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir / "*.parquet"))
+    )
+    q = (
+        streaming_exact_dedup(
+            stream, ts_col="ts", watermark="2 hours", state_ttl="40 minutes"
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dedup_ttl_mono")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["keep_id"], r["dup_count"])
+        for r in spark.sql(
+            "SELECT * FROM dedup_ttl_mono WHERE keep_id IN (1, 2, 3)"
+        ).collect()
+    }
+    # correct deadline: last sighting 12:00 + 40min = 12:40 — alive at
+    # wm 12:25 (batch 4) and wm 12:30 (batch 5) → the final duplicate
+    # ACCUMULATES. The backslid deadline (11:30 + 40min = 12:10) would
+    # have been evicted in batch 4 and restarted as (3, 1).
+    assert (1, 3) in got, got
+    assert (3, 1) not in got, got

@@ -131,3 +131,28 @@ def test_replay_after_partial_crash_converges(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(idx).select("doc_id").collect()
     }
     assert idx_docs == got
+
+
+def test_replay_after_summary_crash_does_not_wedge(spark, tmp_path):
+    """Crash between the index write and the summary write: the replay
+    sees an index with no summary parts and must FALL BACK to deriving
+    the cap in-plan (near_dup_pairs_incremental's documented path) rather
+    than failing on the missing parquet dir — then complete the publish."""
+    import shutil
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx5")
+    surv = str(tmp_path / "surv5")
+    ingest = make_near_dup_ingest(idx, surv, **_KNOBS)
+    b0 = docs.where("doc_id < 3")
+    b1 = docs.where("doc_id >= 3")
+    ingest(b0, 0)
+    shutil.rmtree(idx + "_summary_parts")  # the crash window
+    ingest(b1, 1)  # must not raise
+    got = {r["doc_id"] for r in read_survivors(spark, surv).collect()}
+    assert got == _expected_batch_survivors(docs)
+    # batch 1 re-published its summary part; batch 0's stays missing until
+    # ITS replay — the reader aggregate tolerates the partial parts table
+    import os as _os
+
+    assert _os.path.isdir(idx + "_summary_parts")

@@ -80,3 +80,26 @@ def test_curation_snapshot_composes(spark, tmp_path, sf_smoke):
     # the pinned handle still reads version-1 bytes
     assert versioned.read_version(spark, root, v1).count() == n_pinned
     assert versioned.read_version(spark, root).count() == docs.count()
+
+
+def test_manifest_without_pointer_is_not_published(spark, tmp_path):
+    """Crash AFTER the manifest write but BEFORE the pointer rename: the
+    version must be invisible (its number gets reclaimed and its bytes
+    rewritten by the next publish — pinning it would not be reproducible)."""
+    import json
+
+    root = str(tmp_path / "ds4")
+    versioned.write_version(spark.range(5), root)
+    # simulate the crash: v2 data + manifest exist, pointer still says 1
+    spark.range(99).write.parquet(os.path.join(root, "v=2"))
+    with open(os.path.join(root, "_v2.commit"), "w") as f:
+        json.dump({"version": 2, "rows": 99, "schema": "x", "note": ""}, f)
+    assert versioned.latest_version(root) == 1
+    assert [m["version"] for m in versioned.list_versions(root)] == [1]
+    with pytest.raises(FileNotFoundError, match="not published"):
+        versioned.read_version(spark, root, 2)
+    # the next publish reclaims number 2 and commits it properly
+    v = versioned.write_version(spark.range(7), root)
+    assert v == 2
+    assert versioned.read_version(spark, root, 2).count() == 7
+    assert versioned.list_versions(root)[-1]["rows"] == 7

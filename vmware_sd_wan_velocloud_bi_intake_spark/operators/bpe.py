@@ -260,14 +260,11 @@ def save_bpe(merges: DataFrame, path: str) -> None:
 
     The table is bounded by ``num_merges`` (driver-held already — the
     trainer built it from collected argmax rows), so this is a driver-side
-    JSON dump, written atomically (tmp + rename, the engine's crash-safe
-    swap discipline) so a killed job never leaves a half tokenizer. The
-    format is engine-neutral: any runtime that applies ranked merges can
-    consume it.
+    JSON dump through the shared crash-safe writer
+    (functions/artifacts.py). The format is engine-neutral: any runtime
+    that applies ranked merges can consume it.
     """
-    import json
-    import os
-    import tempfile
+    from ..functions.artifacts import atomic_write_json
 
     rows = [
         {
@@ -278,29 +275,17 @@ def save_bpe(merges: DataFrame, path: str) -> None:
         }
         for r in merges.orderBy("rank").collect()
     ]
-    payload = {"format": "bpe-merges/v1", "end_marker": END, "merges": rows}
-    d = os.path.dirname(os.path.abspath(path)) or "."
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(payload, f)
-        os.replace(tmp, path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.remove(tmp)
-        raise
+    atomic_write_json(
+        path, {"format": "bpe-merges/v1", "end_marker": END, "merges": rows}
+    )
 
 
 def load_bpe(spark, path: str) -> DataFrame:
     """Inverse of :func:`save_bpe` — returns the merge table with the
     exact trainer schema, ready for :func:`bpe_encode`."""
-    import json
+    from ..functions.artifacts import read_json_artifact
 
-    with open(path) as f:
-        payload = json.load(f)
-    if payload.get("format") != "bpe-merges/v1":
-        raise ValueError(f"not a bpe-merges/v1 artifact: {path}")
+    payload = read_json_artifact(path, "bpe-merges/v1")
     if payload.get("end_marker") != END:
         raise ValueError(
             f"artifact end marker {payload.get('end_marker')!r} != {END!r}"

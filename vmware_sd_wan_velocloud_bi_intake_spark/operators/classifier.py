@@ -169,36 +169,24 @@ def score_quality(
 
 
 def save_logreg(weights: list[float], bias: float, path: str) -> None:
-    """Persist trained classifier weights as a JSON artifact (atomic
-    tmp+rename). d+1 floats — the whole model is driver-held by design."""
-    import json
-    import os
-    import tempfile
+    """Persist trained classifier weights as a JSON artifact via the
+    shared crash-safe writer (functions/artifacts.py). d+1 floats — the
+    whole model is driver-held by design."""
+    from ..functions.artifacts import atomic_write_json
 
-    payload = {
-        "format": "logreg/v1",
-        "weights": [float(w) for w in weights],
-        "bias": float(bias),
-    }
-    d = os.path.dirname(os.path.abspath(path)) or "."
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(payload, f)
-        os.replace(tmp, path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.remove(tmp)
-        raise
+    atomic_write_json(
+        path,
+        {
+            "format": "logreg/v1",
+            "weights": [float(w) for w in weights],
+            "bias": float(bias),
+        },
+    )
 
 
 def load_logreg(path: str) -> tuple[list[float], float]:
     """Inverse of :func:`save_logreg`."""
-    import json
+    from ..functions.artifacts import read_json_artifact
 
-    with open(path) as f:
-        payload = json.load(f)
-    if payload.get("format") != "logreg/v1":
-        raise ValueError(f"not a logreg/v1 artifact: {path}")
+    payload = read_json_artifact(path, "logreg/v1")
     return [float(w) for w in payload["weights"]], float(payload["bias"])

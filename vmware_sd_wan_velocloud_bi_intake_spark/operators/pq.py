@@ -546,42 +546,29 @@ def rotate_expr(v: str, rotation: list[list[float]]) -> Column:
 
 
 def save_pq_codebooks(codebooks: list[list[list[float]]], path: str) -> None:
-    """Persist trained PQ codebooks as a portable JSON artifact (atomic
-    tmp+rename — the crash-safe swap discipline). ``m·ksub·dsub`` doubles:
-    driver-held by construction, engine-neutral by design."""
-    import json
-    import os
-    import tempfile
+    """Persist trained PQ codebooks as a portable JSON artifact via the
+    shared crash-safe writer (functions/artifacts.py). ``m·ksub·dsub``
+    doubles: driver-held by construction, engine-neutral by design."""
+    from ..functions.artifacts import atomic_write_json
 
-    payload = {
-        "format": "pq-codebooks/v1",
-        "m": len(codebooks),
-        "ksub": len(codebooks[0]) if codebooks else 0,
-        "dsub": len(codebooks[0][0]) if codebooks and codebooks[0] else 0,
-        "codebooks": codebooks,
-    }
-    d = os.path.dirname(os.path.abspath(path)) or "."
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(payload, f)
-        os.replace(tmp, path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.remove(tmp)
-        raise
+    atomic_write_json(
+        path,
+        {
+            "format": "pq-codebooks/v1",
+            "m": len(codebooks),
+            "ksub": len(codebooks[0]) if codebooks else 0,
+            "dsub": len(codebooks[0][0]) if codebooks and codebooks[0] else 0,
+            "codebooks": codebooks,
+        },
+    )
 
 
 def load_pq_codebooks(path: str) -> list[list[list[float]]]:
     """Inverse of :func:`save_pq_codebooks`; validates the declared shape
     so a truncated/mixed-up artifact fails here, not as bad encodings."""
-    import json
+    from ..functions.artifacts import read_json_artifact
 
-    with open(path) as f:
-        payload = json.load(f)
-    if payload.get("format") != "pq-codebooks/v1":
-        raise ValueError(f"not a pq-codebooks/v1 artifact: {path}")
+    payload = read_json_artifact(path, "pq-codebooks/v1")
     books = payload["codebooks"]
     if len(books) != payload["m"] or any(
         len(b) != payload["ksub"] for b in books

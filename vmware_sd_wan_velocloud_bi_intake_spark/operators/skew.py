@@ -76,7 +76,16 @@ def salted_sum(
         head_op = head.group(1).lower() if head else None
         if head_op == "cast":
             head_op = None  # nested/odd shapes: stay permissive, as before
-        if head_op in remerge and tagged not in (None, head_op):
+        # compare the selected re-merge FUNCTIONS, not suffix strings: a
+        # sum aggregate named *_count (or a count named *_sum) re-merges
+        # by F.sum either way and was always correct — only a suffix that
+        # picks a genuinely different combiner (min/max crossed with
+        # sum/count or each other) is a bug
+        if (
+            head_op in remerge
+            and tagged is not None
+            and remerge[tagged] is not remerge[head_op]
+        ):
             raise ValueError(
                 f"salted_sum: {name!r} is a {head_op} aggregate but its "
                 f"_{tagged} suffix selects a {tagged} re-merge"

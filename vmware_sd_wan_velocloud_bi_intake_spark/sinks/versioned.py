@@ -38,9 +38,10 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.artifacts import atomic_write_text
 
 
 def _pointer(root: str) -> str:
@@ -55,19 +56,6 @@ def _data_dir(root: str, version: int) -> str:
     return os.path.join(root, f"v={version}")
 
 
-def _atomic_write(path: str, payload: str) -> None:
-    d = os.path.dirname(os.path.abspath(path))
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            f.write(payload)
-        os.replace(tmp, path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.remove(tmp)
-        raise
-
-
 def latest_version(root: str) -> int | None:
     """Published head, or None for an empty/new root."""
     try:
@@ -78,15 +66,26 @@ def latest_version(root: str) -> int | None:
 
 
 def list_versions(root: str) -> list[dict]:
-    """Manifests of every PUBLISHED version, ascending (orphan data dirs
-    from crashed publishes are excluded by construction — no manifest)."""
+    """Manifests of every PUBLISHED version, ascending.
+
+    Published = manifest exists AND version ≤ the ``_latest`` pointer —
+    the pointer rename is the commit point, so a manifest written by a
+    publish that crashed BEFORE its pointer rename is an uncommitted
+    orphan (the next publish reclaims its number and may rewrite its
+    bytes); exposing it would let a reader pin data that is not yet
+    immutable."""
     if not os.path.isdir(root):
+        return []
+    head = latest_version(root)
+    if head is None:
         return []
     out = []
     for name in os.listdir(root):
         if name.startswith("_v") and name.endswith(".commit"):
             with open(os.path.join(root, name)) as f:
-                out.append(json.load(f))
+                m = json.load(f)
+            if m["version"] <= head:
+                out.append(m)
     return sorted(out, key=lambda m: m["version"])
 
 
@@ -103,7 +102,7 @@ def write_version(df: DataFrame, root: str, note: str = "") -> int:
     data = _data_dir(root, version)
     df.write.mode("overwrite").parquet(data)
     n_rows = df.sparkSession.read.parquet(data).count()
-    _atomic_write(
+    atomic_write_text(
         _manifest(root, version),
         json.dumps(
             {
@@ -114,7 +113,7 @@ def write_version(df: DataFrame, root: str, note: str = "") -> int:
             }
         ),
     )
-    _atomic_write(_pointer(root), str(version))
+    atomic_write_text(_pointer(root), str(version))
     return version
 
 
@@ -122,15 +121,23 @@ def read_version(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Read a pinned version (training reproducibility) or the published
-    head. Unpublished/orphan versions are refused — if it has no
-    manifest, it never committed."""
+    head. Unpublished versions are refused: without the manifest it never
+    wrote completely, and without the pointer having reached it the
+    publish never COMMITTED — its number can be reclaimed and its bytes
+    rewritten by the next publish, so pinning it would not be
+    reproducible."""
+    head = latest_version(root)
     if version is None:
-        version = latest_version(root)
+        version = head
         if version is None:
             raise FileNotFoundError(f"no published versions under {root}")
-    if not os.path.exists(_manifest(root, version)):
+    if (
+        head is None
+        or version > head
+        or not os.path.exists(_manifest(root, version))
+    ):
         raise FileNotFoundError(
-            f"version {version} is not published under {root} (no manifest)"
+            f"version {version} is not published under {root}"
         )
     return spark.read.parquet(_data_dir(root, version))
 

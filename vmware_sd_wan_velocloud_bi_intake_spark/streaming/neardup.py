@@ -46,7 +46,14 @@ from pyspark.sql import functions as F
 from ..operators import dedup
 
 
-def _summary(spark, parts_dir: str) -> DataFrame:
+def _summary(spark, parts_dir: str) -> DataFrame | None:
+    """Aggregated writer-maintained summary, or None when the parts dir is
+    missing (a crash between the index write and the summary write — the
+    replay must still run: near_dup_pairs_incremental's documented
+    fallback derives the summary from the index in-plan for that one
+    batch instead of wedging the stream on a nonexistent path)."""
+    if not os.path.isdir(parts_dir):
+        return None
     parts = spark.read.parquet(parts_dir)
     return parts.groupBy("bucket").agg(
         F.sum("n_members").cast("long").alias("n_members")
@@ -133,10 +140,12 @@ def make_near_dup_ingest(
                     .partitionBy("_batch_id")
                     .parquet(index_dir)
                 )
+                # summary part from the SAME in-memory rows relation (the
+                # counts are deterministic) — not a read-back of what was
+                # just written: on object stores the listing+read round
+                # trip dominates small-batch latency for no extra safety
                 (
-                    spark.read.parquet(index_dir)
-                    .where(F.col("_batch_id") == int(batch_id))
-                    .groupBy("bucket")
+                    rows.groupBy("bucket")
                     .agg(F.count("*").cast("long").alias("n_members"))
                     .withColumn("_batch_id", F.lit(int(batch_id)))
                     .write.mode("overwrite")

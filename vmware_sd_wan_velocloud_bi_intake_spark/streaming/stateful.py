@@ -121,6 +121,18 @@ DEDUP_STATE_SCHEMA = T.StructType(
     ]
 )
 
+# TTL variant carries the fingerprint's LAST event time: the timeout must
+# be monotone in it, and a late (within-watermark) duplicate's batch max
+# can be EARLIER than what state has seen — rescheduling from the batch
+# alone would move the eviction deadline backwards
+DEDUP_TTL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("keep_id", T.LongType()),
+        T.StructField("dup_count", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+    ]
+)
+
 DEDUP_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("dedup_key", T.StringType()),
@@ -156,14 +168,24 @@ def _dedup_fold(key, pdfs, state, ttl_ms):
         )
     batch_min = int(ids.min())
     n = len(rows)
-    if state.exists:
-        keep, cnt = state.get
-        keep, cnt = min(int(keep), batch_min), int(cnt) + n
+    if ttl_ms is None:
+        if state.exists:
+            keep, cnt = state.get
+            keep, cnt = min(int(keep), batch_min), int(cnt) + n
+        else:
+            keep, cnt = batch_min, n
+        state.update((keep, cnt))
     else:
-        keep, cnt = batch_min, n
-    state.update((keep, cnt))
-    if ttl_ms is not None:
-        last_ms = int(rows["ts"].max().timestamp() * 1000)
+        batch_last = int(rows["ts"].max().timestamp() * 1000)
+        if state.exists:
+            keep, cnt, last_ms = state.get
+            keep, cnt = min(int(keep), batch_min), int(cnt) + n
+            # monotone deadline: a late duplicate must never pull the
+            # eviction time back before (true last sighting) + TTL
+            last_ms = max(int(last_ms), batch_last)
+        else:
+            keep, cnt, last_ms = batch_min, n, batch_last
+        state.update((keep, cnt, last_ms))
         state.setTimeoutTimestamp(last_ms + ttl_ms)
     yield pd.DataFrame(
         {"dedup_key": [key[0]], "keep_id": [keep], "dup_count": [cnt]}
@@ -266,7 +288,7 @@ def streaming_exact_dedup(
     return keyed.groupBy("dedup_key").applyInPandasWithState(
         make_ttl_dedup_state_func(_duration_ms(state_ttl)),
         outputStructType=DEDUP_OUTPUT_SCHEMA,
-        stateStructType=DEDUP_STATE_SCHEMA,
+        stateStructType=DEDUP_TTL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf="EventTimeTimeout",
     )
