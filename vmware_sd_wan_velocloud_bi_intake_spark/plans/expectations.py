@@ -1,0 +1,125 @@
+"""Data-quality expectations over table profiles — the ANALYZE loop as a
+GATE, not just a planner input.
+
+``operators.profile.profile_table`` already computes the per-column
+statistics a pipeline collects once per table (row/null counts, HLL ndv,
+min/max, string widths); this module evaluates declarative expectations
+against those rows so a malformed upstream drop (nulled-out join key,
+collapsed cardinality, out-of-range timestamps) fails the pipeline AT THE
+GATE with a precise report instead of corrupting everything downstream.
+The Great-Expectations idea reduced to the engine's discipline: the
+statistics pass is the one scan profile_table already paid; evaluating
+rules is O(columns) driver-side arithmetic.
+
+A rule is a dict naming a column plus any of:
+
+- ``min_rows`` / ``max_rows`` — table-level row-count bounds (checked on
+  the column's profile row; identical on every row);
+- ``max_null_frac`` — null fraction ceiling;
+- ``min_ndv`` / ``max_ndv`` — approximate-distinct bounds (HLL ±~2.3%:
+  pad bounds accordingly — these catch COLLAPSES, not off-by-ones);
+- ``min_value`` / ``max_value`` — bounds compared against the profiled
+  min/max (string-rendered; numeric rules are compared numerically);
+- ``max_len`` — string width ceiling.
+
+``check_expectations`` returns violation dicts (empty = clean);
+``enforce_expectations`` raises ``ExpectationError`` listing every
+violation at once (a gate that reports one problem per run wastes runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class ExpectationError(AssertionError):
+    """Raised by :func:`enforce_expectations`; carries the violation list."""
+
+    def __init__(self, violations: list[dict]):
+        self.violations = violations
+        lines = "; ".join(
+            f"{v['column']}: {v['rule']} (expected {v['expected']}, "
+            f"got {v['actual']})"
+            for v in violations
+        )
+        super().__init__(f"{len(violations)} expectation(s) failed: {lines}")
+
+
+def _num(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return None
+
+
+def check_expectations(
+    profile: "DataFrame | list[dict]", rules: list[dict]
+) -> list[dict]:
+    """Evaluate ``rules`` against ``profile_table`` output; return the
+    violations (column, rule, expected, actual), empty when clean."""
+    if hasattr(profile, "collect"):
+        profile = profile.collect()
+    rows = {
+        r["column"]: (r.asDict() if hasattr(r, "asDict") else dict(r))
+        for r in profile
+    }
+    out: list[dict] = []
+
+    def viol(col, rule, expected, actual):
+        out.append(
+            {"column": col, "rule": rule, "expected": expected, "actual": actual}
+        )
+
+    for rule in rules:
+        col = rule.get("column")
+        if col not in rows:
+            viol(col, "column_exists", "profiled column", "missing")
+            continue
+        p = rows[col]
+        n_rows = int(p["n_rows"])
+        if "min_rows" in rule and n_rows < rule["min_rows"]:
+            viol(col, "min_rows", rule["min_rows"], n_rows)
+        if "max_rows" in rule and n_rows > rule["max_rows"]:
+            viol(col, "max_rows", rule["max_rows"], n_rows)
+        if "max_null_frac" in rule and p["null_frac"] > rule["max_null_frac"]:
+            viol(col, "max_null_frac", rule["max_null_frac"], p["null_frac"])
+        ndv = p.get("ndv_approx")
+        if "min_ndv" in rule and (ndv is None or ndv < rule["min_ndv"]):
+            viol(col, "min_ndv", rule["min_ndv"], ndv)
+        if "max_ndv" in rule and ndv is not None and ndv > rule["max_ndv"]:
+            viol(col, "max_ndv", rule["max_ndv"], ndv)
+        if "min_value" in rule:
+            lo, got = rule["min_value"], p.get("min_str")
+            gn = _num(got)
+            ok = (
+                got is not None
+                and (gn >= float(lo) if _num(lo) is not None and gn is not None
+                     else str(got) >= str(lo))
+            )
+            if not ok:
+                viol(col, "min_value", lo, got)
+        if "max_value" in rule:
+            hi, got = rule["max_value"], p.get("max_str")
+            gn = _num(got)
+            ok = (
+                got is not None
+                and (gn <= float(hi) if _num(hi) is not None and gn is not None
+                     else str(got) <= str(hi))
+            )
+            if not ok:
+                viol(col, "max_value", hi, got)
+        if "max_len" in rule:
+            ml = p.get("max_len")
+            if ml is not None and ml > rule["max_len"]:
+                viol(col, "max_len", rule["max_len"], ml)
+    return out
+
+
+def enforce_expectations(
+    profile: "DataFrame | list[dict]", rules: list[dict]
+) -> None:
+    """Gate form: raise :class:`ExpectationError` listing EVERY violation
+    (one report per run, not one problem per run); no-op when clean."""
+    violations = check_expectations(profile, rules)
+    if violations:
+        raise ExpectationError(violations)
