@@ -98,3 +98,48 @@ def test_write_shards_arg_validation(spark, tmp_path):
         export.write_training_shards(
             df, str(tmp_path / "y"), "doc_id", n_shards=2, rows_per_shard=5
         )
+
+
+def test_split_leakage_pairs_cross_split_only(spark):
+    """Leakage audit: near-dup pairs straddling split boundaries surface
+    with both labels; same-split near-dups and cross-split NON-dups do
+    not. Verified against a hand-built corpus where the splits are forced
+    via a crafted split column (the id-hash split itself is irrelevant to
+    the audit's contract)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the morning sun"
+    )
+    rows = [
+        (0, base, "train"),
+        (1, base + " today", "val"),       # near-dup of 0, CROSS split
+        (2, base + " now", "train"),       # near-dup of 0, SAME split
+        (3, "completely different content about spark shuffles and "
+            "partitions and the catalyst optimizer stages", "val"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    got = sorted(
+        (r["doc_a"], r["split_a"], r["doc_b"], r["split_b"])
+        for r in export.split_leakage_pairs(
+            df, "doc_id", "text", threshold=0.4, num_hashes=4, bands=2,
+            shingle_n=3,
+        ).collect()
+    )
+    # pairs are (low id, high id); only the boundary-straddling ones remain
+    assert got == [(0, "train", 1, "val"), (1, "val", 2, "train")]
+
+
+def test_split_leakage_composes_with_hash_split(spark, sf_smoke):
+    """End to end on fixture docs: split by id-hash, audit, and verify
+    every reported pair is genuinely cross-split and above threshold."""
+    docs = load_table(spark, sf_smoke, "documents")
+    labeled = export.split_by_hash(
+        docs, "doc_id", {"train": 0.8, "val": 0.2}, seed=3
+    )
+    out = export.split_leakage_pairs(
+        labeled, "doc_id", "text", threshold=0.4, num_hashes=4, bands=2,
+        shingle_n=3,
+    ).collect()
+    for r in out:
+        assert r["split_a"] != r["split_b"]
+        assert r["jaccard"] >= 0.4

@@ -126,3 +126,61 @@ def write_training_shards(
     )
     out.write.mode("overwrite").partitionBy("shard").parquet(path)
     return n_shards
+
+
+def split_leakage_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_name: str = "split",
+    *,
+    threshold: float = 0.7,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Near-duplicate pairs that STRADDLE split boundaries — train/test
+    leakage the id-hash split cannot see.
+
+    :func:`split_by_hash` assigns splits by id, so two near-identical
+    documents with different ids can land in train AND val — the held-out
+    metric then partially measures memorization. This audit runs the
+    engine's verified near-dup detector (LSH recall → exact-Jaccard
+    precision, operators/dedup.py) and keeps only the cross-split pairs:
+    run it after splitting and either drop one side of each pair or fold
+    the pair into the same split before export.
+
+    Returns (doc_a, split_a, doc_b, split_b, jaccard) with
+    split_a != split_b. Scale shape is near_dup_pairs' own — bucketed,
+    never all-pairs; the split-label join adds two broadcast-sized probes
+    of the (id, split) projection, not a corpus shuffle.
+    """
+    from .dedup import near_dup_pairs
+
+    pairs = near_dup_pairs(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        max_bucket=max_bucket,
+    )
+    labels = df.select(
+        F.col(id_col).alias("_lid"), F.col(split_name).alias("_lsplit")
+    )
+    return (
+        pairs.join(labels, pairs["doc_a"] == labels["_lid"])
+        .select("doc_a", "doc_b", "jaccard", F.col("_lsplit").alias("split_a"))
+        .join(labels, F.col("doc_b") == labels["_lid"])
+        .select(
+            "doc_a",
+            "split_a",
+            "doc_b",
+            F.col("_lsplit").alias("split_b"),
+            "jaccard",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+    )
