@@ -210,3 +210,64 @@ def test_bpe_artifact_roundtrip(spark, docs, tmp_path):
         with open(bad, "w") as f:
             json.dump({"format": "other"}, f)
         bpe.load_bpe(spark, bad)
+
+
+def test_merge_pass_three_way_property(spark):
+    """The txt_bpe oracle's core claim: one BPE merge sweep == SQL
+    replace() on the chr(31)-doubled-separator symbol string. Pin it
+    property-style against BOTH the Spark expression and a pure-Python
+    left-to-right non-overlapping sweep, over randomized symbol sequences
+    engineered to hit the tricky shapes (l == r chains, merged-token
+    lookalikes, multi-char symbols, pairs absent entirely)."""
+    import duckdb
+    import random
+
+    rng = random.Random(20240815)
+    SEP = "\x1f"
+
+    def py_sweep(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    alphabet = ["a", "b", "ab", "ba", "aa", "</w>", "aab"]
+    cases = []
+    for _ in range(24):  # each (l, r) is its own Spark action — keep the sweep lean
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(0, 10))]
+        l, r = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((syms, l, r))
+    # adversarial fixtures: chains and lookalike merged tokens
+    cases += [
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "a", "a"], "a", "a"),
+        (["ab", "a", "b"], "a", "b"),      # 'ab' symbol vs (a,b) pair
+        (["a", "ab", "b"], "ab", "b"),
+        (["aa", "a", "a", "aa"], "a", "aa"),
+        ([], "a", "b"),
+        (["a"], "a", "a"),
+    ]
+
+    con = duckdb.connect()
+    for syms, l, r in cases:
+        want = py_sweep(syms, l, r)
+        # Spark expression form
+        got_spark = (
+            spark.createDataFrame([(syms,)], "sym array<string>")
+            .select(bpe.merge_pass_expr(F.col("sym"), l, r).alias("m"))
+            .head()["m"]
+        )
+        assert got_spark == want, (syms, l, r, got_spark, want)
+        # the oracle's string form: ⊥⊥ separators, pattern ␟l␟␟r␟ → ␟lr␟
+        s = SEP * 2 + (SEP * 2).join(syms) + SEP * 2 if syms else SEP * 2
+        out = con.execute(
+            "SELECT replace(?, ?, ?)",
+            [s, SEP + l + SEP + SEP + r + SEP, SEP + l + r + SEP],
+        ).fetchone()[0]
+        back = [x for x in out.split(SEP * 2) if x]
+        assert back == want, (syms, l, r, back, want)
