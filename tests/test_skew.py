@@ -80,6 +80,13 @@ def test_salted_sum_validates_merge_dispatch(spark):
         salted_sum(df, "k", {"v_avg": F.avg("v")})
     with pytest.raises(ValueError, match="selects a min re-merge"):
         salted_sum(df, "k", {"v_min": F.max("v")})
+    # DISTINCT aggregates slip past head-op dispatch (countDistinct renders
+    # as count(DISTINCT x) → head 'count' → SUM re-merge counts a value
+    # once per salt it lands in) — must reject on the rendered form
+    with pytest.raises(ValueError, match="DISTINCT aggregate"):
+        salted_sum(df, "k", {"nv_count": F.countDistinct("v")})
+    with pytest.raises(ValueError, match="DISTINCT aggregate"):
+        salted_sum(df, "k", {"v_sum": F.sum_distinct(F.col("v"))})
     got = {
         r["k"]: (r["v_max"], r["n_count"], r["v_sum"])
         for r in salted_sum(

@@ -330,3 +330,131 @@ def test_ttl_deadline_monotone_under_late_duplicates(spark, tmp_path):
     # have been evicted in batch 4 and restarted as (3, 1).
     assert (1, 3) in got, got
     assert (3, 1) not in got, got
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing _dedup_fold."""
+
+    def __init__(self, wm_ms=-1, existing=None):
+        self.hasTimedOut = False
+        self._st = existing
+        self._wm = wm_ms
+        self.deadline = None
+
+    @property
+    def exists(self):
+        return self._st is not None
+
+    @property
+    def get(self):
+        return self._st
+
+    def update(self, st):
+        self._st = st
+
+    def remove(self):
+        self._st = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.deadline = ms
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+
+def test_dedup_fold_epoch_is_session_tz_independent():
+    """Arrow delivers event times tz-NAIVE rendered in the session tz;
+    pandas' .timestamp() reads naive as UTC. For a non-UTC session the
+    fold must localize first or every deadline shifts by the UTC offset."""
+    import pandas as pd
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.stateful import (
+        _dedup_fold,
+    )
+
+    # event time 2024-01-01 12:00 EST == 17:00 UTC
+    naive = pd.Timestamp("2024-01-01 12:00:00")
+    true_epoch_ms = int(
+        naive.tz_localize("America/New_York").timestamp() * 1000
+    )
+    pdfs = [pd.DataFrame({"doc_id": [7], "ts": [naive]})]
+    st = _FakeState()
+    list(_dedup_fold(("k",), pdfs, st, ttl_ms=600_000, tz="America/New_York"))
+    assert st.deadline == true_epoch_ms + 600_000
+    assert st._st[2] == true_epoch_ms
+    # UTC session: naive == epoch rendering, .timestamp() was already right
+    st2 = _FakeState()
+    list(_dedup_fold(("k",), pdfs, st2, ttl_ms=600_000, tz="UTC"))
+    assert st2.deadline == int(naive.timestamp() * 1000) + 600_000
+
+
+def test_dedup_fold_clamps_deadline_to_watermark():
+    """last_ms + ttl at or behind the current watermark would make Spark
+    throw IllegalArgumentException and kill the query (state_ttl shorter
+    than the watermark lateness + a late first arrival). The fold clamps
+    to watermark + 1: evict at the first opportunity instead of dying."""
+    import pandas as pd
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.stateful import (
+        _dedup_fold,
+    )
+
+    ts = pd.Timestamp("2024-01-01 10:30:00")
+    ts_ms = int(ts.timestamp() * 1000)
+    wm_ms = ts_ms + 3_600_000  # watermark one hour PAST the arrival
+    pdfs = [pd.DataFrame({"doc_id": [1], "ts": [ts]})]
+    st = _FakeState(wm_ms=wm_ms)
+    list(_dedup_fold(("k",), pdfs, st, ttl_ms=600_000, tz="UTC"))
+    assert st.deadline == wm_ms + 1  # not ts + 10min (which is <= wm)
+    # a deadline comfortably past the watermark is NOT clamped
+    st2 = _FakeState(wm_ms=ts_ms - 1)
+    list(_dedup_fold(("k",), pdfs, st2, ttl_ms=600_000, tz="UTC"))
+    assert st2.deadline == ts_ms + 600_000
+
+
+def test_short_ttl_with_long_watermark_does_not_kill_query(spark, tmp_path):
+    """state_ttl shorter than the watermark lateness plus a late-but-
+    within-watermark arrival: the pre-fix setTimeoutTimestamp landed at or
+    behind the watermark and Spark killed the whole query on one row. The
+    clamp must let the stream complete."""
+    import datetime
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.stateful import (
+        streaming_exact_dedup,
+    )
+
+    t = lambda h, m: datetime.datetime(2024, 1, 1, h, m)
+    schema = "doc_id long, ts timestamp, text string"
+    batches = [
+        [(1, t(12, 0), "filler a")],   # wm advances toward 11:00
+        [(2, t(11, 4), "text x")],     # 56 min late, ttl 10 min: pre-fix
+                                       # deadline 11:14 can trail wm
+        [(3, t(13, 0), "filler b")],
+    ]
+    stream_dir = tmp_path / "ttl_clamp"
+    stream_dir.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stream_dir / f"b{i:03d}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir / "*.parquet"))
+    )
+    q = (
+        streaming_exact_dedup(
+            stream, ts_col="ts", watermark="1 hour", state_ttl="10 minutes"
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dedup_ttl_clamp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()  # pre-fix: StreamingQueryException here
+    q.stop()
+    got = {
+        r["keep_id"] for r in spark.sql("SELECT * FROM dedup_ttl_clamp").collect()
+    }
+    assert {1, 3} <= got  # the on-time rows definitely made it through

@@ -60,10 +60,18 @@ def test_batch_split_parity_and_replay_idempotency(spark, tmp_path):
     assert got == expected
     # replaying a micro-batch (the foreachBatch at-least-once case) must
     # leave every table byte-identical — batch-id-keyed dynamic overwrite
+    # recomputed against the pre-batch state (own _batch_id excluded)
     before = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    before_summary = sorted(
+        map(tuple, spark.read.parquet(idx + "_summary_parts").collect())
+    )
     ingest(b1, 1)
     assert {r["doc_id"] for r in read_survivors(spark, surv).collect()} == expected
     assert sorted(map(tuple, spark.read.parquet(idx).collect())) == before
+    assert (
+        sorted(map(tuple, spark.read.parquet(idx + "_summary_parts").collect()))
+        == before_summary
+    )
 
 
 def test_corpus_duplicates_dropped_not_first_arrivals(spark, tmp_path):
@@ -137,7 +145,10 @@ def test_replay_after_summary_crash_does_not_wedge(spark, tmp_path):
     """Crash between the index write and the summary write: the replay
     sees an index with no summary parts and must FALL BACK to deriving
     the cap in-plan (near_dup_pairs_incremental's documented path) rather
-    than failing on the missing parquet dir — then complete the publish."""
+    than failing on the missing parquet dir — then complete the publish.
+    Batch 0's lost part is then restored by ITS OWN replay, because the
+    replay excludes its own _batch_id from the index and so recomputes —
+    and rewrites — all three partitions against the pre-batch state."""
     import shutil
 
     docs = _docs(spark)
@@ -151,8 +162,74 @@ def test_replay_after_summary_crash_does_not_wedge(spark, tmp_path):
     ingest(b1, 1)  # must not raise
     got = {r["doc_id"] for r in read_survivors(spark, surv).collect()}
     assert got == _expected_batch_survivors(docs)
-    # batch 1 re-published its summary part; batch 0's stays missing until
-    # ITS replay — the reader aggregate tolerates the partial parts table
-    import os as _os
+    summary = spark.read.parquet(idx + "_summary_parts")
+    assert {r["_batch_id"] for r in summary.select("_batch_id").collect()} == {1}
+    ingest(b0, 0)  # batch 0's replay restores its lost summary part
+    summary = spark.read.parquet(idx + "_summary_parts")
+    assert {r["_batch_id"] for r in summary.select("_batch_id").collect()} == {0, 1}
+    # the restored parts equal a clean run's summary exactly
+    clean_idx = str(tmp_path / "idx5_clean")
+    clean_surv = str(tmp_path / "surv5_clean")
+    clean = make_near_dup_ingest(clean_idx, clean_surv, **_KNOBS)
+    clean(b0, 0)
+    clean(b1, 1)
+    got_parts = sorted(map(tuple, summary.collect()))
+    want_parts = sorted(
+        map(tuple, spark.read.parquet(clean_idx + "_summary_parts").collect())
+    )
+    assert got_parts == want_parts
+    # and the replay left survivors/index untouched vs the clean run
+    assert {
+        r["doc_id"] for r in read_survivors(spark, surv).collect()
+    } == {r["doc_id"] for r in read_survivors(spark, clean_surv).collect()}
 
-    assert _os.path.isdir(idx + "_summary_parts")
+
+def test_replay_excludes_own_batch_at_cap_margin(spark, tmp_path):
+    """A bucket within |batch| of max_bucket must not flip to sidelined on
+    replay: the persisted summary already contains the batch's own rows,
+    and counting them again via _n_new would re-judge an original corpus
+    dup as novel. The own-batch exclusion makes replay byte-identical even
+    at the cap margin."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the morning sun"
+    )
+    b0 = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    # doc 1 near-dups doc 0; doc 2 is unrelated filler in the same batch
+    b1 = spark.createDataFrame(
+        [
+            (1, base + " extra"),
+            (2, "completely different content about spark shuffles and "
+                "partitions and the catalyst optimizer pipeline stages"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx_cap")
+    surv = str(tmp_path / "surv_cap")
+    # max_bucket=2: corpus(1) + batch(1) per shared bucket == 2 <= cap on
+    # the first run, so doc 1 is correctly dropped as a corpus dup. A
+    # replay that double-counted batch rows would see 2 (persisted, incl.
+    # doc 1's own band row... none, it was dropped) — construct instead
+    # with doc 1 surviving: use threshold high enough that 1 is NOVEL,
+    # so its band rows ARE persisted; then replay must not sideline.
+    knobs = dict(threshold=0.99, num_hashes=4, bands=2, shingle_n=3)
+    ingest = make_near_dup_ingest(idx, surv, max_bucket=2, **knobs)
+    ingest(b0, 0)
+    ingest(b1, 1)  # doc 1 novel at thr .99; buckets now hold 2 members
+    first = {r["doc_id"] for r in read_survivors(spark, surv).collect()}
+    assert first == {0, 1, 2}
+    # replay: without own-batch exclusion the summary (2) + _n_new (1)
+    # would exceed max_bucket=2 and sideline the bucket — still novel here,
+    # but the index/summary would be recomputed against a DIFFERENT state.
+    # With exclusion everything is byte-identical.
+    before_idx = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    before_sum = sorted(
+        map(tuple, spark.read.parquet(idx + "_summary_parts").collect())
+    )
+    ingest(b1, 1)
+    assert sorted(map(tuple, spark.read.parquet(idx).collect())) == before_idx
+    assert (
+        sorted(map(tuple, spark.read.parquet(idx + "_summary_parts").collect()))
+        == before_sum
+    )
+    assert {r["doc_id"] for r in read_survivors(spark, surv).collect()} == first

@@ -71,6 +71,33 @@ def salted_sum(
             (op for op in remerge if name.endswith(f"_{op}")), None
         )
         txt = str(expr).replace("Column<'", "").rstrip("'>")
+        # DISTINCT aggregates are NOT algebraic under salting regardless of
+        # the head function: count(DISTINCT x) / sum(DISTINCT x) partials
+        # re-merged by SUM count a value once PER SALT it hashes into —
+        # plausible but wrong. The head-op dispatch alone can't see this
+        # (countDistinct's column name renders as plain "count(v)"), so
+        # probe the ANALYZED single-expression plan, where the distinct
+        # flag is rendered — one driver-side analyze, no job. Falls back to
+        # the rendered-name check where the classic-JVM plan is
+        # unreachable (Spark Connect).
+        distinct = False
+        try:
+            probe = (
+                df.select(expr.alias("__probe"))
+                ._jdf.queryExecution()
+                .analyzed()
+                .toString()
+            )
+            distinct = "(distinct " in probe
+        except Exception:
+            distinct = re.search(r"(?i)\bdistinct\b", txt) is not None
+        if distinct:
+            raise ValueError(
+                f"salted_sum: {name!r} is a DISTINCT aggregate — per-salt "
+                "distinct partials cannot be re-merged (a value appearing "
+                "under multiple salts would be counted once per salt). Use "
+                "an exact two-level countDistinct or a sketch instead"
+            )
         # unwrap CAST(...)/TRY_CAST(...) shells around the aggregate
         head = re.match(r"(?i)^(?:(?:try_)?cast\()*\s*(\w+)\(", txt)
         head_op = head.group(1).lower() if head else None

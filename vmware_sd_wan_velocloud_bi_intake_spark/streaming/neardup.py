@@ -15,16 +15,20 @@ which is what the parity test pins).
 
 Idempotent under micro-batch REPLAY (the foreachBatch at-least-once
 reality): every write is a dynamic partition overwrite keyed by
-``_batch_id``, so a retried batch rewrites its own partitions
-byte-identically instead of appending twice. The summary is therefore
-stored as per-batch PARTS (counts are associative); readers aggregate the
-parts — a bounded table, one row per (batch, bucket) touched. Two replay
-cases compose (both pinned in tests/test_streaming_neardup.py): a replay
-AFTER a complete publish finds the batch's own rows in the index, every
-doc self-matches at jaccard 1, ``novel`` is empty, and a dynamic
-overwrite carrying zero partitions touches nothing; a replay after a
-PARTIAL publish recomputes the identical novel set (the pipeline is
-deterministic) and rewrites/completes the batch's partitions.
+``_batch_id``, and the replay EXCLUDES its own ``_batch_id`` from both
+the index and the summary before the incremental check — so a retried
+batch always recomputes against exactly the pre-batch corpus state and
+rewrites all three of its partitions byte-identically, whether the prior
+attempt published completely, partially, or crashed between the index
+and summary writes (that last window used to orphan the batch's summary
+part forever: the batch's band rows were already in the index, every doc
+self-matched, ``novel`` was empty, and the zero-partition dynamic
+overwrite never rewrote the summary — undercounting the cap from then
+on). The exclusion is a partition-pruned filter on the write key, so it
+costs a listing, not a scan. The summary is stored as per-batch PARTS
+(counts are associative); readers aggregate the parts — a bounded table,
+one row per (batch, bucket) touched. All three replay cases are pinned
+in tests/test_streaming_neardup.py.
 
 Scale: per batch the work is O(|batch| × bucket-hit-rate) — the index
 side contributes precomputed rows through the bucket join (write it
@@ -46,15 +50,19 @@ from pyspark.sql import functions as F
 from ..operators import dedup
 
 
-def _summary(spark, parts_dir: str) -> DataFrame | None:
-    """Aggregated writer-maintained summary, or None when the parts dir is
-    missing (a crash between the index write and the summary write — the
-    replay must still run: near_dup_pairs_incremental's documented
-    fallback derives the summary from the index in-plan for that one
-    batch instead of wedging the stream on a nonexistent path)."""
+def _summary(spark, parts_dir: str, exclude_batch_id: int) -> DataFrame | None:
+    """Aggregated writer-maintained summary EXCLUDING the given batch's own
+    part (replay must see the pre-batch state — including it would
+    double-count the batch at the cap margin), or None when the parts dir
+    is missing entirely (a crash before any summary landed — the replay
+    must still run: near_dup_pairs_incremental's documented fallback
+    derives the summary from the index in-plan for that one batch instead
+    of wedging the stream on a nonexistent path)."""
     if not os.path.isdir(parts_dir):
         return None
-    parts = spark.read.parquet(parts_dir)
+    parts = spark.read.parquet(parts_dir).where(
+        F.col("_batch_id") != F.lit(int(exclude_batch_id))
+    )
     return parts.groupBy("bucket").agg(
         F.sum("n_members").cast("long").alias("n_members")
     )
@@ -100,8 +108,16 @@ def make_near_dup_ingest(
         in_losers = in_pairs.select(F.col("doc_b").alias(doc_id)).distinct()
         batch2 = batch1.join(in_losers, doc_id, "left_anti")
         # ---- against the persisted corpus index (O(batch)) -------------
+        # Exclude this batch's OWN partition from both the index and the
+        # summary: on replay that is exactly the pre-batch corpus state,
+        # so the novel set recomputes identically and the overwrite below
+        # restores all three partitions (including a summary part lost to
+        # a crash between the index and summary writes). Partition-pruned
+        # on the write key — a listing-level filter, not a scan.
         if os.path.isdir(index_dir):
-            index = spark.read.parquet(index_dir)
+            index = spark.read.parquet(index_dir).where(
+                F.col("_batch_id") != F.lit(int(batch_id))
+            )
             pairs = dedup.near_dup_pairs_incremental(
                 batch2,
                 index,
@@ -112,7 +128,7 @@ def make_near_dup_ingest(
                 bands=bands,
                 shingle_n=shingle_n,
                 max_bucket=max_bucket,
-                corpus_summary=_summary(spark, summary_dir),
+                corpus_summary=_summary(spark, summary_dir, batch_id),
             )
             corpus_losers = pairs.select(
                 F.col("new_doc").alias(doc_id)

@@ -145,10 +145,10 @@ DEDUP_OUTPUT_SCHEMA = T.StructType(
 def exact_dedup_state_func(key, pdfs: Iterator["pd.DataFrame"], state):
     """Per-fingerprint dedup state: fold the batch's arrivals into
     (min keep_id, cumulative dup_count) and emit the updated row."""
-    yield from _dedup_fold(key, pdfs, state, ttl_ms=None)
+    yield from _dedup_fold(key, pdfs, state, ttl_ms=None, tz="UTC")
 
 
-def _dedup_fold(key, pdfs, state, ttl_ms):
+def _dedup_fold(key, pdfs, state, ttl_ms, tz):
     import pandas as pd
 
     if getattr(state, "hasTimedOut", False):
@@ -176,7 +176,17 @@ def _dedup_fold(key, pdfs, state, ttl_ms):
             keep, cnt = batch_min, n
         state.update((keep, cnt))
     else:
-        batch_last = int(rows["ts"].max().timestamp() * 1000)
+        # Arrow hands event times to the worker tz-NAIVE, rendered in
+        # spark.sql.session.timeZone; pandas' .timestamp() would read the
+        # naive value as UTC and shift every deadline by the session tz's
+        # UTC offset. Localize per the session tz first (passed in at
+        # plan-build time) so the epoch is timezone-independent.
+        ts_max = rows["ts"].max()
+        if getattr(ts_max, "tzinfo", None) is None:
+            ts_max = pd.Timestamp(ts_max).tz_localize(
+                tz, ambiguous=True, nonexistent="shift_forward"
+            )
+        batch_last = int(ts_max.timestamp() * 1000)
         if state.exists:
             keep, cnt, last_ms = state.get
             keep, cnt = min(int(keep), batch_min), int(cnt) + n
@@ -186,19 +196,33 @@ def _dedup_fold(key, pdfs, state, ttl_ms):
         else:
             keep, cnt, last_ms = batch_min, n, batch_last
         state.update((keep, cnt, last_ms))
-        state.setTimeoutTimestamp(last_ms + ttl_ms)
+        # Spark rejects a timeout timestamp at or behind the event-time
+        # watermark (IllegalArgumentException kills the whole query). A
+        # within-watermark-late first arrival plus a state_ttl shorter
+        # than the watermark lateness can land last_ms + ttl there —
+        # semantically "already expired", so clamp to watermark + 1:
+        # evict at the first opportunity instead of dying.
+        deadline = last_ms + ttl_ms
+        try:
+            wm = int(state.getCurrentWatermarkMs())
+        except Exception:
+            wm = -1
+        if deadline <= wm:
+            deadline = wm + 1
+        state.setTimeoutTimestamp(deadline)
     yield pd.DataFrame(
         {"dedup_key": [key[0]], "keep_id": [keep], "dup_count": [cnt]}
     )
 
 
-def make_ttl_dedup_state_func(ttl_ms: int):
+def make_ttl_dedup_state_func(ttl_ms: int, tz: str = "UTC"):
     """Event-time-TTL variant of :func:`exact_dedup_state_func` — a named
     factory (no loop-variable lambda capture) whose closure holds only the
-    immutable TTL scalar."""
+    immutable TTL scalar and the session timezone (the tz in which Arrow
+    renders the tz-naive event times on the worker)."""
 
     def fn(key, pdfs, state):
-        yield from _dedup_fold(key, pdfs, state, ttl_ms=ttl_ms)
+        yield from _dedup_fold(key, pdfs, state, ttl_ms=ttl_ms, tz=tz)
 
     return fn
 
@@ -285,8 +309,9 @@ def streaming_exact_dedup(
         .withWatermark(ts_col, watermark)
         .select(*cols, F.col(ts_col).alias("ts"))
     )
+    session_tz = docs.sparkSession.conf.get("spark.sql.session.timeZone")
     return keyed.groupBy("dedup_key").applyInPandasWithState(
-        make_ttl_dedup_state_func(_duration_ms(state_ttl)),
+        make_ttl_dedup_state_func(_duration_ms(state_ttl), tz=session_tz),
         outputStructType=DEDUP_OUTPUT_SCHEMA,
         stateStructType=DEDUP_TTL_STATE_SCHEMA,
         outputMode="update",
