@@ -271,3 +271,148 @@ def test_merge_pass_three_way_property(spark):
         ).fetchone()[0]
         back = [x for x in out.split(SEP * 2) if x]
         assert back == want, (syms, l, r, back, want)
+
+
+def test_select_disjoint_pairs_unit():
+    """Greedy selection: order preserved, symbol conflicts skipped
+    (shared left, shared right, crossed, merged-token lookalike), cap
+    respected — pure driver-side logic."""
+    cands = [
+        ("a", "b", 100),   # take: occupies a, b, ab
+        ("b", "c", 90),    # skip: b occupied
+        ("c", "a", 80),    # skip: a occupied
+        ("ab", "c", 70),   # skip: 'ab' is a merged token this round creates
+        ("x", "y", 60),    # take: occupies x, y, xy
+        ("p", "q", 50),    # cap
+    ]
+    got = bpe.select_disjoint_pairs(cands, 2)
+    assert got == [("a", "b", 100), ("x", "y", 60)]
+    assert bpe.select_disjoint_pairs(cands, 10)[-1] == ("p", "q", 50)
+    assert bpe.select_disjoint_pairs([], 4) == []
+
+
+def test_multi_merge_sweep_equals_sequential_sweeps(spark):
+    """merge_pass_multi_expr's simultaneity claim: for symbol-disjoint
+    pairs, one combined sweep == sequential single-pair sweeps (any
+    order). Randomized symbol rows, several disjoint pair sets, checked
+    against a pure-Python fold of sequential sweeps."""
+    import random
+
+    rng = random.Random(20260815)
+
+    def py_sweep(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    alphabet = ["a", "b", "c", "d", "e", "f", "</w>"]
+    pair_sets = [
+        [("a", "b")],
+        [("a", "b"), ("c", "d")],
+        [("a", "a"), ("c", "d"), ("e", "f")],
+        [("b", "c"), ("e", "e")],
+    ]
+    for pairs in pair_sets:
+        rows = [
+            ([rng.choice(alphabet) for _ in range(rng.randint(0, 12))],)
+            for _ in range(40)
+        ]
+        got = (
+            spark.createDataFrame(rows, "sym array<string>")
+            .select(
+                F.col("sym"),
+                bpe.merge_pass_multi_expr(F.col("sym"), pairs).alias("m"),
+            )
+            .collect()
+        )
+        for r in got:
+            want = list(r["sym"])
+            for l, rr in pairs:
+                want = py_sweep(want, l, rr)
+            assert r["m"] == want, (r["sym"], pairs, r["m"], want)
+        # order independence: reversed application gives the same result
+        for r in got[:5]:
+            want_rev = list(r["sym"])
+            for l, rr in reversed(pairs):
+                want_rev = py_sweep(want_rev, l, rr)
+            assert r["m"] == want_rev
+
+
+def test_batched_b1_equals_exact_trainer(spark, docs):
+    """merge_batch=1 must reproduce train_bpe EXACTLY (same merges, same
+    ranks, same counts) — the property that pins the batched trainer's
+    selection + sweep to the exact spec."""
+    exact = [tuple(r) for r in bpe.train_bpe(docs, num_merges=8).collect()]
+    b1 = [
+        tuple(r)
+        for r in bpe.train_bpe_batched(docs, num_merges=8, merge_batch=1).collect()
+    ]
+    assert b1 == exact
+
+
+def test_batched_b1_equals_exact_on_random_corpora(spark):
+    """Randomized-corpus property sweep for the B=1 equivalence — small
+    synthetic corpora engineered for heavy pair ties and chains."""
+    import random
+
+    rng = random.Random(7)
+    words = ["aaa", "aab", "abab", "banana", "bandana", "cab", "dada", "abcd"]
+    for trial in range(2):
+        rows = [
+            (i, " ".join(rng.choices(words, k=rng.randint(3, 8))))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        exact = [tuple(r) for r in bpe.train_bpe(df, num_merges=6).collect()]
+        b1 = [
+            tuple(r)
+            for r in bpe.train_bpe_batched(
+                df, num_merges=6, merge_batch=1
+            ).collect()
+        ]
+        assert b1 == exact, trial
+
+
+def test_batched_drift_bounded_and_encoder_compatible(spark, docs):
+    """B>1 may reorder merges vs exact BPE (documented drift); the vocab
+    OVERLAP must stay high and the table must stay a valid bpe_encode
+    input (contiguous ranks, usable end-to-end)."""
+    exact = bpe.train_bpe(docs, num_merges=12).collect()
+    b4 = bpe.train_bpe_batched(docs, num_merges=12, merge_batch=4).collect()
+    assert [int(r["rank"]) for r in b4] == list(range(len(b4)))
+    tok_exact = {r["left"] + r["right"] for r in exact}
+    tok_b4 = {r["left"] + r["right"] for r in b4}
+    overlap = len(tok_exact & tok_b4) / max(len(tok_exact | tok_b4), 1)
+    assert overlap >= 0.6, (overlap, sorted(tok_exact), sorted(tok_b4))
+    merges_df = spark.createDataFrame(
+        b4, "rank long, left string, right string, pair_count long"
+    )
+    enc = bpe.bpe_encode(docs.limit(20), merges_df)
+    row = enc.where(F.col("n_bpe_tokens") > 0).head()
+    assert row is not None and len(row["tokens"]) == row["n_bpe_tokens"]
+
+
+def test_encode_memo_cap_is_output_invariant(spark, docs):
+    """The per-task word memo is a pure cache: cap=2 (constant clearing)
+    must produce byte-identical output to the default cap."""
+    import pytest as _pytest
+
+    merges = bpe.train_bpe(docs, num_merges=6)
+    sample = docs.limit(30)
+    base = sorted(
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in bpe.bpe_encode(sample, merges).collect()
+    )
+    capped = sorted(
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in bpe.bpe_encode(sample, merges, memo_cap=2).collect()
+    )
+    assert capped == base
+    with _pytest.raises(ValueError, match="memo_cap"):
+        bpe.bpe_encode(sample, merges, memo_cap=0)

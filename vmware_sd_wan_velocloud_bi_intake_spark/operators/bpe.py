@@ -109,6 +109,176 @@ def merge_pass_expr(sym: Column, left: str, right: str) -> Column:
     return F.aggregate(sym, init, step, fin)
 
 
+def merge_pass_multi_expr(sym: Column, pairs: list[tuple[str, str]]) -> Column:
+    """One left-to-right sweep applying a SET of symbol-disjoint pairs.
+
+    Same (out, pend) fold as :func:`merge_pass_expr`, but the hit test is a
+    map lookup over all the round's pairs, so B merges cost ONE fold per
+    word instead of B stacked folds. Correctness requires the pairs to be
+    symbol-disjoint (no symbol appears in two pairs, and no pair's merged
+    token is another pair's symbol — the batched trainer's selection rule):
+    under that constraint, merging one pair can neither create nor destroy
+    an adjacency of another, so the simultaneous sweep equals applying the
+    pairs as sequential sweeps in any order (property-tested in
+    tests/test_bpe.py). Keys use a NUL separator — unambiguous because
+    symbols never contain NUL (words come from whitespace-split
+    normalize_text output).
+    """
+    sep = "\x00"
+    lookup = F.create_map(
+        *[
+            x
+            for l, r in pairs
+            for x in (F.lit(l + sep + r), F.lit(l + r))
+        ]
+    )
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, s):
+        merged = F.try_element_at(
+            lookup, F.concat(acc["pend"], F.lit(sep), s)
+        )
+        return (
+            F.when(
+                acc["pend"].isNull(),
+                F.struct(acc["out"].alias("out"), s.alias("pend")),
+            )
+            .when(
+                merged.isNotNull(),
+                F.struct(
+                    F.concat(acc["out"], F.array(merged)).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                    s.alias("pend"),
+                )
+            )
+        )
+
+    def fin(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        )
+
+    return F.aggregate(sym, init, step, fin)
+
+
+def select_disjoint_pairs(
+    candidates: list[tuple[str, str, int]], batch: int
+) -> list[tuple[str, str, int]]:
+    """Greedy symbol-disjoint selection from (left, right, cnt) candidates
+    already ordered by the trainer's (cnt DESC, left ASC, right ASC).
+
+    A candidate is taken iff neither of its symbols is occupied, where the
+    occupied set holds every selected pair's left, right AND merged token
+    (l+r): the first two make merges order-independent within the sweep;
+    the third keeps a later candidate from pairing WITH a token this round
+    creates (its observed count predates the merge). Driver-side over a
+    bounded candidate list — pure, deterministic, unit-testable.
+    """
+    taken: list[tuple[str, str, int]] = []
+    occupied: set[str] = set()
+    for l, r, c in candidates:
+        if len(taken) >= batch:
+            break
+        if l in occupied or r in occupied or (l + r) in occupied:
+            continue
+        taken.append((l, r, c))
+        occupied.update((l, r, l + r))
+    return taken
+
+
+def train_bpe_batched(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 32,
+    min_count: int = 2,
+    merge_batch: int = 16,
+    checkpoint_every: int = 4,
+    candidate_factor: int = 4,
+) -> DataFrame:
+    """BPE training with top-B merge ROUNDS — the scale path for real
+    vocabularies.
+
+    :func:`train_bpe` is exact but job-serial in vocab size: one argmax
+    Spark job per merge, so a production 32k-token vocabulary is ~32k
+    sequential jobs — hours of pure scheduler floor (~0.3 s/job) at ANY
+    data scale. This variant keeps ONE top-K collect per round and applies
+    the ``merge_batch`` best NON-CONFLICTING pairs in a single
+    :func:`merge_pass_multi_expr` sweep, cutting the job count (and the
+    scheduler floor) ~B×.
+
+    Selection per round: collect the top ``candidate_factor × merge_batch``
+    pairs by the exact trainer's (count DESC, left, right) order, then
+    greedily take up to B symbol-disjoint ones
+    (:func:`select_disjoint_pairs`). Disjointness makes the simultaneous
+    sweep equal to sequential sweeps, so **merge_batch=1 is EXACTLY
+    train_bpe** (property-tested). For B>1 the trade-off is the standard
+    batched-BPE drift: pairs after the round's first are applied with
+    counts observed BEFORE the round's merges, so the merge SEQUENCE can
+    diverge from exact BPE's where a round's merge would have changed a
+    later winner — the resulting vocab overlap stays high (measured in
+    tests/test_bpe.py and SCALE.md) because disjoint top pairs rarely
+    interact. ``rank`` reflects application order and stays compatible
+    with :func:`bpe_encode` / :func:`save_bpe`.
+
+    Jobs per vocab: ceil(num_merges / B) argmax jobs + periodic
+    checkpoints, vs num_merges + checkpoints for the exact trainer.
+    """
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    if merge_batch < 1:
+        raise ValueError("merge_batch must be >= 1")
+    spark = docs.sparkSession
+    vocab = (
+        word_vocab(docs, text_col)
+        .select("freq", _init_symbols(F.col("word")).alias("sym"))
+        .localCheckpoint(eager=True)
+    )
+    last_ckpt = vocab
+    merges: list[tuple[int, str, str, int]] = []
+    rounds_since_ckpt = 0
+    while len(merges) < num_merges:
+        want = min(merge_batch, num_merges - len(merges))
+        top = (
+            vocab.select("freq", F.explode(_adjacent_pairs(F.col("sym"))).alias("p"))
+            .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+            .agg(F.sum("freq").alias("cnt"))
+            .where(F.col("cnt") >= F.lit(min_count))
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(max(candidate_factor * want, want + 8))
+            .collect()
+        )
+        if not top:
+            break
+        chosen = select_disjoint_pairs(
+            [(r["left"], r["right"], int(r["cnt"])) for r in top], want
+        )
+        if not chosen:
+            break
+        for l, r, c in chosen:
+            merges.append((len(merges), l, r, c))
+        vocab = vocab.withColumn(
+            "sym", merge_pass_multi_expr(F.col("sym"), [(l, r) for l, r, _ in chosen])
+        )
+        rounds_since_ckpt += 1
+        if rounds_since_ckpt >= checkpoint_every:
+            old = last_ckpt
+            vocab = vocab.localCheckpoint(eager=True)
+            last_ckpt = vocab
+            old.unpersist()
+            rounds_since_ckpt = 0
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )
+
+
 def train_bpe(
     docs: DataFrame,
     text_col: str = "text",
@@ -202,18 +372,29 @@ def bpe_encode(
     merges: DataFrame,
     doc_id: str = "doc_id",
     text_col: str = "text",
+    memo_cap: int = 262_144,
 ) -> DataFrame:
     """Tokenize the corpus with a trained merge table.
 
     The merge table is tiny (``num_merges`` rows) — collected once and
     closed over into an Arrow-batched ``mapInPandas`` (per-row iterative
     merging is dense sequential logic, the documented Python carve-out;
-    SCALE.md ground rule 1). Distinct words are memoized per batch, so the
-    per-batch cost is O(distinct words), the same word-level caching real
+    SCALE.md ground rule 1). Distinct words are memoized per task, so the
+    per-task cost is O(distinct words), the same word-level caching real
     tokenizers use. Map-only: no shuffle.
+
+    Memory contract: the memo holds at most ``memo_cap`` words and is
+    CLEARED when full (encode is pure, so eviction only costs recompute) —
+    a web-corpus partition full of unique-token noise (URLs, hex hashes)
+    cannot push unbounded Python-side memory. Zipf reality: the hot words
+    re-enter the memo immediately after a clear, so amortized hit rate is
+    barely affected. The output is memo-invariant for ANY cap (tested at
+    cap=2).
 
     Returns (doc_id, tokens array<string>, n_bpe_tokens).
     """
+    if memo_cap < 1:
+        raise ValueError("memo_cap must be >= 1")
     ranks = {
         (r["left"], r["right"]): int(r["rank"])
         for r in merges.select("rank", "left", "right").collect()
@@ -227,7 +408,10 @@ def bpe_encode(
         def enc_word(w):
             got = memo.get(w)
             if got is None:
-                got = memo[w] = apply_merges_to_word(w, ranks)
+                got = apply_merges_to_word(w, ranks)
+                if len(memo) >= memo_cap:
+                    memo.clear()
+                memo[w] = got
             return got
 
         for pdf in batches:
