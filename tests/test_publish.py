@@ -41,3 +41,91 @@ def test_gate_failure_publishes_nothing(spark, tmp_path, sf_smoke):
         )
     assert versioned.latest_version(root) is None
     assert versioned.list_versions(root) == []
+
+
+def test_relative_rule_blocks_shrunken_release(spark, tmp_path, sf_smoke):
+    """Drift gate: v2 clears every ABSOLUTE rule but drops far more than
+    the allowed row-count ratio vs v1 — it must publish nothing, and the
+    violation must be the relative rule. A third, back-in-range release
+    then publishes as v2 (the rejected attempt reserved no number)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_smoke, "documents")
+    root = str(tmp_path / "drift")
+    rules = [
+        {
+            "column": "doc_id",
+            "min_rows": 1,              # absolute floor: tiny, both clear it
+            "max_null_frac": 0.0,
+            "min_row_ratio": 0.6,       # relative: v2 may not lose >40%
+        },
+    ]
+    v1 = publish_curated_version(docs, root, rules=rules)
+    assert v1 == 1
+    # v1's manifest carries the profile that makes the drift check possible
+    prof = versioned.version_profile(root)
+    assert prof and {p["column"] for p in prof} == {"doc_id", "text"}
+    shrunk = docs.where(F.col("doc_id") % 10 == 0)  # ~10% of v1
+    with pytest.raises(ExpectationError, match="min_row_ratio"):
+        publish_curated_version(shrunk, root, rules=rules)
+    assert versioned.latest_version(root) == 1  # nothing published
+    ok = docs.where(F.col("doc_id") % 10 != 3)  # ~90% — inside the ratio
+    assert publish_curated_version(ok, root, rules=rules) == 2
+
+
+def test_relative_rules_skip_without_baseline(spark, tmp_path):
+    """v1 has no previous profile; a pre-profile manifest has none either.
+    Relative rules must be inert in both cases, not crash or block."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.plans.expectations import (
+        check_expectations,
+    )
+
+    prof = [
+        {
+            "column": "doc_id",
+            "dtype": "bigint",
+            "n_rows": 100,
+            "n_nulls": 0,
+            "null_frac": 0.0,
+            "ndv_approx": 100,
+            "min_str": "0",
+            "max_str": "99",
+            "max_len": None,
+        }
+    ]
+    rules = [{"column": "doc_id", "min_row_ratio": 0.9, "min_ndv_ratio": 0.9}]
+    assert check_expectations(prof, rules, previous=None) == []
+    # baseline present and in range → clean; halved → both ratios fire
+    prev = [dict(prof[0], n_rows=105, ndv_approx=105)]
+    assert check_expectations(prof, rules, previous=prev) == []
+    prev_big = [dict(prof[0], n_rows=250, ndv_approx=250)]
+    got = {v["rule"] for v in check_expectations(prof, rules, previous=prev_big)}
+    assert got == {"min_row_ratio", "min_ndv_ratio"}
+    # zero denominators: no baseline signal, skip
+    prev_zero = [dict(prof[0], n_rows=0, ndv_approx=0)]
+    assert check_expectations(prof, rules, previous=prev_zero) == []
+
+
+def test_null_frac_delta_rule(spark, tmp_path):
+    from vmware_sd_wan_velocloud_bi_intake_spark.plans.expectations import (
+        check_expectations,
+    )
+
+    base = {
+        "column": "text",
+        "dtype": "string",
+        "n_rows": 100,
+        "n_nulls": 0,
+        "null_frac": 0.0,
+        "ndv_approx": 90,
+        "min_str": "a",
+        "max_str": "z",
+        "max_len": 50,
+    }
+    rules = [{"column": "text", "max_null_frac_delta": 0.01}]
+    now = [dict(base, n_nulls=5, null_frac=0.05)]
+    prev = [base]
+    got = check_expectations(now, rules, previous=prev)
+    assert [v["rule"] for v in got] == ["max_null_frac_delta"]
+    # within tolerance → clean
+    assert check_expectations([dict(base, null_frac=0.009)], rules, previous=prev) == []

@@ -22,6 +22,21 @@ A rule is a dict naming a column plus any of:
   min/max (string-rendered; numeric rules are compared numerically);
 - ``max_len`` — string width ceiling.
 
+RELATIVE (drift) rules compare against the PREVIOUS release's profile
+(``previous=`` — the snapshot manifest stores it, sinks/versioned.py), so
+a release that clears every absolute floor but silently halves its row
+count vs v(N−1) still fails the gate:
+
+- ``min_row_ratio`` / ``max_row_ratio`` — bounds on n_rows / prev n_rows;
+- ``max_null_frac_delta`` — ceiling on (null_frac − prev null_frac);
+- ``min_ndv_ratio`` / ``max_ndv_ratio`` — bounds on ndv / prev ndv
+  (HLL ±~2.3% on BOTH sides: pad bounds, these catch collapses).
+
+Relative rules are skipped when there is no baseline — a first release,
+a column new in this release, or a zero-valued previous denominator —
+because "drift from nothing" is not a signal; the absolute rules are the
+bootstrap gate.
+
 ``check_expectations`` returns violation dicts (empty = clean);
 ``enforce_expectations`` raises ``ExpectationError`` listing every
 violation at once (a gate that reports one problem per run wastes runs).
@@ -52,17 +67,26 @@ def _num(v):
         return None
 
 
-def check_expectations(
-    profile: "DataFrame | list[dict]", rules: list[dict]
-) -> list[dict]:
-    """Evaluate ``rules`` against ``profile_table`` output; return the
-    violations (column, rule, expected, actual), empty when clean."""
+def _profile_rows(profile) -> dict[str, dict]:
     if hasattr(profile, "collect"):
         profile = profile.collect()
-    rows = {
+    return {
         r["column"]: (r.asDict() if hasattr(r, "asDict") else dict(r))
         for r in profile
     }
+
+
+def check_expectations(
+    profile: "DataFrame | list[dict]",
+    rules: list[dict],
+    previous: "DataFrame | list[dict] | None" = None,
+) -> list[dict]:
+    """Evaluate ``rules`` against ``profile_table`` output; return the
+    violations (column, rule, expected, actual), empty when clean.
+    ``previous`` is the prior release's profile (same shape) — required
+    only for the relative rules, which are skipped without a baseline."""
+    rows = _profile_rows(profile)
+    prev_rows = _profile_rows(previous) if previous is not None else {}
     out: list[dict] = []
 
     def viol(col, rule, expected, actual):
@@ -112,14 +136,44 @@ def check_expectations(
             ml = p.get("max_len")
             if ml is not None and ml > rule["max_len"]:
                 viol(col, "max_len", rule["max_len"], ml)
+        # ---- relative (drift) rules — need the previous profile --------
+        pv = prev_rows.get(col)
+        if pv is None:
+            continue
+        prev_n = int(pv["n_rows"])
+        if prev_n > 0:
+            ratio = n_rows / prev_n
+            if "min_row_ratio" in rule and ratio < rule["min_row_ratio"]:
+                viol(col, "min_row_ratio", rule["min_row_ratio"], round(ratio, 6))
+            if "max_row_ratio" in rule and ratio > rule["max_row_ratio"]:
+                viol(col, "max_row_ratio", rule["max_row_ratio"], round(ratio, 6))
+        if "max_null_frac_delta" in rule:
+            delta = float(p["null_frac"]) - float(pv["null_frac"])
+            if delta > rule["max_null_frac_delta"]:
+                viol(
+                    col,
+                    "max_null_frac_delta",
+                    rule["max_null_frac_delta"],
+                    round(delta, 6),
+                )
+        prev_ndv = pv.get("ndv_approx")
+        ndv_now = p.get("ndv_approx")
+        if prev_ndv and ndv_now is not None:
+            nratio = ndv_now / prev_ndv
+            if "min_ndv_ratio" in rule and nratio < rule["min_ndv_ratio"]:
+                viol(col, "min_ndv_ratio", rule["min_ndv_ratio"], round(nratio, 6))
+            if "max_ndv_ratio" in rule and nratio > rule["max_ndv_ratio"]:
+                viol(col, "max_ndv_ratio", rule["max_ndv_ratio"], round(nratio, 6))
     return out
 
 
 def enforce_expectations(
-    profile: "DataFrame | list[dict]", rules: list[dict]
+    profile: "DataFrame | list[dict]",
+    rules: list[dict],
+    previous: "DataFrame | list[dict] | None" = None,
 ) -> None:
     """Gate form: raise :class:`ExpectationError` listing EVERY violation
     (one report per run, not one problem per run); no-op when clean."""
-    violations = check_expectations(profile, rules)
+    violations = check_expectations(profile, rules, previous=previous)
     if violations:
         raise ExpectationError(violations)

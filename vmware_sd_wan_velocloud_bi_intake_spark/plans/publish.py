@@ -24,15 +24,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from ..operators.profile import profile_table
-from ..sinks.versioned import write_version
+from ..sinks.versioned import version_profile, write_version
 from .curation import curate_corpus
 from .expectations import enforce_expectations
 
 
 DEFAULT_RULES = [
-    # the floor any corpus release must clear: rows exist, ids are ids
-    {"column": "doc_id", "min_rows": 1, "max_null_frac": 0.0, "min_ndv": 1},
-    {"column": "text", "max_null_frac": 0.0},
+    # the floor any corpus release must clear: rows exist, ids are ids —
+    # plus the drift floor: a release may not silently drop more than half
+    # its rows or go nullier vs the previous version (relative rules are
+    # skipped for v1 / pre-profile baselines — absolute rules bootstrap)
+    {
+        "column": "doc_id",
+        "min_rows": 1,
+        "max_null_frac": 0.0,
+        "min_ndv": 1,
+        "min_row_ratio": 0.5,
+    },
+    {"column": "text", "max_null_frac": 0.0, "max_null_frac_delta": 0.0},
 ]
 
 
@@ -53,11 +62,24 @@ def publish_curated_version(
     :class:`~.expectations.ExpectationError` (publishing nothing) when
     the curated output violates the rules; the curation caches are
     released on every path.
+
+    Drift awareness: the gate also evaluates the rules' RELATIVE clauses
+    against the previous published version's profile (stored in its
+    manifest), and this release's profile is embedded in the new manifest
+    for the next cycle — so a release that clears every absolute floor
+    but halves its row count vs v(N−1) publishes nothing. The profile is
+    collected once and reused for the gate and the manifest.
     """
     res = curate_corpus(docs, **curate_kwargs)
     try:
-        prof = profile_table(res.curated, ["doc_id", "text"])
-        enforce_expectations(prof, rules if rules is not None else DEFAULT_RULES)
-        return write_version(res.curated, root, note=note)
+        prof_rows = [
+            r.asDict() for r in profile_table(res.curated, ["doc_id", "text"]).collect()
+        ]
+        enforce_expectations(
+            prof_rows,
+            rules if rules is not None else DEFAULT_RULES,
+            previous=version_profile(root),
+        )
+        return write_version(res.curated, root, note=note, profile=prof_rows)
     finally:
         res.release()

@@ -89,12 +89,23 @@ def list_versions(root: str) -> list[dict]:
     return sorted(out, key=lambda m: m["version"])
 
 
-def write_version(df: DataFrame, root: str, note: str = "") -> int:
+def write_version(
+    df: DataFrame,
+    root: str,
+    note: str = "",
+    profile: list[dict] | None = None,
+) -> int:
     """Publish ``df`` as the next version; returns the version number.
 
     Versions are linear: next = latest + 1. A crashed previous attempt at
     the same number (orphan dir, no manifest) is overwritten — it was
     never visible. The pointer rename is the commit point.
+
+    ``profile`` (optional) is the release's ``profile_table`` output as a
+    list of plain dicts; it is embedded in the manifest so the NEXT
+    release's expectation gate can evaluate drift rules (row-count ratio,
+    null-frac delta, ndv ratio) against this one — O(columns) JSON, not
+    data.
     """
     os.makedirs(root, exist_ok=True)
     head = latest_version(root)
@@ -102,19 +113,34 @@ def write_version(df: DataFrame, root: str, note: str = "") -> int:
     data = _data_dir(root, version)
     df.write.mode("overwrite").parquet(data)
     n_rows = df.sparkSession.read.parquet(data).count()
-    atomic_write_text(
-        _manifest(root, version),
-        json.dumps(
-            {
-                "version": version,
-                "rows": int(n_rows),
-                "schema": df.schema.simpleString(),
-                "note": note,
-            }
-        ),
-    )
+    manifest = {
+        "version": version,
+        "rows": int(n_rows),
+        "schema": df.schema.simpleString(),
+        "note": note,
+    }
+    if profile is not None:
+        manifest["profile"] = profile
+    atomic_write_text(_manifest(root, version), json.dumps(manifest))
     atomic_write_text(_pointer(root), str(version))
     return version
+
+
+def version_profile(root: str, version: int | None = None) -> list[dict] | None:
+    """The profile embedded in a PUBLISHED version's manifest (head by
+    default), or None when the version exists without one (pre-profile
+    publishes) or there are no published versions — callers treat None as
+    'no drift baseline'."""
+    head = latest_version(root)
+    if version is None:
+        version = head
+    if version is None or head is None or version > head:
+        return None
+    try:
+        with open(_manifest(root, version)) as f:
+            return json.load(f).get("profile")
+    except FileNotFoundError:
+        return None
 
 
 def read_version(
