@@ -143,3 +143,90 @@ def test_split_leakage_composes_with_hash_split(spark, sf_smoke):
     for r in out:
         assert r["split_a"] != r["split_b"]
         assert r["jaccard"] >= 0.4
+
+
+_LEAK_KNOBS = dict(threshold=0.4, num_hashes=4, bands=2, shingle_n=3)
+
+
+def _leaky_corpus(spark):
+    """Forced-leak corpus with a transitive chain straddling the split:
+    0(train)~1(val)~2(val) is ONE cluster (0~2 may miss the threshold);
+    4/5 are a clean same-split dup pair; 3 and 6 are singletons."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the morning sun"
+    )
+    rows = [
+        (0, base, "train"),
+        (1, base + " today", "val"),
+        (2, base + " today and tomorrow", "val"),
+        (3, "completely different content about spark shuffles and "
+            "partitions and the catalyst optimizer stages", "val"),
+        (4, "numbers one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen", "train"),
+        (5, "numbers one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen fifteen", "train"),
+        (6, "a third unrelated document mentioning broadcast joins and "
+            "adaptive query execution and shuffle partitions", "train"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, split string")
+
+
+def test_fix_split_leakage_refold_reaudits_clean(spark):
+    """audit → refold → re-audit returns EMPTY, the whole cluster lands in
+    the min-id member's split, and untouched docs keep their labels."""
+    df = _leaky_corpus(spark)
+    assert export.split_leakage_pairs(df, "doc_id", "text", **_LEAK_KNOBS).count() > 0
+    fixed = export.fix_split_leakage(
+        df, "doc_id", "text", mode="refold", **_LEAK_KNOBS
+    )
+    assert (
+        export.split_leakage_pairs(fixed, "doc_id", "text", **_LEAK_KNOBS).count()
+        == 0
+    )
+    got = {r["doc_id"]: r["split"] for r in fixed.collect()}
+    # cluster {0,1,2} folds to doc 0's split; everything else unchanged
+    assert got == {
+        0: "train", 1: "train", 2: "train",
+        3: "val", 4: "train", 5: "train", 6: "train",
+    }
+    assert fixed.count() == df.count()  # refold never drops rows
+
+
+def test_fix_split_leakage_drop_reaudits_clean(spark):
+    """drop mode: labels never change; cluster members whose split differs
+    from the canonical one are removed; re-audit clean."""
+    df = _leaky_corpus(spark)
+    fixed = export.fix_split_leakage(
+        df, "doc_id", "text", mode="drop", **_LEAK_KNOBS
+    )
+    assert (
+        export.split_leakage_pairs(fixed, "doc_id", "text", **_LEAK_KNOBS).count()
+        == 0
+    )
+    got = {r["doc_id"]: r["split"] for r in fixed.collect()}
+    # val-side members of the straddling cluster dropped; 4/5 (same-split
+    # cluster) and singletons survive with original labels
+    assert got == {0: "train", 3: "val", 4: "train", 5: "train", 6: "train"}
+
+
+def test_fix_split_leakage_mode_validation(spark):
+    df = _leaky_corpus(spark)
+    with pytest.raises(ValueError, match="refold"):
+        export.fix_split_leakage(df, "doc_id", "text", mode="nope")
+
+
+def test_fix_split_leakage_end_to_end_with_hash_split(spark, sf_smoke):
+    """Fixture-scale composition: id-hash split → refold → audit clean."""
+    docs = load_table(spark, sf_smoke, "documents")
+    labeled = export.split_by_hash(
+        docs, "doc_id", {"train": 0.8, "val": 0.2}, seed=3
+    )
+    fixed = export.fix_split_leakage(
+        labeled, "doc_id", "text", mode="refold", **_LEAK_KNOBS
+    )
+    assert (
+        export.split_leakage_pairs(fixed, "doc_id", "text", **_LEAK_KNOBS).count()
+        == 0
+    )
+    assert fixed.count() == labeled.count()

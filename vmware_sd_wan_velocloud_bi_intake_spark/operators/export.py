@@ -184,3 +184,80 @@ def split_leakage_pairs(
         )
         .where(F.col("split_a") != F.col("split_b"))
     )
+
+
+def fix_split_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_name: str = "split",
+    *,
+    mode: str = "refold",
+    threshold: float = 0.7,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """The ACTION to :func:`split_leakage_pairs`' audit: make the split
+    assignment near-dup-clean, so a re-audit (same LSH knobs) returns
+    empty.
+
+    Leakage is transitive — A(train)~B(val) and B~C(val) means moving B
+    alone just moves the straddle to B~C — so the fix operates on whole
+    duplicate CLUSTERS (``duplicate_components`` over the full near-dup
+    pair graph, operators/dedup.py), not on the cross-split pairs the
+    audit reports. Every cluster gets ONE canonical split: the split of
+    its minimum-id member (the component label itself, so the canonical
+    split is one join away and deterministic run-to-run).
+
+    ``mode="refold"`` RELABELS every clustered document to its cluster's
+    canonical split (keeps all rows; val loses/gains a few near-dup
+    documents — re-check split sizes if the eval budget is tight).
+    ``mode="drop"`` instead DROPS clustered documents whose split differs
+    from the canonical one (keeps labels stable at the cost of rows —
+    the "drop val-side members" policy when train must not change).
+
+    Both modes leave un-clustered documents (the overwhelming majority)
+    untouched, and both guarantee the re-audit is empty: every surviving
+    near-dup pair lies inside one cluster, and each cluster's survivors
+    share one split.
+
+    Scale: one near-dup pass (bucketed, never all-pairs) + O(log n)
+    hash-min rounds over the pair graph + two joins against the tiny
+    (clustered-id, split) projections — the corpus itself is touched by
+    exactly one join on ``id_col``. Cost is the audit's own near-dup pass
+    — run fix INSTEAD of audit-then-fix when you already know you'll act.
+    """
+    if mode not in ("refold", "drop"):
+        raise ValueError(f"mode must be 'refold' or 'drop', got {mode!r}")
+    from .dedup import duplicate_components, near_dup_pairs
+
+    pairs = near_dup_pairs(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        max_bucket=max_bucket,
+    )
+    comp = duplicate_components(pairs)  # (doc_id, component=min cluster id)
+    canon = comp.join(
+        df.select(
+            F.col(id_col).alias("component"),
+            F.col(split_name).alias("_canon_split"),
+        ),
+        "component",
+    ).select(F.col("doc_id").alias(id_col), "_canon_split")
+    out = df.join(canon, id_col, "left")
+    if mode == "refold":
+        return out.withColumn(
+            split_name,
+            F.coalesce(F.col("_canon_split"), F.col(split_name)),
+        ).drop("_canon_split")
+    return out.where(
+        F.col("_canon_split").isNull()
+        | (F.col("_canon_split") == F.col(split_name))
+    ).drop("_canon_split")
