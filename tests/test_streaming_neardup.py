@@ -233,3 +233,88 @@ def test_replay_excludes_own_batch_at_cap_margin(spark, tmp_path):
         == before_sum
     )
     assert {r["doc_id"] for r in read_survivors(spark, surv).collect()} == first
+
+
+def test_summary_compaction_bounds_parts_and_preserves_replay(spark, tmp_path):
+    """A long stream's summary parts fold into one base part (reader cost
+    O(buckets), not O(batches × buckets)); aggregate totals are
+    unchanged; and a replay ACROSS the compaction boundary stays
+    byte-identical — the base id −1 never collides with the own-batch
+    exclusion."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.neardup import (
+        compact_summary_parts,
+    )
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx_comp")
+    surv = str(tmp_path / "surv_comp")
+    # compaction auto-fires on batch 4 (every 4th), folding batches 0-3
+    ingest = make_near_dup_ingest(
+        idx, surv, compact_summary_every=4, **_KNOBS
+    )
+    batches = [
+        docs.where("doc_id < 2"),
+        docs.where("doc_id = 2"),
+        docs.where("doc_id = 3"),   # corpus near-dup: no novel rows
+        docs.where("doc_id = 5"),   # exact dup: no novel rows either
+        docs.where("doc_id = 4"),   # NOVEL — batch 4 writes a summary part
+    ]
+    for i, b in enumerate(batches[:4]):
+        ingest(b, i)
+    sum_dir = idx + "_summary_parts"
+    before_totals = sorted(
+        map(tuple, spark.read.parquet(sum_dir)
+            .groupBy("bucket").sum("n_members").collect())
+    )
+    ingest(batches[4], 4)  # triggers compaction of parts 0-3, then writes 4
+    parts = spark.read.parquet(sum_dir)
+    ids = {r["_batch_id"] for r in parts.select("_batch_id").distinct().collect()}
+    assert ids == {-1, 4}, ids  # base part + the current batch only
+    # totals: base(0-3) + batch4 == pre-compaction(0-3) + batch4
+    after_totals = sorted(
+        map(tuple, parts.groupBy("bucket").sum("n_members").collect())
+    )
+    b4 = {
+        r["bucket"]: r["sum(n_members)"]
+        for r in parts.where("_batch_id = 4")
+        .groupBy("bucket").sum("n_members").collect()
+    }
+    pre = {b: n for b, n in before_totals}
+    for bucket, total in after_totals:
+        assert total == pre.get(bucket, 0) + b4.get(bucket, 0)
+    # survivors equal the one-shot batch run (semantics preserved)
+    assert {
+        r["doc_id"] for r in read_survivors(spark, surv).collect()
+    } == _expected_batch_survivors(docs)
+    # replay across the compaction boundary: byte-identical everything
+    before_idx = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    before_sum = sorted(map(tuple, spark.read.parquet(sum_dir).collect()))
+    ingest(batches[4], 4)
+    assert sorted(map(tuple, spark.read.parquet(idx).collect())) == before_idx
+    assert sorted(map(tuple, spark.read.parquet(sum_dir).collect())) == before_sum
+    # explicit re-compaction at the same boundary is an idempotent no-op
+    # (everything below 4 is already one base part)
+    assert compact_summary_parts(spark, idx, 4) is False
+    assert sorted(map(tuple, spark.read.parquet(sum_dir).collect())) == before_sum
+
+
+def test_compact_summary_parts_noop_cases(spark, tmp_path):
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.neardup import (
+        compact_summary_parts,
+    )
+
+    # missing dir → False, nothing created
+    assert compact_summary_parts(spark, str(tmp_path / "nope"), 5) is False
+    # single part below the boundary → False (nothing to fold)
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx_noop")
+    surv = str(tmp_path / "surv_noop")
+    ingest = make_near_dup_ingest(idx, surv, compact_summary_every=None, **_KNOBS)
+    ingest(docs.where("doc_id < 3"), 0)
+    assert compact_summary_parts(spark, idx, 1) is False
+    ids = {
+        r["_batch_id"]
+        for r in spark.read.parquet(idx + "_summary_parts")
+        .select("_batch_id").distinct().collect()
+    }
+    assert ids == {0}

@@ -68,6 +68,81 @@ def _summary(spark, parts_dir: str, exclude_batch_id: int) -> DataFrame | None:
     )
 
 
+_BASE_PART = -1  # reserved _batch_id for the compacted summary base
+
+
+def compact_summary_parts(spark, index_dir: str, before_batch_id: int) -> bool:
+    """Roll summary parts with ``_batch_id < before_batch_id`` into ONE
+    base part (``_batch_id = -1``), bounding the reader aggregate at
+    O(buckets) instead of O(batches × buckets) on a long-lived stream.
+
+    SAFE only for batches that can no longer replay: foreachBatch
+    serializes epochs, so when batch B runs, every batch < B has
+    committed — pass ``before_batch_id = current batch id`` (the ingest's
+    auto-compaction does). The base id −1 never equals a real batch id,
+    so the replay-time own-batch exclusion filter keeps working, and
+    counts are associative so folding parts never changes the aggregate
+    (verified per-bucket before the swap). The rewrite uses the
+    staging-dir rename swap (sinks/upsert.py): readers never observe a
+    half-compacted parts table, and a crash mid-compaction leaves the
+    original intact — re-running is idempotent.
+
+    Returns True when a compaction happened (≥2 foldable parts), False
+    for the no-op cases (missing dir, nothing to fold).
+    """
+    from ..sinks.upsert import swap_into_place
+
+    parts_dir = index_dir.rstrip("/") + "_summary_parts"
+    if not os.path.isdir(parts_dir):
+        return False
+    parts = spark.read.parquet(parts_dir)
+    old = parts.where(F.col("_batch_id") < F.lit(int(before_batch_id)))
+    old_ids = [r["_batch_id"] for r in old.select("_batch_id").distinct().collect()]
+    if len(old_ids) < 2:
+        return False  # zero/one foldable part: compaction buys nothing
+    keep = parts.where(F.col("_batch_id") >= F.lit(int(before_batch_id)))
+    base = (
+        old.groupBy("bucket")
+        .agg(F.sum("n_members").cast("long").alias("n_members"))
+        .withColumn("_batch_id", F.lit(_BASE_PART))
+    )
+    merged = base.unionByName(keep.select("bucket", "n_members", "_batch_id"))
+    import tempfile
+
+    staging = tempfile.mkdtemp(
+        prefix=os.path.basename(parts_dir) + ".compact.",
+        dir=os.path.dirname(parts_dir) or ".",
+    )
+    try:
+        merged.write.mode("overwrite").partitionBy("_batch_id").parquet(staging)
+        # associativity check: per-bucket totals must be byte-identical
+        before = {
+            r["bucket"]: r["n"]
+            for r in parts.groupBy("bucket")
+            .agg(F.sum("n_members").alias("n"))
+            .collect()
+        }
+        after = {
+            r["bucket"]: r["n"]
+            for r in spark.read.parquet(staging)
+            .groupBy("bucket")
+            .agg(F.sum("n_members").alias("n"))
+            .collect()
+        }
+        if before != after:
+            raise RuntimeError(
+                "compact_summary_parts: per-bucket totals changed; "
+                "refusing the swap"
+            )
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    swap_into_place(staging, parts_dir)
+    return True
+
+
 def make_near_dup_ingest(
     index_dir: str,
     survivors_dir: str,
@@ -79,6 +154,7 @@ def make_near_dup_ingest(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int = 1024,
+    compact_summary_every: int | None = 64,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` body: ``fn(batch_df, batch_id)``.
 
@@ -86,11 +162,26 @@ def make_near_dup_ingest(
     append, any trigger). The LSH knobs must match across every ingest
     that shares ``index_dir`` — band rows from different (num_hashes,
     bands, shingle_n) are not comparable.
+
+    Every ``compact_summary_every`` batches the per-batch summary parts
+    older than the current batch are rolled into one base part
+    (:func:`compact_summary_parts`) — without it a long-lived stream's
+    summary read cost creeps linearly with batch count. Pass None to
+    disable (e.g. when an external maintenance job owns compaction).
     """
     summary_dir = index_dir.rstrip("/") + "_summary_parts"
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if (
+            compact_summary_every
+            and batch_id > 0
+            and batch_id % compact_summary_every == 0
+        ):
+            # before the summary read below: batches < batch_id are all
+            # committed (foreachBatch serializes epochs) — never this
+            # batch's own part, so replay exclusion is unaffected
+            compact_summary_parts(spark, index_dir, batch_id)
         # ---- within-batch dedup (exact, then verified near-dup) --------
         exact = dedup.exact_dedup_keys(batch_df, doc_id, text_col)
         keep = exact.select(F.col("keep_id").alias(doc_id))
