@@ -403,3 +403,54 @@ def test_pq_artifact_roundtrip(spark, emb, books, tmp_path):
         json.dump(payload, f)
     with pytest.raises(ValueError, match="shape mismatch"):
         pq.load_pq_codebooks(p)
+
+
+def test_cell_occupancy_profile_counts(spark, emb):
+    cents, members, books = pq.ivf_pq_index(emb, n_cells=8, m=8, ksub=16)
+    prof = pq.cell_occupancy_profile(members)
+    assert prof["n_vectors"] == emb.count()
+    assert prof["n_cells"] <= 8 and prof["n_cells"] >= 1
+    assert sum(prof["counts"].values()) == prof["n_vectors"]
+    assert 0 < prof["max_frac"] <= 1.0
+    assert prof["imbalance"] >= 1.0
+
+
+def test_occupancy_drift_trips_on_shift_not_in_distribution(spark, emb):
+    """The documented retrain monitor: an in-distribution append's cell
+    histogram matches the build-time profile (TV ≈ sampling noise, below
+    the threshold); a topic-shifted batch concentrates into ill-fitting
+    cells and trips it."""
+    half = emb.where("vec_id % 2 = 0")
+    cents, members, books = pq.ivf_pq_index(half, n_cells=8, m=8, ksub=16)
+    baseline = pq.cell_occupancy_profile(members)
+    # in-distribution: the held-out half of the SAME corpus
+    indist = pq.ivf_pq_append(
+        emb.where("vec_id % 2 = 1"), cents, books
+    )
+    ok = pq.occupancy_drift(baseline, indist)
+    assert not ok["retrain"], ok
+    # drifted: every vector pulled hard toward one fixed anchor (a new
+    # topic cluster the quantizer never saw)
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal(64)
+    a = a / np.linalg.norm(a)
+    anchor = F.array(*[F.lit(float(x)) for x in a])
+    shifted = emb.where("vec_id % 2 = 1").select(
+        "vec_id",
+        F.zip_with(
+            similarity.as_double_array(F.col("embedding")),
+            anchor,
+            lambda v, x: F.lit(0.1) * v + x,
+        ).alias("embedding"),
+    )
+    drifted = pq.ivf_pq_append(shifted, cents, books)
+    bad = pq.occupancy_drift(baseline, drifted)
+    assert bad["retrain"], bad
+    assert bad["tv_distance"] > ok["tv_distance"]
+    # dict-form baseline (manifest-stored) gives the identical verdict
+    again = pq.occupancy_drift(baseline, pq.cell_occupancy_profile(drifted))
+    assert again["tv_distance"] == bad["tv_distance"]
+    with pytest.raises(ValueError, match="empty"):
+        pq.occupancy_drift(
+            {"counts": {}, "n_vectors": 0, "n_cells": 0}, baseline
+        )

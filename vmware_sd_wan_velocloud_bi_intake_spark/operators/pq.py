@@ -231,7 +231,9 @@ def ivf_pq_append(
     Standard caveat (faiss ships the same): appended vectors are encoded
     at quantizers trained before they existed, so recall decays if the
     batch distribution drifts — retrain + rebuild when drift accumulates
-    (monitor via the cell-occupancy profile).
+    (monitor: :func:`cell_occupancy_profile` at build time →
+    :func:`occupancy_drift` per appended batch; it returns a ``retrain``
+    verdict at a documented TV-distance threshold).
     """
     from .similarity import _assign_cells
 
@@ -575,3 +577,75 @@ def load_pq_codebooks(path: str) -> list[list[list[float]]]:
     ) or any(len(c) != payload["dsub"] for b in books for c in b):
         raise ValueError(f"pq artifact shape mismatch in {path}")
     return books
+
+
+def cell_occupancy_profile(members: DataFrame) -> dict:
+    """Per-cell occupancy of an IVF(-PQ) members relation, plus the skew
+    statistics a drift monitor reads.
+
+    Returns ``{"n_vectors", "n_cells", "counts": {cell: n}, "max_frac"
+    (hottest cell's share), "imbalance" (max/mean occupancy — 1.0 is
+    perfectly balanced)}``. One count aggregation, n_cells rows to the
+    driver — bounded by the quantizer size, never the corpus.
+    """
+    rows = members.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    counts = {int(r["cell"]): int(r["n"]) for r in rows}
+    total = sum(counts.values())
+    n_cells = len(counts)
+    max_n = max(counts.values(), default=0)
+    mean = total / n_cells if n_cells else 0.0
+    return {
+        "n_vectors": total,
+        "n_cells": n_cells,
+        "counts": counts,
+        "max_frac": (max_n / total) if total else 0.0,
+        "imbalance": (max_n / mean) if mean else 0.0,
+    }
+
+
+def occupancy_drift(
+    baseline: "dict | DataFrame",
+    batch: "dict | DataFrame",
+    *,
+    retrain_threshold: float = 0.25,
+) -> dict:
+    """Distribution drift of an appended batch vs the index's build-time
+    occupancy — the monitor :func:`ivf_pq_append`'s caveat calls for.
+
+    Appends encode at quantizers trained before the batch existed; when
+    the batch's data distribution shifts, its coarse-cell histogram
+    diverges from the corpus's (new-topic mass piles into a few
+    ill-fitting cells). The statistic is total-variation distance between
+    the two normalized cell histograms — ``0.5 · Σ|p_c − q_c|`` over the
+    union of cells, in [0, 1], robust to batch size. ``retrain`` is True
+    when it exceeds ``retrain_threshold``.
+
+    Threshold guidance: in-distribution appends measure TV ≈ sampling
+    noise (≤~0.1 for batches of a few hundred at 32 cells — tested);
+    topic-shifted batches concentrate mass and clear 0.25 easily. TV is a
+    RETRAIN signal, not a correctness gate — appended vectors stay
+    searchable either way, recall just decays with drift.
+
+    Both arguments accept a members DataFrame or a precomputed
+    :func:`cell_occupancy_profile` dict (store the build-time profile in
+    the index manifest and pass it here without touching the corpus).
+    """
+    if not isinstance(baseline, dict):
+        baseline = cell_occupancy_profile(baseline)
+    if not isinstance(batch, dict):
+        batch = cell_occupancy_profile(batch)
+    p, q = baseline["counts"], batch["counts"]
+    np_, nq = baseline["n_vectors"], batch["n_vectors"]
+    if np_ == 0 or nq == 0:
+        raise ValueError("occupancy_drift: empty baseline or batch profile")
+    cells = set(p) | set(q)
+    tv = 0.5 * sum(
+        abs(p.get(c, 0) / np_ - q.get(c, 0) / nq) for c in cells
+    )
+    return {
+        "tv_distance": tv,
+        "retrain": tv > retrain_threshold,
+        "retrain_threshold": retrain_threshold,
+        "baseline_cells": baseline["n_cells"],
+        "batch_cells": batch["n_cells"],
+    }
