@@ -12,10 +12,11 @@ DRIVER_WINDOW = 50
 
 # the block VERDICT r1 flagged as never driver-verified (or the vehicles
 # that absorbed them — r7 folded f09_epoch_roundtrip into f28_json_extract
-# and a15_census into p07_edge_attributes) — must stay inside the window
+# and a15_census into p07_edge_attributes; r8 folded u01_geo_enrich into
+# g01_gateway_rollup) — must stay inside the window
 ROUND1_UNCHECKED_BLOCK = {
     "eav_melt_pivot",
-    "u01_geo_enrich",
+    "g01_gateway_rollup",
     "f28_json_extract",
     "a17_order_banding",
     "j10_asof_join",

@@ -154,6 +154,15 @@ def gateway_metrics_max(
         F.get_json_object("endpoint", "$.gatewayId").cast("long").alias("gateway_id"),
         F.explode(F.from_json("payload", METRICS_SCHEMA)["series"]).alias("s"),
     )
+    return rollup_status_series(samples)
+
+
+def rollup_status_series(samples: DataFrame) -> DataFrame:
+    """The A14 rollup itself — per-gateway max-aggregates over a status
+    sample relation (vco, gateway_id, s struct<ts, cpuPct, memoryPct,
+    flowCount, tunnelCount>). Split from the fetch so the catalog vehicle
+    (queries/scalars.g01_gateway_rollup) drives the exact production
+    aggregation against an oracle. One keyed groupBy, map-side combine."""
     return samples.groupBy("vco", "gateway_id").agg(
         F.max("s.cpuPct").alias("max_cpu_pct"),
         F.max("s.memoryPct").alias("max_memory_pct"),

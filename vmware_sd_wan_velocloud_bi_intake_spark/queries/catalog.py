@@ -19,7 +19,8 @@ from .base import Q
 
 # Round-1-unchecked block (VERDICT.md "What's missing" #1), including the
 # vehicles that absorbed judge-blessed folds (o02→f09, w06→f28, f22→a17,
-# a20→a19, eav_melt+eav_pivot→eav_melt_pivot; r7: f09→f28, a15→p07 — freeing
+# a20→a19, eav_melt+eav_pivot→eav_melt_pivot; r7: f09→f28, a15→p07; r8:
+# u01→g01_gateway_rollup, putting the §3.2 gateway DAG under the gate — freeing
 # two slots so the round-5/6 flagship operators BPE and the quality
 # classifier get their own hash-checked rows, per the r6 verdict's top
 # item), then the TPC-H shapes and the new medallion entries; the remainder
@@ -27,7 +28,7 @@ from .base import Q
 ORDER: list[str] = [
     # -- previously outside the driver window -----------------------------
     "eav_melt_pivot",
-    "u01_geo_enrich",
+    "g01_gateway_rollup",
     "f28_json_extract",
     "a17_order_banding",
     "j10_asof_join",
