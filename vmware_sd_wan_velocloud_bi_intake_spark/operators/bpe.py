@@ -268,7 +268,9 @@ def train_bpe_batched(
             "sym", merge_pass_multi_expr(F.col("sym"), [(l, r) for l, r, _ in chosen])
         )
         rounds_since_ckpt += 1
-        if rounds_since_ckpt >= checkpoint_every:
+        # same end-of-training skip as train_bpe: no materialization job
+        # for a vocab the loop is about to discard
+        if rounds_since_ckpt >= checkpoint_every and len(merges) < num_merges:
             old = last_ckpt
             vocab = vocab.localCheckpoint(eager=True)
             last_ckpt = vocab
@@ -326,7 +328,10 @@ def train_bpe(
         l, r, c = best[0]["left"], best[0]["right"], int(best[0]["cnt"])
         merges.append((rank, l, r, c))
         vocab = vocab.withColumn("sym", merge_pass_expr(F.col("sym"), l, r))
-        if (rank + 1) % checkpoint_every == 0:
+        # skip the checkpoint when training is about to end: the vocab is
+        # discarded after the loop, so a final-materialization job would
+        # buy nothing (one full vocab write per run saved)
+        if (rank + 1) % checkpoint_every == 0 and rank + 1 < num_merges:
             old = last_ckpt
             vocab = vocab.localCheckpoint(eager=True)
             last_ckpt = vocab

@@ -936,8 +936,14 @@ _BPE_MIN_COUNT = 2
 
 def txt_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # checkpoint_every > num_merges: at 8 merges the un-truncated plan is
+    # 8 cheap JVM folds stacked on the (checkpointed) initial vocab — far
+    # cheaper than any mid-run vocab materialization job (bench A/B r8)
     merges = bpe.train_bpe(
-        docs, num_merges=_BPE_MERGES, min_count=_BPE_MIN_COUNT
+        docs,
+        num_merges=_BPE_MERGES,
+        min_count=_BPE_MIN_COUNT,
+        checkpoint_every=_BPE_MERGES + 1,
     )
     enc = bpe.bpe_encode(docs, merges)
     stats = enc.agg(
