@@ -318,3 +318,27 @@ def test_compact_summary_parts_noop_cases(spark, tmp_path):
         .select("_batch_id").distinct().collect()
     }
     assert ids == {0}
+
+
+def test_knob_fingerprint_blocks_mismatched_ingest(spark, tmp_path):
+    """A second ingest sharing the index with DIFFERENT LSH knobs must
+    fail its first batch loudly (band rows from different shapes are not
+    comparable); same-knob ingests — new process, replay — keep working."""
+    import pytest as _pytest
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx_knobs")
+    surv = str(tmp_path / "surv_knobs")
+    ingest = make_near_dup_ingest(idx, surv, **_KNOBS)
+    ingest(docs.where("doc_id < 3"), 0)
+    # a fresh builder with identical knobs (restart) proceeds
+    again = make_near_dup_ingest(idx, surv, **_KNOBS)
+    again(docs.where("doc_id >= 3"), 1)
+    # a misconfigured redeploy is refused before any write
+    bad = make_near_dup_ingest(
+        idx, surv, threshold=0.4, num_hashes=8, bands=4, shingle_n=3
+    )
+    before = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    with _pytest.raises(ValueError, match="knobs differ"):
+        bad(docs.where("doc_id = 5"), 2)
+    assert sorted(map(tuple, spark.read.parquet(idx).collect())) == before

@@ -161,7 +161,14 @@ def make_near_dup_ingest(
     Wire it as ``stream.writeStream.foreachBatch(fn)`` (output mode
     append, any trigger). The LSH knobs must match across every ingest
     that shares ``index_dir`` — band rows from different (num_hashes,
-    bands, shingle_n) are not comparable.
+    bands, shingle_n) are not comparable. This is ENFORCED: the first
+    ingest fingerprints its knobs at ``<index_dir>_knobs.json`` (atomic
+    write) and every later ingest — any process, any restart — validates
+    against it, so a misconfigured redeploy fails its first batch loudly
+    instead of silently growing the index with incomparable rows.
+    threshold/max_bucket are fingerprinted too: they don't break row
+    comparability, but changing them mid-stream silently changes which
+    docs survive.
 
     Every ``compact_summary_every`` batches the per-batch summary parts
     older than the current batch are rolled into one base part
@@ -170,9 +177,39 @@ def make_near_dup_ingest(
     disable (e.g. when an external maintenance job owns compaction).
     """
     summary_dir = index_dir.rstrip("/") + "_summary_parts"
+    knobs = {
+        "format": "neardup-knobs/v1",
+        "threshold": threshold,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "max_bucket": max_bucket,
+    }
+    knobs_path = index_dir.rstrip("/") + "_knobs.json"
+
+    def _check_knobs() -> None:
+        from ..functions.artifacts import atomic_write_json, read_json_artifact
+
+        if not os.path.exists(knobs_path):
+            atomic_write_json(knobs_path, knobs)
+            return
+        stored = read_json_artifact(knobs_path, "neardup-knobs/v1")
+        diff = {
+            k: (stored.get(k), v)
+            for k, v in knobs.items()
+            if k != "format" and stored.get(k) != v
+        }
+        if diff:
+            raise ValueError(
+                f"near-dup ingest knobs differ from the index's fingerprint "
+                f"({knobs_path}): {diff} — band rows from different LSH "
+                "shapes are not comparable; rebuild the index or restore "
+                "the original knobs"
+            )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _check_knobs()
         if (
             compact_summary_every
             and batch_id > 0
