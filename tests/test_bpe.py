@@ -416,3 +416,24 @@ def test_encode_memo_cap_is_output_invariant(spark, docs):
     assert capped == base
     with _pytest.raises(ValueError, match="memo_cap"):
         bpe.bpe_encode(sample, merges, memo_cap=0)
+
+
+def test_multi_sweep_key_encoding_is_injective_for_nul_symbols(spark):
+    """Symbols CAN contain control bytes (normalize_text only lowercases
+    and collapses whitespace) — a separator-joined key would conflate
+    pair ('a\\x00','b') with the adjacency ('a','\\x00b'). The
+    length-prefixed key must keep them apart."""
+    pairs = [("a\x00", "b")]
+    rows = [
+        (["a\x00", "b"],),     # the selected pair: must merge
+        (["a", "\x00b"],),     # the lookalike adjacency: must NOT merge
+        (["a\x00", "\x00b"],), # neither
+    ]
+    got = (
+        spark.createDataFrame(rows, "sym array<string>")
+        .select(bpe.merge_pass_multi_expr(F.col("sym"), pairs).alias("m"))
+        .collect()
+    )
+    assert got[0]["m"] == ["a\x00b"]
+    assert got[1]["m"] == ["a", "\x00b"]
+    assert got[2]["m"] == ["a\x00", "\x00b"]

@@ -230,3 +230,32 @@ def test_fix_split_leakage_end_to_end_with_hash_split(spark, sf_smoke):
         == 0
     )
     assert fixed.count() == labeled.count()
+
+
+def test_fix_until_clean_drop_mode_with_tight_cap(spark):
+    """The cap caveat: drop mode can un-sideline a bucket, so the loop
+    form must iterate to an audit-empty fixpoint even with a max_bucket
+    small enough to sideline the leaky cluster's buckets on round one."""
+    df = _leaky_corpus(spark)
+    fixed = export.fix_split_leakage_until_clean(
+        df, "doc_id", "text", mode="drop", max_bucket=2, **_LEAK_KNOBS
+    )
+    assert (
+        export.split_leakage_pairs(
+            fixed, "doc_id", "text", max_bucket=2, **_LEAK_KNOBS
+        ).count()
+        == 0
+    )
+    # and at the default (uncapped-in-practice) bucket size too
+    fixed2 = export.fix_split_leakage_until_clean(
+        df, "doc_id", "text", mode="drop", **_LEAK_KNOBS
+    )
+    assert (
+        export.split_leakage_pairs(fixed2, "doc_id", "text", **_LEAK_KNOBS).count()
+        == 0
+    )
+    # refold through the same call site converges round one
+    fixed3 = export.fix_split_leakage_until_clean(
+        df, "doc_id", "text", mode="refold", **_LEAK_KNOBS
+    )
+    assert fixed3.count() == df.count()

@@ -454,3 +454,17 @@ def test_occupancy_drift_trips_on_shift_not_in_distribution(spark, emb):
         pq.occupancy_drift(
             {"counts": {}, "n_vectors": 0, "n_cells": 0}, baseline
         )
+
+
+def test_occupancy_drift_survives_json_manifest_roundtrip(spark, emb):
+    """The documented workflow stores the build profile in a JSON
+    manifest; JSON turns int cell keys into strings, which must not make
+    identical distributions look disjoint (TV 1.0, spurious retrain)."""
+    import json
+
+    cents, members, books = pq.ivf_pq_index(emb, n_cells=8, m=8, ksub=16)
+    prof = pq.cell_occupancy_profile(members)
+    stored = json.loads(json.dumps(prof))
+    assert all(isinstance(k, str) for k in stored["counts"])  # the hazard
+    d = pq.occupancy_drift(stored, prof)
+    assert d["tv_distance"] == 0.0 and not d["retrain"], d

@@ -126,3 +126,26 @@ def test_salted_sum_same_combiner_suffixes_stay_legal(spark):
         .collect()
     }
     assert got == want
+
+
+def test_salted_sum_ignores_distinct_in_lineage(spark):
+    """A countDistinct anywhere UPSTREAM of df must not poison the probe:
+    only the salted expression itself is checked (the r8 self-review
+    reproduction — salting a relation derived from a distinct rollup is
+    perfectly mergeable)."""
+    facts = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") % 13).alias("v"),
+        (F.col("id") % 5).alias("o"),
+    )
+    dim = facts.groupBy("k").agg(F.countDistinct("o").alias("nd"))
+    df = facts.join(dim, "k")
+    got = {
+        r["k"]: r["v_sum"]
+        for r in salted_sum(df, "k", {"v_sum": F.sum("v")}).collect()
+    }
+    want = {
+        r["k"]: r["v_sum"]
+        for r in df.groupBy("k").agg(F.sum("v").alias("v_sum")).collect()
+    }
+    assert got == want

@@ -120,16 +120,18 @@ def merge_pass_multi_expr(sym: Column, pairs: list[tuple[str, str]]) -> Column:
     under that constraint, merging one pair can neither create nor destroy
     an adjacency of another, so the simultaneous sweep equals applying the
     pairs as sequential sweeps in any order (property-tested in
-    tests/test_bpe.py). Keys use a NUL separator — unambiguous because
-    symbols never contain NUL (words come from whitespace-split
-    normalize_text output).
+    tests/test_bpe.py). Lookup keys are LENGTH-PREFIXED
+    (``len(left):leftright``), which is injective for ANY symbol bytes —
+    a plain separator would be ambiguous the moment a symbol contains the
+    separator character, and normalize_text only lowercases/collapses
+    whitespace, so control bytes in web-corpus noise DO reach symbols
+    (regression-tested with NUL-bearing symbols).
     """
-    sep = "\x00"
     lookup = F.create_map(
         *[
             x
             for l, r in pairs
-            for x in (F.lit(l + sep + r), F.lit(l + r))
+            for x in (F.lit(f"{len(l)}:{l}{r}"), F.lit(l + r))
         ]
     )
     init = F.struct(
@@ -139,7 +141,10 @@ def merge_pass_multi_expr(sym: Column, pairs: list[tuple[str, str]]) -> Column:
 
     def step(acc, s):
         merged = F.try_element_at(
-            lookup, F.concat(acc["pend"], F.lit(sep), s)
+            lookup,
+            F.concat(
+                F.length(acc["pend"]).cast("string"), F.lit(":"), acc["pend"], s
+            ),
         )
         return (
             F.when(

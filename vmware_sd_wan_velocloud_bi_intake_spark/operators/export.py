@@ -219,9 +219,16 @@ def fix_split_leakage(
     the "drop val-side members" policy when train must not change).
 
     Both modes leave un-clustered documents (the overwhelming majority)
-    untouched, and both guarantee the re-audit is empty: every surviving
-    near-dup pair lies inside one cluster, and each cluster's survivors
-    share one split.
+    untouched. ``refold`` guarantees the re-audit is empty: the row set
+    is unchanged, so the LSH pass (including which degenerate buckets the
+    ``max_bucket`` cap sidelines) is identical, and every near-dup pair
+    lies inside one cluster whose members now share one split. ``drop``
+    carries a CAP CAVEAT: removing rows can shrink a bucket the fix's own
+    pass sidelined back under ``max_bucket``, and the re-audit then
+    expands pairs the fix never saw — one pass is a contraction, not
+    always a fixpoint. Use :func:`fix_split_leakage_until_clean` for the
+    guaranteed-clean drop form (it iterates; each round strictly removes
+    rows, so it terminates).
 
     Scale: one near-dup pass (bucketed, never all-pairs) + O(log n)
     hash-min rounds over the pair graph + two joins against the tiny
@@ -261,3 +268,56 @@ def fix_split_leakage(
         F.col("_canon_split").isNull()
         | (F.col("_canon_split") == F.col(split_name))
     ).drop("_canon_split")
+
+
+def fix_split_leakage_until_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_name: str = "split",
+    *,
+    mode: str = "drop",
+    max_rounds: int = 5,
+    threshold: float = 0.7,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Iterate :func:`fix_split_leakage` until the audit is empty.
+
+    Needed for ``mode="drop"``: dropping rows can un-sideline a
+    previously over-``max_bucket`` bucket, exposing pairs the single pass
+    never clustered (the cap caveat documented there). Each drop round
+    strictly removes rows (or the audit is already empty), so the loop
+    terminates; ``max_rounds`` is a tripwire against a miswired corpus,
+    not a tuning knob — real corpora converge in one or two rounds
+    because cap-margin buckets are rare. ``mode="refold"`` converges in
+    one round by construction and is accepted for a uniform call site.
+
+    The intermediate frame is localCheckpointed between rounds so round
+    N+1's near-dup pass does not re-run round N's join lineage.
+    """
+    knobs = dict(
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        max_bucket=max_bucket,
+    )
+    out = df
+    for _ in range(max_rounds):
+        if split_leakage_pairs(
+            out, id_col, text_col, split_name, **knobs
+        ).isEmpty():
+            return out
+        out = fix_split_leakage(
+            out, id_col, text_col, split_name, mode=mode, **knobs
+        ).localCheckpoint(eager=True)
+    if split_leakage_pairs(out, id_col, text_col, split_name, **knobs).isEmpty():
+        return out
+    raise RuntimeError(
+        f"fix_split_leakage_until_clean: audit not empty after "
+        f"{max_rounds} rounds — input does not look like a split-labeled "
+        "document corpus"
+    )

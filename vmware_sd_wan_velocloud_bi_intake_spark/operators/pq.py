@@ -634,7 +634,12 @@ def occupancy_drift(
         baseline = cell_occupancy_profile(baseline)
     if not isinstance(batch, dict):
         batch = cell_occupancy_profile(batch)
-    p, q = baseline["counts"], batch["counts"]
+    # JSON manifests round-trip dict keys as STRINGS; without
+    # normalization a stored baseline's cells {'0','1'} and a live
+    # batch's {0,1} look disjoint and TV saturates at 1.0 — a spurious
+    # retrain on every in-distribution append
+    p = {int(c): int(n) for c, n in baseline["counts"].items()}
+    q = {int(c): int(n) for c, n in batch["counts"].items()}
     np_, nq = baseline["n_vectors"], batch["n_vectors"]
     if np_ == 0 or nq == 0:
         raise ValueError("occupancy_drift: empty baseline or batch profile")

@@ -77,8 +77,12 @@ def salted_sum(
         # plausible but wrong. The head-op dispatch alone can't see this
         # (countDistinct's column name renders as plain "count(v)"), so
         # probe the ANALYZED single-expression plan, where the distinct
-        # flag is rendered — one driver-side analyze, no job. Falls back to
-        # the rendered-name check where the classic-JVM plan is
+        # flag is rendered — one driver-side analyze, no job. Only the
+        # FIRST line (the top Aggregate node, i.e. this expression itself)
+        # is inspected: a distinct aggregate anywhere in df's LINEAGE
+        # renders in child nodes and is irrelevant — salting a relation
+        # derived from a countDistinct rollup is perfectly legal. Falls
+        # back to the rendered-name check where the classic-JVM plan is
         # unreachable (Spark Connect).
         distinct = False
         try:
@@ -88,7 +92,7 @@ def salted_sum(
                 .analyzed()
                 .toString()
             )
-            distinct = "(distinct " in probe
+            distinct = "(distinct " in probe.splitlines()[0]
         except Exception:
             distinct = re.search(r"(?i)\bdistinct\b", txt) is not None
         if distinct:

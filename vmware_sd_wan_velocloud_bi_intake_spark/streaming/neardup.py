@@ -115,21 +115,28 @@ def compact_summary_parts(spark, index_dir: str, before_batch_id: int) -> bool:
     )
     try:
         merged.write.mode("overwrite").partitionBy("_batch_id").parquet(staging)
-        # associativity check: per-bucket totals must be byte-identical
-        before = {
-            r["bucket"]: r["n"]
-            for r in parts.groupBy("bucket")
-            .agg(F.sum("n_members").alias("n"))
-            .collect()
-        }
-        after = {
-            r["bucket"]: r["n"]
-            for r in spark.read.parquet(staging)
+        # associativity check: per-bucket totals must be byte-identical.
+        # DISTRIBUTED — the summary is one row per distinct LSH bucket,
+        # which grows with the corpus; collecting it to the driver would
+        # OOM routine maintenance at exactly the scale compaction exists
+        # for. A full-outer join + existence probe verifies the same
+        # invariant with one cheap job and at most one row to the driver.
+        before = parts.groupBy("bucket").agg(F.sum("n_members").alias("_n_b"))
+        after = (
+            spark.read.parquet(staging)
             .groupBy("bucket")
-            .agg(F.sum("n_members").alias("n"))
-            .collect()
-        }
-        if before != after:
+            .agg(F.sum("n_members").alias("_n_a"))
+        )
+        mismatched = (
+            before.join(after, "bucket", "full")
+            .where(
+                F.coalesce(F.col("_n_b"), F.lit(-1))
+                != F.coalesce(F.col("_n_a"), F.lit(-2))
+            )
+            .limit(1)
+            .count()
+        )
+        if mismatched:
             raise RuntimeError(
                 "compact_summary_parts: per-bucket totals changed; "
                 "refusing the swap"
