@@ -70,6 +70,35 @@ def _bpe_train_encode(spark, sf_dir):
     return bpe.bpe_encode(docs, merges)
 
 
+def _bpe_train_batched(spark, sf_dir):
+    """Batched BPE (r8 scale path): 16 merges at merge_batch=16 — one
+    top-K job per round instead of one per merge — + full-corpus encode.
+    The interesting number vs bpe_train_encode is the RATIO at Kx: both
+    should scale with the corpus word count, but this one's fixed
+    scheduler floor is ~B x smaller."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import bpe
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe_batched(docs, num_merges=16, merge_batch=16)
+    return bpe.bpe_encode(docs, merges)
+
+
+def _leakage_fix(spark, sf_dir):
+    """Split-leakage refold (r8): id-hash split -> cluster-grain refold.
+    Inherits the near-dup pass's bucketed shape + O(log n) component
+    rounds; the ratio at Kx should track the near-dup family's."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import export
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = export.split_by_hash(docs, "doc_id", {"train": 0.9, "val": 0.1})
+    return export.fix_split_leakage(
+        labeled, "doc_id", "text", threshold=0.5, num_hashes=8, bands=4,
+        shingle_n=3,
+    )
+
+
 def _classifier_train_score(spark, sf_dir):
     """Quality classifier: 8 GD iterations + full-corpus scoring."""
     from vmware_sd_wan_velocloud_bi_intake_spark.operators import classifier
@@ -144,6 +173,8 @@ CUSTOM = {
     "lm_train_score": _lm_train_score,
     "pq_index_search": _pq_index_search,
     "bpe_train_encode": _bpe_train_encode,
+    "bpe_train_batched": _bpe_train_batched,
+    "leakage_fix": _leakage_fix,
     "classifier_train_score": _classifier_train_score,
     "span_dedup": _span_dedup,
     "curation": _curation,
