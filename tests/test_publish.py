@@ -129,3 +129,54 @@ def test_null_frac_delta_rule(spark, tmp_path):
     assert [v["rule"] for v in got] == ["max_null_frac_delta"]
     # within tolerance → clean
     assert check_expectations([dict(base, null_frac=0.009)], rules, previous=prev) == []
+
+
+def test_stream_snapshot_publishes_and_gates_drift(spark, tmp_path):
+    """Streaming survivors → gate → versioned snapshot: v1 publishes the
+    stream's current survivor set; a later snapshot that would ship a
+    shrunken corpus (drift rule) publishes nothing; a grown corpus
+    publishes as v2 and pins v1 unchanged."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.plans.publish import (
+        publish_stream_snapshot,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.neardup import (
+        make_near_dup_ingest,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the morning sun"
+    )
+    rows = [(i, f"document number {i} about topic {i % 7} " + base[: 40 + i])
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "snap_idx")
+    surv = str(tmp_path / "snap_surv")
+    root = str(tmp_path / "snap_root")
+    knobs = dict(threshold=0.9, num_hashes=4, bands=2, shingle_n=3)
+    ingest = make_near_dup_ingest(idx, surv, **knobs)
+    ingest(docs.where("doc_id < 25"), 0)
+    rules = [
+        {"column": "doc_id", "min_rows": 1, "max_null_frac": 0.0,
+         "min_row_ratio": 0.8},
+        {"column": "text", "max_null_frac": 0.0},
+    ]
+    v1 = publish_stream_snapshot(spark, surv, root, rules=rules)
+    assert v1 == 1
+    v1_rows = versioned.read_version(spark, root, 1).count()
+    assert v1_rows > 0
+    # stream grows; next snapshot publishes v2, v1 stays pinned
+    ingest(docs.where("doc_id >= 25"), 1)
+    v2 = publish_stream_snapshot(spark, surv, root, rules=rules)
+    assert v2 == 2
+    assert versioned.read_version(spark, root, 1).count() == v1_rows
+    assert versioned.read_version(spark, root, 2).count() > v1_rows
+    # a snapshot pointed at a WRONG (shrunken) survivors dir trips the
+    # drift ratio and publishes nothing
+    small_surv = str(tmp_path / "small_surv")
+    small_idx = str(tmp_path / "small_idx")
+    small = make_near_dup_ingest(small_idx, small_surv, **knobs)
+    small(docs.where("doc_id < 5"), 0)
+    with pytest.raises(ExpectationError, match="min_row_ratio"):
+        publish_stream_snapshot(spark, small_surv, root, rules=rules)
+    assert versioned.latest_version(root) == 2

@@ -83,3 +83,54 @@ def publish_curated_version(
         return write_version(res.curated, root, note=note, profile=prof_rows)
     finally:
         res.release()
+
+
+def publish_stream_snapshot(
+    spark,
+    survivors_dir: str,
+    root: str,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    rules: list[dict] | None = None,
+    note: str = "",
+) -> int:
+    """Snapshot a STREAMING near-dup survivor corpus
+    (streaming/neardup.py) as an immutable training version — the
+    maintenance job that turns the continuously-growing survivors table
+    into pinnable releases.
+
+    The stream already deduplicated; this run is gate → publish only:
+    profile the survivors (one scan), enforce the same absolute +
+    drift rules ``publish_curated_version`` uses (drift vs the previous
+    snapshot's manifest-stored profile — a stream that silently stopped
+    ingesting, or started nulling text, fails here and publishes
+    nothing), then write the version. Trainers pin the version while the
+    stream keeps appending; the next snapshot picks up the delta.
+
+    Safe to run while the stream is live for the usual snapshot-isolation
+    reason at the FILE level: the survivors table is append-only between
+    publishes (batch-keyed dynamic overwrite only rewrites a partition
+    during that batch's replay), so a concurrent read sees a consistent
+    prefix of batches. For byte-precise cut points, trigger it from the
+    stream's own foreachBatch between batches.
+    """
+    from ..streaming.neardup import read_survivors
+
+    docs = read_survivors(spark, survivors_dir)
+    if doc_id != "doc_id" or text_col != "text":
+        from pyspark.sql import functions as F
+
+        docs = docs.select(
+            F.col(doc_id).alias("doc_id"), F.col(text_col).alias("text"),
+            *[c for c in docs.columns if c not in (doc_id, text_col)],
+        )
+    prof_rows = [
+        r.asDict() for r in profile_table(docs, ["doc_id", "text"]).collect()
+    ]
+    enforce_expectations(
+        prof_rows,
+        rules if rules is not None else DEFAULT_RULES,
+        previous=version_profile(root),
+    )
+    return write_version(docs, root, note=note, profile=prof_rows)
