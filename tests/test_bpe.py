@@ -437,3 +437,19 @@ def test_multi_sweep_key_encoding_is_injective_for_nul_symbols(spark):
     assert got[0]["m"] == ["a\x00b"]
     assert got[1]["m"] == ["a", "\x00b"]
     assert got[2]["m"] == ["a\x00", "\x00b"]
+
+
+def test_batched_trainer_artifact_roundtrip(spark, tmp_path):
+    """train_bpe_batched's merge table shares the trainer schema, so the
+    save/load artifact path and the encoder consume it unchanged."""
+    rows = [(i, "banana bandana cabana " * 3) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.train_bpe_batched(df, num_merges=6, merge_batch=3)
+    path = str(tmp_path / "bpe_batched.json")
+    bpe.save_bpe(merges, path)
+    again = bpe.load_bpe(spark, path)
+    assert sorted(map(tuple, merges.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    enc = bpe.bpe_encode(df.limit(3), again)
+    assert enc.count() == 3
