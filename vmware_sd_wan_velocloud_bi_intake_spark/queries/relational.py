@@ -293,7 +293,9 @@ def j01_metrics_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.count("*").alias("n_orders"))
     )
-    return base.join(nord, "p_brand", "left").select(
+    # both sides are brand-grain (25 rows) but sit behind aggregates
+    # Catalyst can't size — broadcast the stitch join explicitly
+    return base.join(F.broadcast(nord), "p_brand", "left").select(
         "p_brand", "n_items", "revenue", "n_orders"
     )
 
