@@ -4,6 +4,7 @@ versioned publish, with the gate refusing to publish a broken curation."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from vmware_sd_wan_velocloud_bi_intake_spark.plans.expectations import (
     ExpectationError,
@@ -180,3 +181,31 @@ def test_stream_snapshot_publishes_and_gates_drift(spark, tmp_path):
     with pytest.raises(ExpectationError, match="min_row_ratio"):
         publish_stream_snapshot(spark, small_surv, root, rules=rules)
     assert versioned.latest_version(root) == 2
+
+
+def test_stream_snapshot_custom_names_no_collision(spark, tmp_path):
+    """Custom doc_id/text_col names must not collide with pre-existing
+    literal 'doc_id'/'text' columns in the survivors frame."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.plans.publish import (
+        publish_stream_snapshot,
+    )
+
+    surv = str(tmp_path / "named_surv")
+    rows = [(i, f"body of document {i} with enough words", i * 10, "x")
+            for i in range(10)]
+    (
+        spark.createDataFrame(
+            rows, "id long, body string, doc_id long, text string"
+        )
+        .withColumn("_batch_id", (F.col("id") % 2).cast("int"))
+        .write.partitionBy("_batch_id")
+        .parquet(surv)
+    )
+    root = str(tmp_path / "named_root")
+    v = publish_stream_snapshot(
+        spark, surv, root, doc_id="id", text_col="body"
+    )
+    assert v == 1
+    got = versioned.read_version(spark, root, 1)
+    assert got.columns.count("doc_id") == 1 and got.columns.count("text") == 1
+    assert got.count() == 10

@@ -76,3 +76,53 @@ def test_a22_matches_fused_aggregate_on_nulls(spark, null_sf_dir):
     for r in got.collect():
         assert r["supp_within_5pct"] and r["part_within_5pct"]
         assert r["p50_rank_ok"] and r["p90_rank_ok"]
+
+
+def test_j01_two_pass_matches_fused_on_nulls(spark, tmp_path_factory):
+    """The r8 j01 two-pass rewrite must keep the fused countDistinct
+    form's null semantics: unmatched lineitems form a real p_brand=NULL
+    group (null-safe stitch, not a plain equi-join), and NULL orderkeys
+    are ignored by the distinct count (0 for an all-NULL group, never
+    inflated, never NULL)."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.queries.relational import (
+        j01_metrics_join,
+    )
+
+    li_rows = [
+        # (orderkey, partkey, extendedprice, discount)
+        (1, 100, 10.0, 0.1),
+        (2, 100, 20.0, 0.0),
+        (1, 101, 30.0, 0.2),
+        (3, 999, 40.0, 0.0),   # unmatched partkey → p_brand NULL group
+        (None, 999, 50.0, 0.0),  # NULL orderkey in the NULL-brand group
+        (None, 102, 60.0, 0.1),  # brand whose ONLY orderkey is NULL → 0
+    ]
+    part_rows = [(100, "BrandA"), (101, "BrandB"), (102, "BrandC")]
+    d = tmp_path_factory.mktemp("null_j01")
+    spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_extendedprice double, "
+        "l_discount double",
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    spark.createDataFrame(
+        part_rows, "p_partkey long, p_brand string"
+    ).coalesce(1).write.parquet(str(d / "part.parquet"))
+
+    li = spark.read.parquet(str(d / "lineitem.parquet"))
+    part = spark.read.parquet(str(d / "part.parquet"))
+    one = F.lit(1).cast("decimal(12,2)")
+    rev = dec("l_extendedprice", 12) * (one - dec("l_discount", 12))
+    fused = (
+        li.join(part, li.l_partkey == part.p_partkey, "left")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+    got = j01_metrics_join(spark, str(d))
+    assert _sorted(got.collect()) == _sorted(fused.collect())
+    by_brand = {r["p_brand"]: r["n_orders"] for r in got.collect()}
+    assert by_brand[None] == 1      # order 3 counted, NULL orderkey ignored
+    assert by_brand["BrandC"] == 0  # all-NULL orderkeys → 0, not NULL/1

@@ -72,17 +72,27 @@ def publish_curated_version(
     """
     res = curate_corpus(docs, **curate_kwargs)
     try:
-        prof_rows = [
-            r.asDict() for r in profile_table(res.curated, ["doc_id", "text"]).collect()
-        ]
-        enforce_expectations(
-            prof_rows,
-            rules if rules is not None else DEFAULT_RULES,
-            previous=version_profile(root),
-        )
-        return write_version(res.curated, root, note=note, profile=prof_rows)
+        return _gate_and_publish(res.curated, root, rules, note)
     finally:
         res.release()
+
+
+def _gate_and_publish(
+    docs: DataFrame, root: str, rules: list[dict] | None, note: str
+) -> int:
+    """The shared gate→publish tail of both release entry points: profile
+    once, enforce absolute + drift rules against the previous manifest's
+    profile, embed this profile in the new manifest. One definition so
+    the two release paths cannot silently diverge on gate protocol."""
+    prof_rows = [
+        r.asDict() for r in profile_table(docs, ["doc_id", "text"]).collect()
+    ]
+    enforce_expectations(
+        prof_rows,
+        rules if rules is not None else DEFAULT_RULES,
+        previous=version_profile(root),
+    )
+    return write_version(docs, root, note=note, profile=prof_rows)
 
 
 def publish_stream_snapshot(
@@ -121,16 +131,22 @@ def publish_stream_snapshot(
     if doc_id != "doc_id" or text_col != "text":
         from pyspark.sql import functions as F
 
+        # passthrough excludes the TARGET names too: a survivors frame
+        # that already carries a literal 'doc_id'/'text' beside the
+        # custom-named columns would otherwise emit duplicates and kill
+        # profile_table with an ambiguous-reference error
         docs = docs.select(
             F.col(doc_id).alias("doc_id"), F.col(text_col).alias("text"),
-            *[c for c in docs.columns if c not in (doc_id, text_col)],
+            *[
+                c
+                for c in docs.columns
+                if c not in (doc_id, text_col, "doc_id", "text")
+            ],
         )
-    prof_rows = [
-        r.asDict() for r in profile_table(docs, ["doc_id", "text"]).collect()
-    ]
-    enforce_expectations(
-        prof_rows,
-        rules if rules is not None else DEFAULT_RULES,
-        previous=version_profile(root),
-    )
-    return write_version(docs, root, note=note, profile=prof_rows)
+    # the gate's profile collect and write_version's parquet write are
+    # two full passes over an uncached source — persist across them
+    docs = docs.persist()
+    try:
+        return _gate_and_publish(docs, root, rules, note)
+    finally:
+        docs.unpersist()

@@ -287,16 +287,32 @@ def j01_metrics_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum(revenue).cast("double").alias("revenue"),
     )
+    # COUNT(DISTINCT x) ignores NULL x — a raw distinct-pair count would
+    # include the (brand, NULL) row (the a19/a22 null pitfall,
+    # tests/test_rollup_null_semantics.py)
     nord = (
         j.select("p_brand", "l_orderkey")
+        .where(F.col("l_orderkey").isNotNull())
         .distinct()
         .groupBy("p_brand")
         .agg(F.count("*").alias("n_orders"))
     )
     # both sides are brand-grain (25 rows) but sit behind aggregates
-    # Catalyst can't size — broadcast the stitch join explicitly
-    return base.join(F.broadcast(nord), "p_brand", "left").select(
-        "p_brand", "n_items", "revenue", "n_orders"
+    # Catalyst can't size — broadcast the stitch explicitly, and join
+    # NULL-SAFE: the left join above keeps unmatched lineitems as the
+    # p_brand=NULL group, which a plain equi-join stitch would orphan
+    # (the a22 eqNullSafe lesson). A group absent from nord had only
+    # NULL orderkeys; COUNT(DISTINCT) over only-NULL input is 0, so 0
+    # is the oracle-identical fill.
+    nordb = F.broadcast(nord.select(F.col("p_brand").alias("_nb"), "n_orders"))
+    return (
+        base.join(nordb, base["p_brand"].eqNullSafe(F.col("_nb")), "left")
+        .select(
+            "p_brand",
+            "n_items",
+            "revenue",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
     )
 
 
