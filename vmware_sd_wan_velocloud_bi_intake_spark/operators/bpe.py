@@ -175,7 +175,9 @@ def merge_pass_multi_expr(sym: Column, pairs: list[tuple[str, str]]) -> Column:
 
 
 def select_disjoint_pairs(
-    candidates: list[tuple[str, str, int]], batch: int
+    candidates: list[tuple[str, str, int]],
+    batch: int,
+    min_count_ratio: float = 0.0,
 ) -> list[tuple[str, str, int]]:
     """Greedy symbol-disjoint selection from (left, right, cnt) candidates
     already ordered by the trainer's (cnt DESC, left ASC, right ASC).
@@ -186,11 +188,23 @@ def select_disjoint_pairs(
     the third keeps a later candidate from pairing WITH a token this round
     creates (its observed count predates the merge). Driver-side over a
     bounded candidate list — pure, deterministic, unit-testable.
+
+    ``min_count_ratio`` is the drift throttle: selection stops at the
+    first candidate whose count falls below ``ratio × top count``. Counts
+    far below the round's top are the ones whose TRUE post-merge rank is
+    most likely to have been overtaken by pairs the round's merges create
+    (chain merges like t+h → th+e), so batching only the near-tied head
+    keeps the sequence close to exact BPE while still collapsing the
+    high-frequency plateau into one round. 0 batches everything (fastest,
+    most drift); 1.0 batches exact ties only.
     """
     taken: list[tuple[str, str, int]] = []
     occupied: set[str] = set()
+    floor = candidates[0][2] * min_count_ratio if candidates else 0
     for l, r, c in candidates:
         if len(taken) >= batch:
+            break
+        if taken and c < floor:
             break
         if l in occupied or r in occupied or (l + r) in occupied:
             continue
@@ -207,6 +221,7 @@ def train_bpe_batched(
     merge_batch: int = 16,
     checkpoint_every: int = 4,
     candidate_factor: int = 4,
+    min_count_ratio: float = 0.5,
 ) -> DataFrame:
     """BPE training with top-B merge ROUNDS — the scale path for real
     vocabularies.
@@ -263,7 +278,9 @@ def train_bpe_batched(
         if not top:
             break
         chosen = select_disjoint_pairs(
-            [(r["left"], r["right"], int(r["cnt"])) for r in top], want
+            [(r["left"], r["right"], int(r["cnt"])) for r in top],
+            want,
+            min_count_ratio=min_count_ratio,
         )
         if not chosen:
             break
