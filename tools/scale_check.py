@@ -80,7 +80,12 @@ def _bpe_train_batched(spark, sf_dir):
     from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe.train_bpe_batched(docs, num_merges=16, merge_batch=16)
+    # ratio pinned to 0 so the bench semantics (one round, ceil(N/B)
+    # jobs) stay fixed across rounds regardless of the trainer's
+    # drift-throttle default
+    merges = bpe.train_bpe_batched(
+        docs, num_merges=16, merge_batch=16, min_count_ratio=0.0
+    )
     return bpe.bpe_encode(docs, merges)
 
 

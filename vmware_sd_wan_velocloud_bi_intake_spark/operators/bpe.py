@@ -193,10 +193,11 @@ def select_disjoint_pairs(
     first candidate whose count falls below ``ratio × top count``. Counts
     far below the round's top are the ones whose TRUE post-merge rank is
     most likely to have been overtaken by pairs the round's merges create
-    (chain merges like t+h → th+e), so batching only the near-tied head
-    keeps the sequence close to exact BPE while still collapsing the
-    high-frequency plateau into one round. 0 batches everything (fastest,
-    most drift); 1.0 batches exact ties only.
+    (chain merges like t+h → th+e). 0 batches everything (fastest, most
+    drift); 1.0 batches exact ties only. NOTE drift is NOT guaranteed
+    monotone in the ratio — divergent sequences compound path-dependently
+    (the SCALE.md fixture table measured 0.9 at Jaccard 0.42 but 0.5 at
+    0.51) — so measure per corpus rather than assuming tighter == closer.
     """
     taken: list[tuple[str, str, int]] = []
     occupied: set[str] = set()
@@ -249,7 +250,11 @@ def train_bpe_batched(
     with :func:`bpe_encode` / :func:`save_bpe`.
 
     Jobs per vocab: ceil(num_merges / B) argmax jobs + periodic
-    checkpoints, vs num_merges + checkpoints for the exact trainer.
+    checkpoints at ``min_count_ratio=0`` — the throttle's early stop can
+    commit FEWER than B merges per round, so under the default 0.5 the
+    job count is corpus-dependent between ceil(N/B) and N (the fixture
+    measured 9.2× vs the unthrottled 15.4× at B=64, SCALE.md). Size
+    hard job budgets at ratio 0, or measure on the target corpus.
     """
     if checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
