@@ -1,0 +1,134 @@
+"""Incremental mergeable statistics (operators/incstats.py): batching
+invariance (N parts fold to the same numbers as one), replay idempotency
+of the batch-keyed part writes, agreement with the full-scan profile, and
+the expectation-gate composition that is the module's reason to exist."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vmware_sd_wan_velocloud_bi_intake_spark.operators import incstats
+from vmware_sd_wan_velocloud_bi_intake_spark.operators.profile import profile_table
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 != 0, F.concat(F.lit("text "), (F.col("id") % 37).cast("string")))
+        .otherwise(F.lit(None))
+        .alias("text"),
+    )
+
+
+def test_merged_stats_match_full_scan_profile(spark, tmp_path):
+    docs = _docs(spark)
+    parts = str(tmp_path / "parts")
+    for i in range(4):
+        incstats.write_stats_part(
+            docs.where(F.col("doc_id") % 4 == i), ["doc_id", "text"], parts, i
+        )
+    got = {r["column"]: r for r in incstats.merged_stats(spark, parts, ["doc_id", "text"])}
+    want = {r["column"]: r for r in profile_table(docs, ["doc_id", "text"]).collect()}
+    for c in ("doc_id", "text"):
+        assert got[c]["n_rows"] == want[c]["n_rows"]
+        assert got[c]["n_nulls"] == want[c]["n_nulls"]
+        assert got[c]["null_frac"] == pytest.approx(want[c]["null_frac"])
+        # different estimator families (Datasketches HLL vs HLL++): both
+        # are exact at this cardinality, so they agree here; at corpus
+        # scale they agree within their documented +-2%
+        assert got[c]["ndv_approx"] == pytest.approx(
+            want[c]["ndv_approx"], rel=0.05
+        )
+
+
+def test_batching_invariance(spark, tmp_path):
+    """Counts sum exactly regardless of batching; ndv folds within the
+    sketch's tolerance (NOT byte-identically: Datasketches HLL promotes
+    sparse→dense at representation-dependent points, so four quarter
+    sketches and one full sketch can sit in different modes — e.g. 401
+    vs 399 at 400 true distincts; still ±2%)."""
+    docs = _docs(spark)
+    one = str(tmp_path / "one")
+    four = str(tmp_path / "four")
+    incstats.write_stats_part(docs, ["doc_id", "text"], one, 0)
+    for i in range(4):
+        incstats.write_stats_part(
+            docs.where(F.col("doc_id") % 4 == i), ["doc_id", "text"], four, i
+        )
+    a = {r["column"]: r for r in incstats.merged_stats(spark, one, ["doc_id", "text"])}
+    b = {r["column"]: r for r in incstats.merged_stats(spark, four, ["doc_id", "text"])}
+    for c in ("doc_id", "text"):
+        for k in ("n_rows", "n_nulls", "null_frac"):
+            assert a[c][k] == b[c][k], (c, k)
+        assert a[c]["ndv_approx"] == pytest.approx(b[c]["ndv_approx"], rel=0.03)
+
+
+def test_part_replay_is_idempotent(spark, tmp_path):
+    docs = _docs(spark)
+    parts = str(tmp_path / "replay")
+    incstats.write_stats_part(docs.where("doc_id < 200"), ["doc_id"], parts, 0)
+    incstats.write_stats_part(docs.where("doc_id >= 200"), ["doc_id"], parts, 1)
+    before = incstats.merged_stats(spark, parts, ["doc_id"])
+    incstats.write_stats_part(docs.where("doc_id >= 200"), ["doc_id"], parts, 1)
+    assert incstats.merged_stats(spark, parts, ["doc_id"]) == before
+
+
+def test_all_null_and_empty_edges(spark, tmp_path):
+    allnull = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit(None).cast("string").alias("text")
+    )
+    parts = str(tmp_path / "nulls")
+    incstats.write_stats_part(allnull, ["text"], parts, 0)
+    got = incstats.merged_stats(spark, parts, ["text"])[0]
+    assert got["n_nulls"] == 50 and got["ndv_approx"] == 0
+    assert got["null_frac"] == 1.0
+    with pytest.raises(FileNotFoundError):
+        incstats.merged_stats(spark, str(tmp_path / "missing"), ["text"])
+    with pytest.raises(ValueError, match="unknown columns"):
+        incstats.stats_part(allnull, ["nope"])
+
+
+def test_incremental_profile_feeds_the_gate_and_snapshot(spark, tmp_path):
+    """The point of the module: a streaming corpus gates + publishes on
+    O(batches) merged stats instead of a full profile scan — including
+    the drift rules against a previous incremental baseline."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.plans.expectations import (
+        ExpectationError,
+        check_expectations,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.plans.publish import (
+        publish_stream_snapshot,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.sinks import versioned
+
+    docs = _docs(spark).where(F.col("text").isNotNull())
+    surv = str(tmp_path / "surv")
+    parts = str(tmp_path / "stats")
+    b0 = docs.where("doc_id < 300")
+    (
+        b0.withColumn("_batch_id", F.lit(0))
+        .write.partitionBy("_batch_id").mode("overwrite").parquet(surv)
+    )
+    incstats.write_stats_part(b0, ["doc_id", "text"], parts, 0)
+    rules = [
+        {"column": "doc_id", "min_rows": 1, "max_null_frac": 0.0,
+         "min_row_ratio": 0.8},
+        {"column": "text", "max_null_frac": 0.0},
+    ]
+    prof0 = incstats.merged_stats(spark, parts, ["doc_id", "text"])
+    root = str(tmp_path / "root")
+    v1 = publish_stream_snapshot(
+        spark, surv, root, rules=rules, profile_rows=prof0
+    )
+    assert v1 == 1
+    assert versioned.version_profile(root) == prof0  # manifest carries it
+    # drift: a merged profile claiming far fewer rows trips the ratio
+    shrunk = [dict(r, n_rows=10) for r in prof0]
+    got = check_expectations(shrunk, rules, previous=prof0)
+    assert {v["rule"] for v in got} == {"min_row_ratio"}
+    with pytest.raises(ExpectationError, match="min_row_ratio"):
+        publish_stream_snapshot(
+            spark, surv, root, rules=rules, profile_rows=shrunk
+        )
+    assert versioned.latest_version(root) == 1

@@ -78,13 +78,21 @@ def publish_curated_version(
 
 
 def _gate_and_publish(
-    docs: DataFrame, root: str, rules: list[dict] | None, note: str
+    docs: DataFrame,
+    root: str,
+    rules: list[dict] | None,
+    note: str,
+    profile_rows: list[dict] | None = None,
 ) -> int:
     """The shared gate→publish tail of both release entry points: profile
     once, enforce absolute + drift rules against the previous manifest's
     profile, embed this profile in the new manifest. One definition so
-    the two release paths cannot silently diverge on gate protocol."""
-    prof_rows = [
+    the two release paths cannot silently diverge on gate protocol.
+    ``profile_rows`` supplies a precomputed profile (e.g. the mergeable
+    incremental stats of operators/incstats.py) and skips the scan —
+    baselines must then stay in the same estimator family across
+    releases (see that module's estimator note)."""
+    prof_rows = profile_rows if profile_rows is not None else [
         r.asDict() for r in profile_table(docs, ["doc_id", "text"]).collect()
     ]
     enforce_expectations(
@@ -104,6 +112,7 @@ def publish_stream_snapshot(
     text_col: str = "text",
     rules: list[dict] | None = None,
     note: str = "",
+    profile_rows: list[dict] | None = None,
 ) -> int:
     """Snapshot a STREAMING near-dup survivor corpus
     (streaming/neardup.py) as an immutable training version — the
@@ -124,6 +133,13 @@ def publish_stream_snapshot(
     during that batch's replay), so a concurrent read sees a consistent
     prefix of batches. For byte-precise cut points, trigger it from the
     stream's own foreachBatch between batches.
+
+    ``profile_rows``: pass the stream's MERGED incremental statistics
+    (operators/incstats.py — per-batch sketch parts folded in O(batches))
+    to gate without the full profile scan; with it, this job's corpus
+    passes drop to write_version's single write + count. The
+    estimator-family caveat applies: incremental baselines compare
+    against incremental baselines.
     """
     from ..streaming.neardup import read_survivors
 
@@ -143,6 +159,8 @@ def publish_stream_snapshot(
                 if c not in (doc_id, text_col, "doc_id", "text")
             ],
         )
+    if profile_rows is not None:
+        return _gate_and_publish(docs, root, rules, note, profile_rows)
     # the gate's profile collect and write_version's parquet write are
     # two full passes over an uncached source — persist across them
     docs = docs.persist()
