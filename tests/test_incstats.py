@@ -132,3 +132,54 @@ def test_incremental_profile_feeds_the_gate_and_snapshot(spark, tmp_path):
             spark, surv, root, rules=rules, profile_rows=shrunk
         )
     assert versioned.latest_version(root) == 1
+
+
+def test_ingest_maintains_stats_parts(spark, tmp_path):
+    """stats_dir wires incstats into the streaming ingest: each batch's
+    NOVEL rows publish a part, merged stats always equal a fresh
+    full-scan profile of the survivors table, and a batch replay leaves
+    the stats byte-identical (part rewritten against the same novel
+    set)."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.neardup import (
+        make_near_dup_ingest,
+        read_survivors,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the morning sun"
+    )
+    rows = [
+        (0, base),
+        (1, base + " extra"),
+        (2, "completely different content about spark shuffles and "
+            "partitions and the catalyst optimizer pipeline stages"),
+        (3, base + " again today"),
+        (4, "numbers one two three four five six seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "sidx")
+    surv = str(tmp_path / "ssurv")
+    stats = str(tmp_path / "sstats")
+    ingest = make_near_dup_ingest(
+        idx, surv, stats_dir=stats,
+        threshold=0.4, num_hashes=4, bands=2, shingle_n=3,
+    )
+    ingest(docs.where("doc_id < 3"), 0)
+    ingest(docs.where("doc_id >= 3"), 1)
+    merged = {
+        r["column"]: r
+        for r in incstats.merged_stats(spark, stats, ["doc_id", "text"])
+    }
+    full = {
+        r["column"]: r
+        for r in profile_table(
+            read_survivors(spark, surv), ["doc_id", "text"]
+        ).collect()
+    }
+    for c in ("doc_id", "text"):
+        assert merged[c]["n_rows"] == full[c]["n_rows"]
+        assert merged[c]["n_nulls"] == full[c]["n_nulls"]
+    before = incstats.merged_stats(spark, stats, ["doc_id", "text"])
+    ingest(docs.where("doc_id >= 3"), 1)  # replay
+    assert incstats.merged_stats(spark, stats, ["doc_id", "text"]) == before

@@ -162,6 +162,7 @@ def make_near_dup_ingest(
     shingle_n: int = 3,
     max_bucket: int = 1024,
     compact_summary_every: int | None = 64,
+    stats_dir: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` body: ``fn(batch_df, batch_id)``.
 
@@ -182,6 +183,13 @@ def make_near_dup_ingest(
     (:func:`compact_summary_parts`) — without it a long-lived stream's
     summary read cost creeps linearly with batch count. Pass None to
     disable (e.g. when an external maintenance job owns compaction).
+
+    ``stats_dir``: when set, each batch also publishes an incremental
+    statistics part for its NOVEL rows (operators/incstats.py — same
+    batch-keyed replay idempotency), so
+    ``incstats.merged_stats(spark, stats_dir, [doc_id, text_col])`` is
+    always a gate-ready profile of the survivor corpus without scanning
+    it — feed it to ``publish_stream_snapshot(profile_rows=...)``.
     """
     summary_dir = index_dir.rstrip("/") + "_summary_parts"
     knobs = {
@@ -303,6 +311,15 @@ def make_near_dup_ingest(
                     .partitionBy("_batch_id")
                     .parquet(summary_dir)
                 )
+                if stats_dir is not None:
+                    from ..operators.incstats import write_stats_part
+
+                    write_stats_part(
+                        novel.drop("_batch_id"),
+                        [doc_id, text_col],
+                        stats_dir,
+                        batch_id,
+                    )
             finally:
                 if prev is not None:
                     spark.conf.set(conf_key, prev)
