@@ -209,3 +209,69 @@ def test_stream_snapshot_custom_names_no_collision(spark, tmp_path):
     got = versioned.read_version(spark, root, 1)
     assert got.columns.count("doc_id") == 1 and got.columns.count("text") == 1
     assert got.count() == 10
+
+
+def test_full_streaming_release_story(spark, tmp_path):
+    """The complete r7+r8 composition, end to end through the real
+    Structured Streaming engine: readStream → near-dup ingest maintaining
+    its own incremental stats → gate on the merged stats (no corpus
+    scan) → pinned immutable version; a second micro-wave grows the
+    corpus and publishes v2 while v1 stays byte-stable."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators import incstats
+    from vmware_sd_wan_velocloud_bi_intake_spark.plans.publish import (
+        publish_stream_snapshot,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.neardup import (
+        make_near_dup_ingest,
+    )
+
+    rows = [
+        (i, f"document {i} about subject {i % 5} with several more words "
+            f"of body text to shingle {i * 7}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    idx = str(tmp_path / "e2e_idx")
+    surv = str(tmp_path / "e2e_surv")
+    stats = str(tmp_path / "e2e_stats")
+    root = str(tmp_path / "e2e_root")
+    ingest = make_near_dup_ingest(
+        idx, surv, stats_dir=stats,
+        threshold=0.9, num_hashes=4, bands=2, shingle_n=3,
+    )
+    rules = [
+        {"column": "doc_id", "min_rows": 1, "max_null_frac": 0.0,
+         "min_row_ratio": 0.5},
+        {"column": "text", "max_null_frac": 0.0},
+    ]
+
+    def run_wave(pred, fname):
+        docs.where(pred).coalesce(1).write.parquet(str(stream_dir / fname))
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(stream_dir / "*.parquet"))
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_wave("doc_id < 20", "w0.parquet")
+    prof = incstats.merged_stats(spark, stats, ["doc_id", "text"])
+    v1 = publish_stream_snapshot(spark, surv, root, rules=rules, profile_rows=prof)
+    assert v1 == 1
+    v1_rows = versioned.read_version(spark, root, 1).count()
+    assert v1_rows == 20  # all novel at threshold .9
+    run_wave("doc_id >= 20", "w1.parquet")
+    prof2 = incstats.merged_stats(spark, stats, ["doc_id", "text"])
+    assert prof2[0]["n_rows"] == 30
+    v2 = publish_stream_snapshot(spark, surv, root, rules=rules, profile_rows=prof2)
+    assert v2 == 2
+    assert versioned.read_version(spark, root, 1).count() == v1_rows
+    assert versioned.read_version(spark, root, 2).count() == 30
+    # the manifests carry both incremental baselines for the next drift gate
+    assert versioned.version_profile(root, 1)[0]["n_rows"] == 20
+    assert versioned.version_profile(root, 2)[0]["n_rows"] == 30
