@@ -183,3 +183,70 @@ def test_ingest_maintains_stats_parts(spark, tmp_path):
     before = incstats.merged_stats(spark, stats, ["doc_id", "text"])
     ingest(docs.where("doc_id >= 3"), 1)  # replay
     assert incstats.merged_stats(spark, stats, ["doc_id", "text"]) == before
+
+
+def test_length_histogram_percentiles_and_merging(spark, tmp_path):
+    """√2-log-bin length histograms: bin counts merge EXACTLY across
+    parts, percentile estimates land within the documented ±19%
+    multiplicative band, and the all-in-one part equals the merged
+    quarters bin for bin."""
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.rpad(F.lit("x"), (F.col("id") % 200 + 50).cast("int"), "x").alias("text"),
+    )
+    one = str(tmp_path / "h_one")
+    four = str(tmp_path / "h_four")
+    incstats.write_stats_part(docs, ["doc_id", "text"], one, 0, length_of=["text"])
+    for i in range(4):
+        incstats.write_stats_part(
+            docs.where(F.col("doc_id") % 4 == i),
+            ["doc_id", "text"], four, i, length_of=["text"],
+        )
+    a = incstats.merged_stats(spark, one, ["doc_id", "text"], length_of=["text"])
+    b = incstats.merged_stats(spark, four, ["doc_id", "text"], length_of=["text"])
+    ha = next(r for r in a if r["column"] == "len(text)")
+    hb = next(r for r in b if r["column"] == "len(text)")
+    assert ha == hb  # bin counts are exact, so estimates are identical
+    # lengths are uniform on [50, 249]: true p50 ≈ 150, p90 ≈ 230
+    assert ha["p50_est"] == pytest.approx(150, rel=0.25)
+    assert ha["p90_est"] == pytest.approx(230, rel=0.25)
+    assert ha["n_rows"] == 1000
+
+
+def test_p50_drift_rule_trips_on_halved_lengths(spark, tmp_path):
+    """The gate catches a halved median document length even when row
+    counts and null fractions hold — the distributional drift absolute
+    rules cannot see."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.plans.expectations import (
+        check_expectations,
+    )
+
+    def corpus(scale):
+        return spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.rpad(
+                F.lit("x"), ((F.col("id") % 200 + 50) * scale).cast("int"), "x"
+            ).alias("text"),
+        )
+
+    base_dir = str(tmp_path / "p_base")
+    half_dir = str(tmp_path / "p_half")
+    same_dir = str(tmp_path / "p_same")
+    incstats.write_stats_part(corpus(1), ["doc_id", "text"], base_dir, 0, length_of=["text"])
+    incstats.write_stats_part(corpus(1), ["doc_id", "text"], same_dir, 0, length_of=["text"])
+    # halve every document
+    halved = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.rpad(F.lit("x"), ((F.col("id") % 200 + 50) / 2).cast("int"), "x").alias("text"),
+    )
+    incstats.write_stats_part(halved, ["doc_id", "text"], half_dir, 0, length_of=["text"])
+    cols, lens = ["doc_id", "text"], ["text"]
+    base = incstats.merged_stats(spark, base_dir, cols, length_of=lens)
+    same = incstats.merged_stats(spark, same_dir, cols, length_of=lens)
+    half = incstats.merged_stats(spark, half_dir, cols, length_of=lens)
+    rules = [{"column": "len(text)", "min_p50_ratio": 0.7, "max_p50_ratio": 1.45}]
+    assert check_expectations(same, rules, previous=base) == []
+    got = check_expectations(half, rules, previous=base)
+    assert [v["rule"] for v in got] == ["min_p50_ratio"]
+    # no baseline → inert
+    assert check_expectations(half, rules, previous=None) == []

@@ -23,25 +23,97 @@ a mixed ratio adds the estimators' bias gap). The merged output carries
 order statistics, so gates over incremental stats are limited to the
 row-count / null-fraction / ndv rule families (check_expectations
 reports a violation for value-range rules against a None — loud, not
-silent).
+silent) — PLUS the percentile-ratio family over ``length_of`` histogram
+rows (``len(col)``): √2-log-bin counts merge exactly, and their
+p50/p90 estimates feed ``min_p50_ratio``-style drift rules with the
+documented ±~19% bin resolution.
 """
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# √2-spaced log bins for the mergeable length histograms: bin i covers
+# [2^(i/2), 2^((i+1)/2)) with bin 0 = {0}; 64 bins span lengths up to
+# ~2^31. Percentile estimates read the bin's geometric midpoint, so the
+# resolution is a fixed ±~19% multiplicative band — coarse for
+# reporting, exactly right for DRIFT detection (a halved median moves
+# two whole bins).
+HIST_BINS = 64
 
-def stats_part(df: DataFrame, columns: list[str]) -> DataFrame:
+
+def _hist_bin(x) -> "F.Column":
+    # x is a non-negative integer length; NULL propagates (excluded)
+    return (
+        F.when(x <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                (F.floor(F.log2(x.cast("double")) * 2) + 1).cast("int"),
+                F.lit(HIST_BINS - 1),
+            )
+        )
+        .cast("int")
+    )
+
+
+def _hist_agg(x) -> "F.Column":
+    b = _hist_bin(x)
+    return F.array(
+        *[
+            F.sum(F.when(b == i, 1).otherwise(0)).cast("long")
+            for i in range(HIST_BINS)
+        ]
+    )
+
+
+def _bin_midpoint(i: int) -> float:
+    if i == 0:
+        return 0.0
+    lo, hi = 2 ** ((i - 1) / 2), 2 ** (i / 2)
+    return math.sqrt(lo * hi)
+
+
+def _hist_percentile(counts: list[int], q: float) -> float | None:
+    total = sum(counts)
+    if total == 0:
+        return None
+    target = q * total
+    acc = 0
+    for i, c in enumerate(counts):
+        acc += c
+        if acc >= target:
+            return _bin_midpoint(i)
+    return _bin_midpoint(len(counts) - 1)
+
+
+def stats_part(
+    df: DataFrame,
+    columns: list[str],
+    length_of: list[str] | None = None,
+) -> DataFrame:
     """One-ROW mergeable statistics part over ``df``: total rows plus,
     per column, the null count and an HLL sketch of the non-null values
     (cast to string — one sketch family across types). A single global
-    aggregation with map-side partials; the output row is a few KB."""
+    aggregation with map-side partials; the output row is a few KB.
+
+    ``length_of`` names string columns whose LENGTH distribution should
+    also be tracked, as a fixed √2-log-bin histogram (``HIST_BINS``
+    longs) — bin counts merge EXACTLY by element-wise sum, giving the
+    gate mergeable percentile estimates (a corpus whose median document
+    length halves is a broken upstream even when row counts hold).
+    """
     missing = [c for c in columns if c not in df.columns]
     if missing:
         raise ValueError(f"stats_part: unknown columns {missing}")
+    for c in length_of or []:
+        if c not in columns:
+            raise ValueError(
+                f"stats_part: length_of column {c!r} must also be profiled"
+            )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in columns:
         aggs.append(
@@ -50,18 +122,24 @@ def stats_part(df: DataFrame, columns: list[str]) -> DataFrame:
         aggs.append(
             F.hll_sketch_agg(F.col(c).cast("string")).alias(f"__hll_{c}")
         )
+    for c in length_of or []:
+        aggs.append(_hist_agg(F.length(F.col(c))).alias(f"__histlen_{c}"))
     return df.agg(*aggs)
 
 
 def write_stats_part(
-    df: DataFrame, columns: list[str], parts_dir: str, batch_id: int
+    df: DataFrame,
+    columns: list[str],
+    parts_dir: str,
+    batch_id: int,
+    length_of: list[str] | None = None,
 ) -> None:
     """Publish a batch's part, keyed by ``_batch_id`` via dynamic
     partition overwrite — a foreachBatch replay rewrites its own part
     byte-identically (the at-least-once discipline every batch-keyed
     sink in this engine follows)."""
     spark = df.sparkSession
-    part = stats_part(df, columns).withColumn(
+    part = stats_part(df, columns, length_of=length_of).withColumn(
         "_batch_id", F.lit(int(batch_id))
     )
     conf_key = "spark.sql.sources.partitionOverwriteMode"
@@ -75,7 +153,10 @@ def write_stats_part(
 
 
 def merged_stats(
-    spark, parts_dir: str, columns: list[str]
+    spark,
+    parts_dir: str,
+    columns: list[str],
+    length_of: list[str] | None = None,
 ) -> list[dict]:
     """Fold every part into profile-shaped rows (the dict form
     ``check_expectations`` consumes): counts SUM — exactly, independent
@@ -91,6 +172,16 @@ def merged_stats(
         raise FileNotFoundError(f"no stats parts under {parts_dir}")
     parts = spark.read.parquet(parts_dir)
     aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
+    for c in length_of or []:
+        aggs.append(
+            F.array(
+                *[
+                    F.sum(F.element_at(F.col(f"__histlen_{c}"), i + 1))
+                    .cast("long")
+                    for i in range(HIST_BINS)
+                ]
+            ).alias(f"__histlen_{c}")
+        )
     for c in columns:
         aggs.append(F.sum(f"__nulls_{c}").cast("long").alias(f"__nulls_{c}"))
         # an all-NULL column (or an empty batch) yields NULL sketches;
@@ -119,6 +210,24 @@ def merged_stats(
                 "min_str": None,
                 "max_str": None,
                 "max_len": None,
+            }
+        )
+    for c in length_of or []:
+        counts = [int(x) for x in row[f"__histlen_{c}"]]
+        n = sum(counts)
+        out.append(
+            {
+                "column": f"len({c})",
+                "dtype": None,
+                "n_rows": n,
+                "n_nulls": 0,
+                "null_frac": 0.0,
+                "ndv_approx": None,
+                "min_str": None,
+                "max_str": None,
+                "max_len": None,
+                "p50_est": _hist_percentile(counts, 0.5),
+                "p90_est": _hist_percentile(counts, 0.9),
             }
         )
     return out

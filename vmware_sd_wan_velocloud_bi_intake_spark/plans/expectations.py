@@ -30,7 +30,12 @@ count vs v(N−1) still fails the gate:
 - ``min_row_ratio`` / ``max_row_ratio`` — bounds on n_rows / prev n_rows;
 - ``max_null_frac_delta`` — ceiling on (null_frac − prev null_frac);
 - ``min_ndv_ratio`` / ``max_ndv_ratio`` — bounds on ndv / prev ndv
-  (HLL ±~2.3% on BOTH sides: pad bounds, these catch collapses).
+  (HLL ±~2.3% on BOTH sides: pad bounds, these catch collapses);
+- ``min_p50_ratio`` / ``max_p50_ratio`` (and the ``p90`` pair) — bounds
+  on a histogram profile row's percentile estimate vs the previous
+  release's (operators/incstats.py ``length_of`` rows; √2-bin resolution
+  is ±~19% multiplicative, so set bounds outside that band — these catch
+  a halved median document length, not single-bin wiggles).
 
 Relative rules are skipped when there is no baseline — a first release,
 a column new in this release, or a zero-valued previous denominator —
@@ -164,6 +169,19 @@ def check_expectations(
                 viol(col, "min_ndv_ratio", rule["min_ndv_ratio"], round(nratio, 6))
             if "max_ndv_ratio" in rule and nratio > rule["max_ndv_ratio"]:
                 viol(col, "max_ndv_ratio", rule["max_ndv_ratio"], round(nratio, 6))
+        # distributional drift over histogram rows (incstats length_of
+        # profiles carry p50_est/p90_est; the √2-bin resolution is ±~19%
+        # multiplicative — set ratio bounds outside that band)
+        for stat in ("p50", "p90"):
+            prev_q, now_q = pv.get(f"{stat}_est"), p.get(f"{stat}_est")
+            if not prev_q or now_q is None:
+                continue
+            qratio = now_q / prev_q
+            lo_key, hi_key = f"min_{stat}_ratio", f"max_{stat}_ratio"
+            if lo_key in rule and qratio < rule[lo_key]:
+                viol(col, lo_key, rule[lo_key], round(qratio, 6))
+            if hi_key in rule and qratio > rule[hi_key]:
+                viol(col, hi_key, rule[hi_key], round(qratio, 6))
     return out
 
 
