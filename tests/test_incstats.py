@@ -169,7 +169,9 @@ def test_ingest_maintains_stats_parts(spark, tmp_path):
     ingest(docs.where("doc_id >= 3"), 1)
     merged = {
         r["column"]: r
-        for r in incstats.merged_stats(spark, stats, ["doc_id", "text"])
+        for r in incstats.merged_stats(
+            spark, stats, ["doc_id", "text"], length_of=["text"]
+        )
     }
     full = {
         r["column"]: r
@@ -180,9 +182,12 @@ def test_ingest_maintains_stats_parts(spark, tmp_path):
     for c in ("doc_id", "text"):
         assert merged[c]["n_rows"] == full[c]["n_rows"]
         assert merged[c]["n_nulls"] == full[c]["n_nulls"]
-    before = incstats.merged_stats(spark, stats, ["doc_id", "text"])
+    # the ingest tracks text lengths too — a gate-ready histogram row
+    assert merged["len(text)"]["p50_est"] is not None
+    args = (spark, stats, ["doc_id", "text"])
+    before = incstats.merged_stats(*args, length_of=["text"])
     ingest(docs.where("doc_id >= 3"), 1)  # replay
-    assert incstats.merged_stats(spark, stats, ["doc_id", "text"]) == before
+    assert incstats.merged_stats(*args, length_of=["text"]) == before
 
 
 def test_length_histogram_percentiles_and_merging(spark, tmp_path):

@@ -314,11 +314,15 @@ def make_near_dup_ingest(
                 if stats_dir is not None:
                     from ..operators.incstats import write_stats_part
 
+                    # length_of: the text-length histogram rides every
+                    # part, so snapshot gates get distributional drift
+                    # rules (p50/p90 ratios) for free
                     write_stats_part(
                         novel.drop("_batch_id"),
                         [doc_id, text_col],
                         stats_dir,
                         batch_id,
+                        length_of=[text_col],
                     )
             finally:
                 if prev is not None:
