@@ -255,3 +255,121 @@ def test_p50_drift_rule_trips_on_halved_lengths(spark, tmp_path):
     assert [v["rule"] for v in got] == ["min_p50_ratio"]
     # no baseline → inert
     assert check_expectations(half, rules, previous=None) == []
+
+
+def test_empty_batch_part_folds_as_zeros(spark, tmp_path):
+    """An EMPTY batch's part stores its histogram as NULLs (F.sum over
+    zero rows) and a NULL sketch — merged_stats must fold both as zeros,
+    not crash (the fully-duplicate-micro-batch case the ingest hits)."""
+    docs = _docs(spark, 100)
+    parts = str(tmp_path / "empties")
+    incstats.write_stats_part(
+        docs.where("doc_id < 0"), ["doc_id", "text"], parts, 0,
+        length_of=["text"],
+    )
+    got = incstats.merged_stats(spark, parts, ["doc_id", "text"], length_of=["text"])
+    by = {r["column"]: r for r in got}
+    assert by["doc_id"]["n_rows"] == 0 and by["doc_id"]["ndv_approx"] == 0
+    assert by["len(text)"]["p50_est"] is None
+    # a later real batch merges cleanly over the empty one
+    incstats.write_stats_part(docs, ["doc_id", "text"], parts, 1, length_of=["text"])
+    got2 = {r["column"]: r for r in incstats.merged_stats(
+        spark, parts, ["doc_id", "text"], length_of=["text"])}
+    assert got2["doc_id"]["n_rows"] == 100
+    assert got2["len(text)"]["p50_est"] is not None
+
+
+def test_pre_upgrade_parts_merge_with_histogram_parts(spark, tmp_path):
+    """Parts written before a length_of upgrade lack the histogram
+    column; the merged read must neither fail nor bind the wrong schema
+    — counts cover ALL parts, percentiles only histogram-bearing ones
+    (the hist row's own n_rows says how many)."""
+    docs = _docs(spark, 200)
+    parts = str(tmp_path / "mixed")
+    incstats.write_stats_part(docs.where("doc_id < 100"), ["doc_id", "text"], parts, 0)
+    incstats.write_stats_part(
+        docs.where("doc_id >= 100"), ["doc_id", "text"], parts, 1,
+        length_of=["text"],
+    )
+    got = {r["column"]: r for r in incstats.merged_stats(
+        spark, parts, ["doc_id", "text"], length_of=["text"])}
+    assert got["doc_id"]["n_rows"] == 200          # counts span all parts
+    assert 0 < got["len(text)"]["n_rows"] <= 100   # hist spans batch 1 only
+    with pytest.raises(ValueError, match="length histogram"):
+        # a dir where NO writer ever passed length_of fails loudly
+        d2 = str(tmp_path / "nohist")
+        incstats.write_stats_part(docs, ["doc_id"], d2, 0)
+        incstats.merged_stats(spark, d2, ["doc_id"], length_of=["doc_id"])
+
+
+def test_p50_rule_fires_on_vanished_distribution(spark):
+    """prev had a distribution, current has none (empty histogram): a
+    configured percentile rule must VIOLATE, not silently skip."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.plans.expectations import (
+        check_expectations,
+    )
+
+    prev = [{"column": "len(text)", "n_rows": 100, "n_nulls": 0,
+             "null_frac": 0.0, "ndv_approx": None, "p50_est": 150.0,
+             "p90_est": 230.0}]
+    now = [{"column": "len(text)", "n_rows": 0, "n_nulls": 0,
+            "null_frac": 0.0, "ndv_approx": None, "p50_est": None,
+            "p90_est": None}]
+    rules = [{"column": "len(text)", "min_p50_ratio": 0.7}]
+    got = check_expectations(now, rules, previous=prev)
+    assert [(v["rule"], v["actual"]) for v in got] == [("min_p50_ratio", None)]
+
+
+def test_stats_compaction_preserves_merged_result(spark, tmp_path):
+    """compact_stats_parts folds old parts into the -1 base: part count
+    bounded, merged_stats identical for counts/histograms (sketch ndv
+    within its documented tolerance), idempotent re-run."""
+    docs = _docs(spark, 300)
+    parts = str(tmp_path / "c_stats")
+    for i in range(4):
+        incstats.write_stats_part(
+            docs.where(F.col("doc_id") % 4 == i), ["doc_id", "text"],
+            parts, i, length_of=["text"],
+        )
+    before = incstats.merged_stats(spark, parts, ["doc_id", "text"], length_of=["text"])
+    assert incstats.compact_stats_parts(spark, parts, 4) is True
+    ids = {
+        r["_batch_id"]
+        for r in spark.read.parquet(parts).select("_batch_id").distinct().collect()
+    }
+    assert ids == {-1}
+    after = incstats.merged_stats(spark, parts, ["doc_id", "text"], length_of=["text"])
+    for b, a in zip(before, after):
+        for k in ("column", "n_rows", "n_nulls", "null_frac"):
+            assert b[k] == a[k]
+        if "p50_est" in b:
+            assert b["p50_est"] == a["p50_est"] and b["p90_est"] == a["p90_est"]
+        if b.get("ndv_approx") is not None:
+            assert a["ndv_approx"] == pytest.approx(b["ndv_approx"], rel=0.05)
+    assert incstats.compact_stats_parts(spark, parts, 4) is False  # idempotent
+    assert incstats.compact_stats_parts(spark, str(tmp_path / "nope"), 4) is False
+
+
+def test_stats_enablement_is_fingerprinted(spark, tmp_path):
+    """Enabling stats_dir MID-stream would make merged stats a bogus
+    partial baseline — the knobs fingerprint must refuse it (and refuse
+    disabling, the symmetric hole)."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.neardup import (
+        make_near_dup_ingest,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "some document body with words"), (1, "another body of words here")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "fp_idx")
+    surv = str(tmp_path / "fp_surv")
+    knobs = dict(threshold=0.9, num_hashes=4, bands=2, shingle_n=3)
+    no_stats = make_near_dup_ingest(idx, surv, **knobs)
+    no_stats(docs.where("doc_id = 0"), 0)
+    with_stats = make_near_dup_ingest(
+        idx, surv, stats_dir=str(tmp_path / "fp_stats"), **knobs
+    )
+    with pytest.raises(ValueError, match="knobs differ"):
+        with_stats(docs.where("doc_id = 1"), 1)
+    no_stats(docs.where("doc_id = 1"), 1)  # consistent config proceeds

@@ -37,12 +37,12 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# √2-spaced log bins for the mergeable length histograms: bin i covers
-# [2^(i/2), 2^((i+1)/2)) with bin 0 = {0}; 64 bins span lengths up to
-# ~2^31. Percentile estimates read the bin's geometric midpoint, so the
-# resolution is a fixed ±~19% multiplicative band — coarse for
-# reporting, exactly right for DRIFT detection (a halved median moves
-# two whole bins).
+# √2-spaced log bins for the mergeable length histograms: bin i (i ≥ 1)
+# covers [2^((i-1)/2), 2^(i/2)) with bin 0 = {0}, so 64 bins span lengths
+# up to 2^31.5 (the last bin absorbs the tail). Percentile estimates read
+# the bin's geometric midpoint, so the resolution is a fixed ±~19%
+# multiplicative band — coarse for reporting, exactly right for DRIFT
+# detection (a halved median moves two whole bins).
 HIST_BINS = 64
 
 
@@ -170,13 +170,31 @@ def merged_stats(
     """
     if not os.path.isdir(parts_dir):
         raise FileNotFoundError(f"no stats parts under {parts_dir}")
-    parts = spark.read.parquet(parts_dir)
+    # mergeSchema: a dir may mix parts written before a length_of upgrade
+    # (no __histlen column — reads as NULL) with histogram-bearing ones;
+    # without it the read either fails on UNRESOLVED_COLUMN or silently
+    # binds whichever schema the footer sample picked
+    parts = spark.read.option("mergeSchema", "true").parquet(parts_dir)
     aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
     for c in length_of or []:
+        if f"__histlen_{c}" not in parts.columns:
+            raise ValueError(
+                f"merged_stats: no part carries a length histogram for "
+                f"{c!r} — the writers never passed length_of"
+            )
+        # coalesce every element: an EMPTY batch's part stores the
+        # histogram as 64 NULLs (F.sum over zero rows), and pre-upgrade
+        # parts contribute a NULL array — both must fold as zeros, the
+        # same tolerance the HLL path below applies to NULL sketches.
+        # Percentiles therefore cover only histogram-bearing batches; the
+        # hist row's own n_rows (Σ bin counts) says how many.
         aggs.append(
             F.array(
                 *[
-                    F.sum(F.element_at(F.col(f"__histlen_{c}"), i + 1))
+                    F.coalesce(
+                        F.sum(F.element_at(F.col(f"__histlen_{c}"), i + 1)),
+                        F.lit(0),
+                    )
                     .cast("long")
                     for i in range(HIST_BINS)
                 ]
@@ -231,3 +249,87 @@ def merged_stats(
             }
         )
     return out
+
+
+_BASE_PART = -1  # reserved _batch_id for the compacted stats base
+
+
+def compact_stats_parts(spark, parts_dir: str, before_batch_id: int) -> bool:
+    """Roll stats parts with ``_batch_id < before_batch_id`` into ONE base
+    part at the reserved id −1 — the same discipline
+    ``streaming.neardup.compact_summary_parts`` applies to its summary,
+    for the same reason: a long-lived stream otherwise accumulates one
+    tiny part per batch forever and every ``merged_stats`` pays an
+    O(batches) listing. Every statistic here is associative (counts and
+    histogram bins by sum, HLL sketches by register-wise union), so
+    folding never changes the merged result; counts and histogram totals
+    are verified before the staging-dir rename swap (sketch estimates
+    can shift a hair across representations — see merged_stats — so the
+    sketch columns ride the associativity argument, not a byte check).
+    Safe only for batches that can no longer replay: call with the
+    CURRENT foreachBatch id. Idempotent; returns False for the no-op
+    cases (missing dir, <2 foldable parts)."""
+    from ..sinks.upsert import swap_into_place
+
+    if not os.path.isdir(parts_dir):
+        return False
+    parts = spark.read.option("mergeSchema", "true").parquet(parts_dir)
+    old = parts.where(F.col("_batch_id") < F.lit(int(before_batch_id)))
+    old_ids = [r["_batch_id"] for r in old.select("_batch_id").distinct().collect()]
+    if len(old_ids) < 2:
+        return False
+    keep = parts.where(F.col("_batch_id") >= F.lit(int(before_batch_id)))
+    null_cols = [c for c in parts.columns if c.startswith("__nulls_")]
+    hll_cols = [c for c in parts.columns if c.startswith("__hll_")]
+    hist_cols = [c for c in parts.columns if c.startswith("__histlen_")]
+    aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
+    aggs += [F.sum(c).cast("long").alias(c) for c in null_cols]
+    aggs += [F.hll_union_agg(c).alias(c) for c in hll_cols]
+    aggs += [
+        F.array(
+            *[
+                F.coalesce(F.sum(F.element_at(F.col(c), i + 1)), F.lit(0))
+                .cast("long")
+                for i in range(HIST_BINS)
+            ]
+        ).alias(c)
+        for c in hist_cols
+    ]
+    base = old.agg(*aggs).withColumn("_batch_id", F.lit(_BASE_PART))
+    merged = base.unionByName(
+        keep.select(*base.columns), allowMissingColumns=True
+    )
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(
+        prefix=os.path.basename(parts_dir) + ".compact.",
+        dir=os.path.dirname(parts_dir) or ".",
+    )
+    try:
+        merged.write.mode("overwrite").partitionBy("_batch_id").parquet(staging)
+        # exact-count invariant, distributed: totals for n_rows, every
+        # null counter, and every histogram bin must be unchanged
+        checks = [F.sum("n_rows").alias("n_rows")] + [
+            F.sum(c).alias(c) for c in null_cols
+        ] + [
+            F.sum(F.element_at(F.col(c), i + 1)).alias(f"{c}_{i}")
+            for c in hist_cols
+            for i in range(HIST_BINS)
+        ]
+        before = parts.agg(*checks).head()
+        after = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(staging)
+            .agg(*checks)
+            .head()
+        )
+        if [x or 0 for x in before] != [x or 0 for x in after]:
+            raise RuntimeError(
+                "compact_stats_parts: totals changed; refusing the swap"
+            )
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    swap_into_place(staging, parts_dir)
+    return True

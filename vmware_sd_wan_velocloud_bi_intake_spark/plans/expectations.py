@@ -174,10 +174,19 @@ def check_expectations(
         # multiplicative — set ratio bounds outside that band)
         for stat in ("p50", "p90"):
             prev_q, now_q = pv.get(f"{stat}_est"), p.get(f"{stat}_est")
-            if not prev_q or now_q is None:
+            lo_key, hi_key = f"min_{stat}_ratio", f"max_{stat}_ratio"
+            if not prev_q:
+                continue  # no baseline estimate: relative rules are inert
+            if now_q is None:
+                # the baseline HAD a distribution and the current profile
+                # has none (all-NULL column / empty histogram) — the most
+                # degenerate drift of all; a configured rule must fire,
+                # not silently skip (the min_ndv loud-not-silent contract)
+                for key in (lo_key, hi_key):
+                    if key in rule:
+                        viol(col, key, rule[key], None)
                 continue
             qratio = now_q / prev_q
-            lo_key, hi_key = f"min_{stat}_ratio", f"max_{stat}_ratio"
             if lo_key in rule and qratio < rule[lo_key]:
                 viol(col, lo_key, rule[lo_key], round(qratio, 6))
             if hi_key in rule and qratio > rule[hi_key]:

@@ -199,6 +199,12 @@ def make_near_dup_ingest(
         "bands": bands,
         "shingle_n": shingle_n,
         "max_bucket": max_bucket,
+        # stats coverage is part of the stream's identity: enabling
+        # stats_dir MID-stream would make merged_stats a profile of only
+        # the post-enablement batches — a bogus drift baseline the gate
+        # can't distinguish from a collapse. Same misconfiguration class
+        # the LSH fingerprint exists for, so it rides the same file.
+        "stats": stats_dir is not None,
     }
     knobs_path = index_dir.rstrip("/") + "_knobs.json"
 
@@ -210,17 +216,23 @@ def make_near_dup_ingest(
             return
         stored = read_json_artifact(knobs_path, "neardup-knobs/v1")
         diff = {
-            k: (stored.get(k), v)
+            k: (stored[k], v)
             for k, v in knobs.items()
-            if k != "format" and stored.get(k) != v
+            if k != "format" and k in stored and stored[k] != v
         }
         if diff:
             raise ValueError(
                 f"near-dup ingest knobs differ from the index's fingerprint "
                 f"({knobs_path}): {diff} — band rows from different LSH "
-                "shapes are not comparable; rebuild the index or restore "
-                "the original knobs"
+                "shapes are not comparable (and stats coverage must span "
+                "the whole stream); rebuild the index or restore the "
+                "original configuration"
             )
+        # keys a legacy fingerprint predates (e.g. 'stats'): first writer
+        # to know about them claims them — record, don't reject
+        missing = [k for k in knobs if k != "format" and k not in stored]
+        if missing:
+            atomic_write_json(knobs_path, {**stored, **knobs})
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -234,6 +246,10 @@ def make_near_dup_ingest(
             # committed (foreachBatch serializes epochs) — never this
             # batch's own part, so replay exclusion is unaffected
             compact_summary_parts(spark, index_dir, batch_id)
+            if stats_dir is not None:
+                from ..operators.incstats import compact_stats_parts
+
+                compact_stats_parts(spark, stats_dir, batch_id)
         # ---- within-batch dedup (exact, then verified near-dup) --------
         exact = dedup.exact_dedup_keys(batch_df, doc_id, text_col)
         keep = exact.select(F.col("keep_id").alias(doc_id))
