@@ -373,3 +373,72 @@ def test_stats_enablement_is_fingerprinted(spark, tmp_path):
     with pytest.raises(ValueError, match="knobs differ"):
         with_stats(docs.where("doc_id = 1"), 1)
     no_stats(docs.where("doc_id = 1"), 1)  # consistent config proceeds
+
+
+def test_p50_zero_baseline_is_real_not_missing(spark):
+    """A baseline median of 0.0 (majority-empty corpus — a real degenerate
+    state) must not silently disable the percentile drift rules: leaving
+    0 is infinite upward drift (max ratio fires), staying at 0 is ratio 1
+    (clean)."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.plans.expectations import (
+        check_expectations,
+    )
+
+    def prof(p50):
+        return [{"column": "len(text)", "n_rows": 100, "n_nulls": 0,
+                 "null_frac": 0.0, "ndv_approx": None, "p50_est": p50,
+                 "p90_est": p50}]
+
+    rules = [{"column": "len(text)", "min_p50_ratio": 0.5,
+              "max_p50_ratio": 2.0}]
+    got = check_expectations(prof(10_000.0), rules, previous=prof(0.0))
+    assert [v["rule"] for v in got] == ["max_p50_ratio"]
+    assert check_expectations(prof(0.0), rules, previous=prof(0.0)) == []
+    # and a truly missing baseline estimate stays inert
+    assert check_expectations(prof(10.0), rules, previous=prof(None)) == []
+
+
+def test_stats_enablement_over_legacy_index_requires_backfill(spark, tmp_path):
+    """The pre-fingerprint upgrade hole: an index built before the knobs
+    file existed has survivors but no stats parts. Enabling stats_dir on
+    it must be REFUSED (recording stats=True there would gate every later
+    release against a partial bogus baseline) until backfill_stats writes
+    a base part covering the current survivors — after which merged stats
+    equal a full-scan profile."""
+    import os
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.neardup import (
+        backfill_stats,
+        make_near_dup_ingest,
+        read_survivors,
+    )
+
+    docs = _docs(spark, 40)
+    idx = str(tmp_path / "legacy_idx")
+    surv = str(tmp_path / "legacy_surv")
+    knobs = dict(threshold=0.9, num_hashes=4, bands=2, shingle_n=3)
+    legacy = make_near_dup_ingest(idx, surv, **knobs)
+    legacy(docs.where("doc_id < 20"), 0)
+    os.remove(idx + "_knobs.json")  # pre-fingerprint index: no knobs file
+    stats = str(tmp_path / "legacy_stats")
+    upgraded = make_near_dup_ingest(idx, surv, stats_dir=stats, **knobs)
+    with pytest.raises(ValueError, match="backfill"):
+        upgraded(docs.where("doc_id >= 20"), 1)
+    assert not os.path.exists(idx + "_knobs.json")  # refusal wrote nothing
+    backfill_stats(spark, surv, stats, ["doc_id", "text"], length_of=["text"])
+    upgraded(docs.where("doc_id >= 20"), 1)  # covered now: proceeds
+    merged = {
+        r["column"]: r
+        for r in incstats.merged_stats(
+            spark, stats, ["doc_id", "text"], length_of=["text"]
+        )
+    }
+    full = {
+        r["column"]: r
+        for r in profile_table(
+            read_survivors(spark, surv), ["doc_id", "text"]
+        ).collect()
+    }
+    for c in ("doc_id", "text"):
+        assert merged[c]["n_rows"] == full[c]["n_rows"]
+        assert merged[c]["n_nulls"] == full[c]["n_nulls"]

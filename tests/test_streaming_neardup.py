@@ -141,16 +141,31 @@ def test_replay_after_partial_crash_converges(spark, tmp_path):
     assert idx_docs == got
 
 
-def test_replay_after_summary_crash_does_not_wedge(spark, tmp_path):
-    """Crash between the index write and the summary write: the replay
-    sees an index with no summary parts and must FALL BACK to deriving
-    the cap in-plan (near_dup_pairs_incremental's documented path) rather
-    than failing on the missing parquet dir — then complete the publish.
-    Batch 0's lost part is then restored by ITS OWN replay, because the
-    replay excludes its own _batch_id from the index and so recomputes —
-    and rewrites — all three partitions against the pre-batch state."""
+def _simulate_summary_crash(idx: str) -> None:
+    """Reproduce the crash window between the index write and the summary
+    write: the summary part is gone AND the head record never happened
+    (the head is written after the summary, so a real crash in this
+    window leaves the knobs file without it — and Spark then replays the
+    batch before any later batch can run)."""
+    import json
     import shutil
 
+    shutil.rmtree(idx + "_summary_parts")
+    knobs_path = idx + "_knobs.json"
+    with open(knobs_path) as f:
+        stored = json.load(f)
+    stored.pop("last_batch_id", None)
+    stored.pop("last_batch_fp", None)
+    with open(knobs_path, "w") as f:
+        json.dump(stored, f)
+
+
+def test_replay_after_summary_crash_restores_the_part(spark, tmp_path):
+    """Crash between the index write and the summary write: Spark replays
+    the batch (it never committed); the replay excludes its own _batch_id
+    from the index and so recomputes — and rewrites — all three
+    partitions against the pre-batch state, restoring the lost summary
+    part before any later batch runs."""
     docs = _docs(spark)
     idx = str(tmp_path / "idx5")
     surv = str(tmp_path / "surv5")
@@ -158,30 +173,91 @@ def test_replay_after_summary_crash_does_not_wedge(spark, tmp_path):
     b0 = docs.where("doc_id < 3")
     b1 = docs.where("doc_id >= 3")
     ingest(b0, 0)
-    shutil.rmtree(idx + "_summary_parts")  # the crash window
-    ingest(b1, 1)  # must not raise
+    _simulate_summary_crash(idx)
+    ingest(b0, 0)  # the replay restores the lost summary part
+    summary = spark.read.parquet(idx + "_summary_parts")
+    assert {r["_batch_id"] for r in summary.select("_batch_id").collect()} == {0}
+    ingest(b1, 1)
     got = {r["doc_id"] for r in read_survivors(spark, surv).collect()}
     assert got == _expected_batch_survivors(docs)
-    summary = spark.read.parquet(idx + "_summary_parts")
-    assert {r["_batch_id"] for r in summary.select("_batch_id").collect()} == {1}
-    ingest(b0, 0)  # batch 0's replay restores its lost summary part
-    summary = spark.read.parquet(idx + "_summary_parts")
-    assert {r["_batch_id"] for r in summary.select("_batch_id").collect()} == {0, 1}
     # the restored parts equal a clean run's summary exactly
     clean_idx = str(tmp_path / "idx5_clean")
     clean_surv = str(tmp_path / "surv5_clean")
     clean = make_near_dup_ingest(clean_idx, clean_surv, **_KNOBS)
     clean(b0, 0)
     clean(b1, 1)
-    got_parts = sorted(map(tuple, summary.collect()))
+    got_parts = sorted(
+        map(tuple, spark.read.parquet(idx + "_summary_parts").collect())
+    )
     want_parts = sorted(
         map(tuple, spark.read.parquet(clean_idx + "_summary_parts").collect())
     )
     assert got_parts == want_parts
-    # and the replay left survivors/index untouched vs the clean run
     assert {
         r["doc_id"] for r in read_survivors(spark, surv).collect()
     } == {r["doc_id"] for r in read_survivors(spark, clean_surv).collect()}
+
+
+def test_missing_summary_dir_falls_back_in_plan(spark, tmp_path):
+    """An externally lost summary dir (no crash — the batch committed)
+    must not wedge the next batch: near_dup_pairs_incremental derives the
+    cap in-plan for that one batch instead of failing on the missing
+    parquet path."""
+    import shutil
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx5b")
+    surv = str(tmp_path / "surv5b")
+    ingest = make_near_dup_ingest(idx, surv, **_KNOBS)
+    ingest(docs.where("doc_id < 3"), 0)
+    shutil.rmtree(idx + "_summary_parts")  # external loss, batch 0 committed
+    ingest(docs.where("doc_id >= 3"), 1)  # must not raise
+    got = {r["doc_id"] for r in read_survivors(spark, surv).collect()}
+    assert got == _expected_batch_survivors(docs)
+    summary = spark.read.parquet(idx + "_summary_parts")
+    assert {r["_batch_id"] for r in summary.select("_batch_id").collect()} == {1}
+
+
+def test_fresh_checkpoint_restart_fails_loudly(spark, tmp_path):
+    """A stream restarted with a fresh checkpoint re-issues batch id 0
+    with NEW data against an index whose head is already past it; the
+    own-batch replay exclusion would hide (then overwrite) the original
+    partitions, so the ingest must refuse instead of silently losing
+    data — both the behind-the-head and the same-id-different-content
+    collisions."""
+    import pytest
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx6")
+    surv = str(tmp_path / "surv6")
+    ingest = make_near_dup_ingest(idx, surv, **_KNOBS)
+    ingest(docs.where("doc_id < 3"), 0)
+    ingest(docs.where("doc_id >= 3"), 1)
+    before = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    with pytest.raises(ValueError, match="behind the index's recorded head"):
+        ingest(docs.where("doc_id = 4"), 0)  # fresh checkpoint: ids reset
+    with pytest.raises(ValueError, match="different content"):
+        ingest(docs.where("doc_id = 4"), 1)  # collides with committed head
+    # nothing was written by either refusal
+    assert sorted(map(tuple, spark.read.parquet(idx).collect())) == before
+    # a TRUE replay of the head batch (same content) still proceeds
+    ingest(docs.where("doc_id >= 3"), 1)
+    assert sorted(map(tuple, spark.read.parquet(idx).collect())) == before
+
+
+def test_id_and_text_columns_ride_the_fingerprint(spark, tmp_path):
+    """Switching doc_id/text_col against a shared index shingles a
+    different column and keys a different id namespace — refused by the
+    knobs fingerprint like any LSH-shape change."""
+    import pytest
+
+    docs = _docs(spark).withColumn("body", F.col("text"))
+    idx = str(tmp_path / "idx7")
+    surv = str(tmp_path / "surv7")
+    make_near_dup_ingest(idx, surv, **_KNOBS)(docs.where("doc_id < 3"), 0)
+    redeployed = make_near_dup_ingest(idx, surv, text_col="body", **_KNOBS)
+    with pytest.raises(ValueError, match="text_col"):
+        redeployed(docs.where("doc_id >= 3"), 1)
 
 
 def test_replay_excludes_own_batch_at_cap_margin(spark, tmp_path):

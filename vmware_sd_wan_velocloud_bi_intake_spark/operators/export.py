@@ -297,6 +297,16 @@ def fix_split_leakage_until_clean(
 
     The intermediate frame is localCheckpointed between rounds so round
     N+1's near-dup pass does not re-run round N's join lineage.
+
+    FIX-FIRST: each round runs fix → audit, not audit → fix → audit.
+    Every audit and every fix is a full corpus-scale near-dup pass, and
+    this function's caller has already decided to act (that is what
+    "until clean" means), so the leading audit would only confirm what
+    the first fix discovers anyway — refold converges in fix + audit =
+    2 passes instead of 3, and a dirty drop-mode corpus saves one full
+    pass per invocation. The trade: an already-clean corpus pays a
+    no-op fix it didn't need — callers who only SUSPECT leakage should
+    run :func:`split_leakage_pairs` alone first.
     """
     knobs = dict(
         threshold=threshold,
@@ -307,15 +317,13 @@ def fix_split_leakage_until_clean(
     )
     out = df
     for _ in range(max_rounds):
+        out = fix_split_leakage(
+            out, id_col, text_col, split_name, mode=mode, **knobs
+        ).localCheckpoint(eager=True)
         if split_leakage_pairs(
             out, id_col, text_col, split_name, **knobs
         ).isEmpty():
             return out
-        out = fix_split_leakage(
-            out, id_col, text_col, split_name, mode=mode, **knobs
-        ).localCheckpoint(eager=True)
-    if split_leakage_pairs(out, id_col, text_col, split_name, **knobs).isEmpty():
-        return out
     raise RuntimeError(
         f"fix_split_leakage_until_clean: audit not empty after "
         f"{max_rounds} rounds — input does not look like a split-labeled "

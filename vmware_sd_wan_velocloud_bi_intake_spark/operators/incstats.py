@@ -263,53 +263,39 @@ def compact_stats_parts(spark, parts_dir: str, before_batch_id: int) -> bool:
     O(batches) listing. Every statistic here is associative (counts and
     histogram bins by sum, HLL sketches by register-wise union), so
     folding never changes the merged result; counts and histogram totals
-    are verified before the staging-dir rename swap (sketch estimates
-    can shift a hair across representations — see merged_stats — so the
-    sketch columns ride the associativity argument, not a byte check).
-    Safe only for batches that can no longer replay: call with the
-    CURRENT foreachBatch id. Idempotent; returns False for the no-op
+    are verified before the swap (sketch estimates can shift a hair
+    across representations — see merged_stats — so the sketch columns
+    ride the associativity argument, not a byte check). Fold/verify/swap
+    is the shared :func:`~..sinks.compact.compact_parts` staging-dir
+    skeleton. Safe only for batches that can no longer replay: call with
+    the CURRENT foreachBatch id. Idempotent; returns False for the no-op
     cases (missing dir, <2 foldable parts)."""
-    from ..sinks.upsert import swap_into_place
+    from ..sinks.compact import compact_parts
 
-    if not os.path.isdir(parts_dir):
-        return False
-    parts = spark.read.option("mergeSchema", "true").parquet(parts_dir)
-    old = parts.where(F.col("_batch_id") < F.lit(int(before_batch_id)))
-    old_ids = [r["_batch_id"] for r in old.select("_batch_id").distinct().collect()]
-    if len(old_ids) < 2:
-        return False
-    keep = parts.where(F.col("_batch_id") >= F.lit(int(before_batch_id)))
-    null_cols = [c for c in parts.columns if c.startswith("__nulls_")]
-    hll_cols = [c for c in parts.columns if c.startswith("__hll_")]
-    hist_cols = [c for c in parts.columns if c.startswith("__histlen_")]
-    aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
-    aggs += [F.sum(c).cast("long").alias(c) for c in null_cols]
-    aggs += [F.hll_union_agg(c).alias(c) for c in hll_cols]
-    aggs += [
-        F.array(
-            *[
-                F.coalesce(F.sum(F.element_at(F.col(c), i + 1)), F.lit(0))
-                .cast("long")
-                for i in range(HIST_BINS)
-            ]
-        ).alias(c)
-        for c in hist_cols
-    ]
-    base = old.agg(*aggs).withColumn("_batch_id", F.lit(_BASE_PART))
-    merged = base.unionByName(
-        keep.select(*base.columns), allowMissingColumns=True
-    )
-    import shutil
-    import tempfile
+    def fold(old) -> "DataFrame":
+        null_cols = [c for c in old.columns if c.startswith("__nulls_")]
+        hll_cols = [c for c in old.columns if c.startswith("__hll_")]
+        hist_cols = [c for c in old.columns if c.startswith("__histlen_")]
+        aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
+        aggs += [F.sum(c).cast("long").alias(c) for c in null_cols]
+        aggs += [F.hll_union_agg(c).alias(c) for c in hll_cols]
+        aggs += [
+            F.array(
+                *[
+                    F.coalesce(F.sum(F.element_at(F.col(c), i + 1)), F.lit(0))
+                    .cast("long")
+                    for i in range(HIST_BINS)
+                ]
+            ).alias(c)
+            for c in hist_cols
+        ]
+        return old.agg(*aggs)
 
-    staging = tempfile.mkdtemp(
-        prefix=os.path.basename(parts_dir) + ".compact.",
-        dir=os.path.dirname(parts_dir) or ".",
-    )
-    try:
-        merged.write.mode("overwrite").partitionBy("_batch_id").parquet(staging)
+    def verify(parts, staged) -> None:
         # exact-count invariant, distributed: totals for n_rows, every
         # null counter, and every histogram bin must be unchanged
+        null_cols = [c for c in parts.columns if c.startswith("__nulls_")]
+        hist_cols = [c for c in parts.columns if c.startswith("__histlen_")]
         checks = [F.sum("n_rows").alias("n_rows")] + [
             F.sum(c).alias(c) for c in null_cols
         ] + [
@@ -318,18 +304,12 @@ def compact_stats_parts(spark, parts_dir: str, before_batch_id: int) -> bool:
             for i in range(HIST_BINS)
         ]
         before = parts.agg(*checks).head()
-        after = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(staging)
-            .agg(*checks)
-            .head()
-        )
+        after = staged.agg(*checks).head()
         if [x or 0 for x in before] != [x or 0 for x in after]:
             raise RuntimeError(
                 "compact_stats_parts: totals changed; refusing the swap"
             )
-    except BaseException:
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    swap_into_place(staging, parts_dir)
-    return True
+
+    return compact_parts(
+        spark, parts_dir, before_batch_id, fold, verify, merge_schema=True
+    )

@@ -175,7 +175,7 @@ def check_expectations(
         for stat in ("p50", "p90"):
             prev_q, now_q = pv.get(f"{stat}_est"), p.get(f"{stat}_est")
             lo_key, hi_key = f"min_{stat}_ratio", f"max_{stat}_ratio"
-            if not prev_q:
+            if prev_q is None:
                 continue  # no baseline estimate: relative rules are inert
             if now_q is None:
                 # the baseline HAD a distribution and the current profile
@@ -186,7 +186,14 @@ def check_expectations(
                     if key in rule:
                         viol(col, key, rule[key], None)
                 continue
-            qratio = now_q / prev_q
+            if prev_q == 0:
+                # a zero baseline percentile is a real (degenerate) state
+                # — majority-empty strings — not "no baseline": staying at
+                # 0 is ratio 1 (no drift), leaving 0 is infinite upward
+                # drift, so a configured max ratio must fire loudly
+                qratio = 1.0 if now_q == 0 else float("inf")
+            else:
+                qratio = now_q / prev_q
             if lo_key in rule and qratio < rule[lo_key]:
                 viol(col, lo_key, rule[lo_key], round(qratio, 6))
             if hi_key in rule and qratio > rule[hi_key]:

@@ -29,6 +29,70 @@ from .upsert import swap_into_place
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # the HDFS-block-ish sweet spot
 
+BASE_PART = -1  # reserved _batch_id for a compacted parts-table base
+
+
+def compact_parts(
+    spark: SparkSession,
+    parts_dir: str,
+    before_batch_id: int,
+    fold,
+    verify,
+    *,
+    merge_schema: bool = False,
+) -> bool:
+    """Fold ``_batch_id``-keyed incremental parts older than
+    ``before_batch_id`` into ONE base partition at the reserved id
+    :data:`BASE_PART` — the shared crash-safety skeleton behind
+    ``streaming.neardup.compact_summary_parts`` and
+    ``operators.incstats.compact_stats_parts``.
+
+    The protocol (identical for every parts table, which is why it lives
+    once, next to the swap it uses): read the parts, split old/keep at
+    ``before_batch_id``, ``fold(old) -> one-or-few base rows`` (the
+    caller's associative aggregate — the helper stamps ``_batch_id``),
+    write the folded table to a staging dir, ``verify(parts, staged)``
+    (caller raises on any invariant break — totals, per-key sums), then
+    :func:`~.upsert.swap_into_place`. A crash anywhere before the swap
+    leaves the original untouched (staging removed on the way out); the
+    swap itself never holds fewer than one complete copy. An existing
+    base part sorts below every real batch id, so it is folded into the
+    new base rather than orphaned, and re-running is idempotent.
+
+    Returns False for the no-op cases (missing dir, <2 foldable parts).
+    Callers own the replay-safety argument: pass the CURRENT foreachBatch
+    id, whose predecessors can no longer replay.
+    """
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(parts_dir):
+        return False
+    reader = (
+        spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+    )
+    parts = reader.parquet(parts_dir)
+    old = parts.where(F.col("_batch_id") < F.lit(int(before_batch_id)))
+    old_ids = [r["_batch_id"] for r in old.select("_batch_id").distinct().collect()]
+    if len(old_ids) < 2:
+        return False  # zero/one foldable part: compaction buys nothing
+    keep = parts.where(F.col("_batch_id") >= F.lit(int(before_batch_id)))
+    base = fold(old).withColumn("_batch_id", F.lit(BASE_PART))
+    merged = base.unionByName(
+        keep.select(*base.columns), allowMissingColumns=merge_schema
+    )
+    staging = tempfile.mkdtemp(
+        prefix=os.path.basename(parts_dir) + ".compact.",
+        dir=os.path.dirname(parts_dir) or ".",
+    )
+    try:
+        merged.write.mode("overwrite").partitionBy("_batch_id").parquet(staging)
+        verify(parts, reader.parquet(staging))
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    swap_into_place(staging, parts_dir)
+    return True
+
 
 def dataset_bytes(path: str) -> int:
     """On-disk parquet bytes under ``path`` (recursive, listing only)."""

@@ -82,39 +82,23 @@ def compact_summary_parts(spark, index_dir: str, before_batch_id: int) -> bool:
     auto-compaction does). The base id −1 never equals a real batch id,
     so the replay-time own-batch exclusion filter keeps working, and
     counts are associative so folding parts never changes the aggregate
-    (verified per-bucket before the swap). The rewrite uses the
-    staging-dir rename swap (sinks/upsert.py): readers never observe a
-    half-compacted parts table, and a crash mid-compaction leaves the
-    original intact — re-running is idempotent.
+    (verified per-bucket before the swap). The fold/verify/swap protocol
+    is the shared :func:`~..sinks.compact.compact_parts` staging-dir
+    skeleton: readers never observe a half-compacted parts table, a
+    crash mid-compaction leaves the original intact, re-running is
+    idempotent.
 
     Returns True when a compaction happened (≥2 foldable parts), False
     for the no-op cases (missing dir, nothing to fold).
     """
-    from ..sinks.upsert import swap_into_place
+    from ..sinks.compact import compact_parts
 
-    parts_dir = index_dir.rstrip("/") + "_summary_parts"
-    if not os.path.isdir(parts_dir):
-        return False
-    parts = spark.read.parquet(parts_dir)
-    old = parts.where(F.col("_batch_id") < F.lit(int(before_batch_id)))
-    old_ids = [r["_batch_id"] for r in old.select("_batch_id").distinct().collect()]
-    if len(old_ids) < 2:
-        return False  # zero/one foldable part: compaction buys nothing
-    keep = parts.where(F.col("_batch_id") >= F.lit(int(before_batch_id)))
-    base = (
-        old.groupBy("bucket")
-        .agg(F.sum("n_members").cast("long").alias("n_members"))
-        .withColumn("_batch_id", F.lit(_BASE_PART))
-    )
-    merged = base.unionByName(keep.select("bucket", "n_members", "_batch_id"))
-    import tempfile
+    def fold(old: DataFrame) -> DataFrame:
+        return old.groupBy("bucket").agg(
+            F.sum("n_members").cast("long").alias("n_members")
+        )
 
-    staging = tempfile.mkdtemp(
-        prefix=os.path.basename(parts_dir) + ".compact.",
-        dir=os.path.dirname(parts_dir) or ".",
-    )
-    try:
-        merged.write.mode("overwrite").partitionBy("_batch_id").parquet(staging)
+    def verify(parts: DataFrame, staged: DataFrame) -> None:
         # associativity check: per-bucket totals must be byte-identical.
         # DISTRIBUTED — the summary is one row per distinct LSH bucket,
         # which grows with the corpus; collecting it to the driver would
@@ -122,11 +106,7 @@ def compact_summary_parts(spark, index_dir: str, before_batch_id: int) -> bool:
         # for. A full-outer join + existence probe verifies the same
         # invariant with one cheap job and at most one row to the driver.
         before = parts.groupBy("bucket").agg(F.sum("n_members").alias("_n_b"))
-        after = (
-            spark.read.parquet(staging)
-            .groupBy("bucket")
-            .agg(F.sum("n_members").alias("_n_a"))
-        )
+        after = staged.groupBy("bucket").agg(F.sum("n_members").alias("_n_a"))
         mismatched = (
             before.join(after, "bucket", "full")
             .where(
@@ -141,13 +121,9 @@ def compact_summary_parts(spark, index_dir: str, before_batch_id: int) -> bool:
                 "compact_summary_parts: per-bucket totals changed; "
                 "refusing the swap"
             )
-    except BaseException:
-        import shutil
 
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    swap_into_place(staging, parts_dir)
-    return True
+    parts_dir = index_dir.rstrip("/") + "_summary_parts"
+    return compact_parts(spark, parts_dir, before_batch_id, fold, verify)
 
 
 def make_near_dup_ingest(
@@ -199,6 +175,13 @@ def make_near_dup_ingest(
         "bands": bands,
         "shingle_n": shingle_n,
         "max_bucket": max_bucket,
+        # the id/text columns are part of the index's identity for the
+        # same reason the LSH shape is: a redeploy that switches either
+        # (doc_id='id', text_col='body') shingles a DIFFERENT column and
+        # keys survivors in a different id namespace — band rows become
+        # silently incomparable even though every LSH knob matches
+        "doc_id": doc_id,
+        "text_col": text_col,
         # stats coverage is part of the stream's identity: enabling
         # stats_dir MID-stream would make merged_stats a profile of only
         # the post-enablement batches — a bogus drift baseline the gate
@@ -208,10 +191,41 @@ def make_near_dup_ingest(
     }
     knobs_path = index_dir.rstrip("/") + "_knobs.json"
 
+    def _require_stats_coverage() -> None:
+        """Refuse to CLAIM stats=True over an index whose survivors the
+        stats parts do not cover — the r7→r8 upgrade hole: a
+        pre-fingerprint index has no knobs file, so the claim branch
+        below would otherwise record stats=True while merged_stats sees
+        only post-upgrade batches, and every later drift ratio gates
+        against that partial bogus baseline. A base part (−1, written by
+        :func:`backfill_stats` or compaction) covers any batch set."""
+        if stats_dir is None or not os.path.isdir(survivors_dir):
+            return
+        surv = {d for d in os.listdir(survivors_dir) if d.startswith("_batch_id=")}
+        if not surv:
+            return
+        st: set[str] = set()
+        if os.path.isdir(stats_dir):
+            st = {d for d in os.listdir(stats_dir) if d.startswith("_batch_id=")}
+        if f"_batch_id={_BASE_PART}" in st:
+            return
+        missing = sorted(surv - st)
+        if missing:
+            raise ValueError(
+                f"near-dup ingest: stats_dir={stats_dir!r} does not cover "
+                f"existing survivor batches {missing[:8]}"
+                f"{'…' if len(missing) > 8 else ''} — enabling statistics "
+                "over a pre-existing index needs a backfill first "
+                "(streaming.neardup.backfill_stats writes one base part "
+                "over the current survivors), otherwise merged_stats "
+                "would silently profile only post-enablement batches"
+            )
+
     def _check_knobs() -> None:
         from ..functions.artifacts import atomic_write_json, read_json_artifact
 
         if not os.path.exists(knobs_path):
+            _require_stats_coverage()
             atomic_write_json(knobs_path, knobs)
             return
         stored = read_json_artifact(knobs_path, "neardup-knobs/v1")
@@ -232,11 +246,56 @@ def make_near_dup_ingest(
         # to know about them claims them — record, don't reject
         missing = [k for k in knobs if k != "format" and k not in stored]
         if missing:
+            if "stats" in missing:
+                _require_stats_coverage()
             atomic_write_json(knobs_path, {**stored, **knobs})
 
+    def _batch_fingerprint(batch_df: DataFrame) -> str:
+        # order-independent content id of the RAW batch (replays hand the
+        # same source offsets back, so a true replay reproduces it): one
+        # tiny aggregate job per batch buys the id-collision guard below
+        row = batch_df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64(F.col(doc_id).cast("string"))).alias("x"),
+        ).head()
+        return f"{row['n']}:{row['x'] if row['x'] is not None else 0}"
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.artifacts import atomic_write_json, read_json_artifact
+
         spark = batch_df.sparkSession
         _check_knobs()
+        # ---- batch-id collision guard -----------------------------------
+        # The own-batch replay exclusion below assumes batch ids are
+        # unique for the index's LIFETIME, but Spark numbers batches per
+        # CHECKPOINT: a stream restarted with a fresh checkpoint dir
+        # against an existing index re-issues id 0 with NEW data — the
+        # exclusion would then hide the original partitions and the
+        # dynamic overwrite would replace them (silent data loss). The
+        # fingerprint file records (last_batch_id, content hash): an id
+        # at the recorded head must carry identical content (a true
+        # replay); an id behind it is a reset and fails loudly.
+        stored = read_json_artifact(knobs_path, "neardup-knobs/v1")
+        last = stored.get("last_batch_id")
+        fp = _batch_fingerprint(batch_df)
+        if last is not None:
+            if batch_id < last:
+                raise ValueError(
+                    f"near-dup ingest: batch id {batch_id} is behind the "
+                    f"index's recorded head {last} ({knobs_path}) — this "
+                    "stream was restarted with a fresh checkpoint against "
+                    "an existing index; its batch ids would collide with "
+                    "committed partitions. Restore the original checkpoint "
+                    "dir, or point the ingest at a new index_dir"
+                )
+            if batch_id == last and fp != stored.get("last_batch_fp"):
+                raise ValueError(
+                    f"near-dup ingest: batch id {batch_id} matches the "
+                    "recorded head but carries different content — a "
+                    "fresh-checkpoint restart colliding with the last "
+                    "committed batch, not a replay. Restore the original "
+                    "checkpoint dir, or point the ingest at a new index_dir"
+                )
         if (
             compact_summary_every
             and batch_id > 0
@@ -343,10 +402,53 @@ def make_near_dup_ingest(
             finally:
                 if prev is not None:
                     spark.conf.set(conf_key, prev)
+            # record the committed head AFTER the full publish (atomic
+            # rewrite; foreachBatch serializes epochs so no writer race).
+            # A crash before this line replays with last = batch_id − 1,
+            # which passes the guard and rewrites all partitions — the
+            # normal replay path; a crash after it replays at last ==
+            # batch_id with an identical fingerprint. Legacy knobs files
+            # predate the field: the guard starts enforcing from the
+            # first batch that records it.
+            atomic_write_json(
+                knobs_path,
+                {
+                    **read_json_artifact(knobs_path, "neardup-knobs/v1"),
+                    "last_batch_id": int(batch_id),
+                    "last_batch_fp": fp,
+                },
+            )
         finally:
             novel.unpersist()
 
     return ingest
+
+
+def backfill_stats(
+    spark,
+    survivors_dir: str,
+    stats_dir: str,
+    columns: list[str],
+    *,
+    length_of: list[str] | None = None,
+) -> None:
+    """One-time upgrade path for enabling ``stats_dir`` on an index that
+    predates statistics: write a single BASE stats part (``_batch_id`` =
+    −1) over the current survivor corpus, so ``merged_stats`` covers
+    pre-enablement batches too and the ingest's coverage check passes.
+    Run it while the stream is STOPPED (the base must cover everything
+    already committed); later compactions fold the base part forward like
+    any other old part. One full scan of the survivors — paid once, at
+    upgrade, never per batch."""
+    from ..operators.incstats import write_stats_part
+
+    write_stats_part(
+        read_survivors(spark, survivors_dir),
+        columns,
+        stats_dir,
+        _BASE_PART,
+        length_of=length_of,
+    )
 
 
 def read_survivors(spark, survivors_dir: str) -> DataFrame:
