@@ -1,0 +1,176 @@
+"""Streaming IVF-PQ ANN index ingest (streaming/annindex.py): the
+streamed index equals the batch build+append composition, replays are
+byte-idempotent, collisions/misconfigurations fail loudly, and the drift
+monitor records per batch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vmware_sd_wan_velocloud_bi_intake_spark.operators import pq, similarity
+from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+from vmware_sd_wan_velocloud_bi_intake_spark.streaming.annindex import (
+    drift_history,
+    make_ann_index_ingest,
+    needs_retrain,
+    read_ann_index,
+)
+
+_KNOBS = dict(n_cells=8, m=8, ksub=16, train_iters=6)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke):
+    df = load_table(spark, sf_smoke, "embeddings").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _members(spark, idx):
+    return sorted(
+        map(
+            tuple,
+            spark.read.parquet(idx + "/members")
+            .select("cell", "vid", "codes", "nrm", "_batch_id")
+            .collect(),
+        )
+    )
+
+
+def test_streamed_index_equals_batch_composition(spark, emb, tmp_path):
+    """Three micro-batches through the ingest must leave EXACTLY the
+    members the batch-API composition (ivf_pq_index on batch 0 +
+    ivf_pq_append of the rest at the frozen artifacts) produces, and the
+    searchable index must answer queries identically."""
+    idx = str(tmp_path / "ann_idx")
+    ingest = make_ann_index_ingest(idx, **_KNOBS)
+    b0 = emb.where("vec_id % 3 = 0")
+    b1 = emb.where("vec_id % 3 = 1")
+    b2 = emb.where("vec_id % 3 = 2")
+    ingest(b0, 0)
+    ingest(b1, 1)
+    ingest(b2, 2)
+    cents, members, books = read_ann_index(spark, idx)
+    # batch-API composition at the SAME artifacts
+    want = pq.ivf_pq_append(b1, cents, books).unionByName(
+        pq.ivf_pq_append(b2, cents, books)
+    )
+    got_append = {
+        (r["vid"], r["cell"], tuple(r["codes"]))
+        for r in members.join(
+            b1.unionByName(b2).select(F.col("vec_id").alias("vid")),
+            "vid",
+            "left_semi",
+        ).collect()
+    }
+    want_append = {
+        (r["vid"], r["cell"], tuple(r["codes"])) for r in want.collect()
+    }
+    assert got_append == want_append
+    # every corpus vector is in the index exactly once
+    assert members.count() == emb.count()
+    assert members.select("vid").distinct().count() == emb.count()
+    # and the accumulated index is searchable end-to-end (self-matches
+    # are excluded by ann_ivf_pq_topk, so assert each query answers)
+    queries = emb.where("vec_id IN (3, 7, 11)")
+    hits = pq.ann_ivf_pq_topk(
+        queries, cents, members, books, k=1, nprobe=8
+    ).collect()
+    assert {r["query_id"] for r in hits} == {3, 7, 11}
+
+
+def test_replay_is_byte_idempotent(spark, emb, tmp_path):
+    idx = str(tmp_path / "ann_idx2")
+    ingest = make_ann_index_ingest(idx, **_KNOBS)
+    b0 = emb.where("vec_id % 2 = 0")
+    b1 = emb.where("vec_id % 2 = 1")
+    ingest(b0, 0)
+    ingest(b1, 1)
+    before = _members(spark, idx)
+    before_drift = sorted(map(tuple, drift_history(spark, idx).collect()))
+    ingest(b1, 1)  # foreachBatch at-least-once replay
+    assert _members(spark, idx) == before
+    assert sorted(map(tuple, drift_history(spark, idx).collect())) == before_drift
+    # (a true BUILD-batch replay can only happen before batch 1 commits —
+    # covered by test_build_crash_replay_converges)
+
+
+def test_build_crash_replay_converges(spark, emb, tmp_path):
+    """A crash AFTER codebooks.json lands but before the head record: the
+    replay routes through the append path at the frozen quantizers and
+    must rewrite batch 0's members byte-identically (append == rebuild
+    encode)."""
+    import json
+
+    idx = str(tmp_path / "ann_idx3")
+    ingest = make_ann_index_ingest(idx, **_KNOBS)
+    b0 = emb.where("vec_id % 2 = 0")
+    ingest(b0, 0)
+    before = _members(spark, idx)
+    knobs_path = idx + "_knobs.json"
+    with open(knobs_path) as f:
+        stored = json.load(f)
+    stored.pop("last_batch_id"), stored.pop("last_batch_fp")
+    with open(knobs_path, "w") as f:
+        json.dump(stored, f)  # the head record never happened
+    ingest(b0, 0)  # Spark replays the uncommitted batch
+    assert _members(spark, idx) == before
+    d = {r["_batch_id"]: r for r in drift_history(spark, idx).collect()}
+    assert d[0]["tv_distance"] == 0.0 and not d[0]["retrain"]
+
+
+def test_collisions_and_misconfigurations_fail_loudly(spark, emb, tmp_path):
+    idx = str(tmp_path / "ann_idx4")
+    ingest = make_ann_index_ingest(idx, **_KNOBS)
+    ingest(emb.where("vec_id % 2 = 0"), 0)
+    ingest(emb.where("vec_id % 2 = 1"), 1)
+    with pytest.raises(ValueError, match="behind the index's recorded head"):
+        ingest(emb.where("vec_id = 5"), 0)  # fresh checkpoint: ids reset
+    with pytest.raises(ValueError, match="different content"):
+        ingest(emb.where("vec_id = 5"), 1)  # collides with committed head
+    redeployed = make_ann_index_ingest(idx, n_cells=8, m=4, ksub=16)
+    with pytest.raises(ValueError, match="knobs differ"):
+        redeployed(emb.where("vec_id = 5"), 2)  # incompatible code space
+
+
+def test_drift_monitor_records_per_batch(spark, emb, tmp_path):
+    """In-distribution appends record TV ≈ sampling noise; a topic-shifted
+    batch (every vector pulled toward an anchor the quantizer never saw)
+    trips the retrain flag — answered from the drift parts alone."""
+    idx = str(tmp_path / "ann_idx5")
+    ingest = make_ann_index_ingest(idx, **_KNOBS)
+    ingest(emb.where("vec_id % 2 = 0"), 0)
+    ingest(emb.where("vec_id % 2 = 1"), 1)  # held-out half: in-distribution
+    assert not needs_retrain(spark, idx)
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal(64)
+    a = a / np.linalg.norm(a)
+    anchor = F.array(*[F.lit(float(x)) for x in a])
+    shifted = emb.where("vec_id % 2 = 1").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with(
+            similarity.as_double_array(F.col("embedding")),
+            anchor,
+            lambda v, x: F.lit(0.1) * v + x,
+        ).alias("embedding"),
+    )
+    ingest(shifted, 2)
+    assert needs_retrain(spark, idx)
+    d = {r["_batch_id"]: r for r in drift_history(spark, idx).collect()}
+    assert not d[1]["retrain"] and d[2]["retrain"]
+    assert d[2]["tv_distance"] > d[1]["tv_distance"]
+
+
+def test_empty_batch_is_a_noop(spark, emb, tmp_path):
+    idx = str(tmp_path / "ann_idx6")
+    ingest = make_ann_index_ingest(idx, **_KNOBS)
+    ingest(emb.where("vec_id % 2 = 0"), 0)
+    before = _members(spark, idx)
+    ingest(emb.where("vec_id < 0"), 1)  # empty: nothing to encode
+    assert _members(spark, idx) == before
+    assert {r["_batch_id"] for r in drift_history(spark, idx).collect()} == {0}
+    ingest(emb.where("vec_id % 2 = 1"), 2)  # the stream continues past it
+    assert spark.read.parquet(idx + "/members").count() == emb.count()

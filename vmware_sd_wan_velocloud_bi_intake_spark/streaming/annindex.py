@@ -1,0 +1,274 @@
+"""Streaming embedding ingest maintaining an IVF-PQ ANN index — the
+``ivf_pq_append`` batch discipline (operators/pq.py) lifted onto
+Structured Streaming ``foreachBatch``, mirroring streaming/neardup.py.
+
+A training-data pipeline's embeddings arrive continuously; rebuilding the
+ANN index per batch is O(corpus) work for O(batch) new vectors. Here the
+FIRST batch trains the quantizers and builds the index (coarse centroids
++ PQ codebooks + the encoded members of that batch); every later batch
+encodes at the FROZEN quantizers (``ivf_pq_append``: O(batch × n_cells)
+assignment + O(batch) encode — the corpus is never touched) and appends
+its members as a ``_batch_id``-keyed partition via dynamic partition
+overwrite, so a foreachBatch REPLAY rewrites its own partition
+byte-identically (the encode is deterministic at frozen quantizers — the
+append-equals-rebuild property tests/test_pq.py pins). The shared
+ingest guards (streaming/ingestbase.py) fingerprint the quantizer shape
+and column names and refuse fresh-checkpoint batch-id collisions, same
+as the near-dup ingest.
+
+Drift is first-class: the build batch's cell-occupancy profile is stored
+as the baseline manifest, and every append publishes a one-row drift
+part (TV distance vs that baseline, ``operators.pq.occupancy_drift``)
+keyed by its batch id — :func:`needs_retrain` then answers "has the
+stream drifted past the retrain threshold?" from the parts alone,
+without touching the members. Appends stay searchable either way
+(recall decays with drift, correctness doesn't — the faiss caveat), so
+drift RECORDS loudly rather than failing the stream; retraining is a
+planned rebuild, not a micro-batch decision.
+
+Scale: per batch the work is one broadcast cell assignment + a narrow
+encode; members land bucketable-by-cell for an exchange-free search
+side at rest. State lives in storage (artifacts + parquet), not the
+state store — executors hold nothing between batches.
+
+Layout under ``index_dir``:
+  ``members/``        pq members (cell, vid, codes, nrm) ∂ _batch_id
+  ``centroids/``      coarse quantizer (written once, at build)
+  ``codebooks.json``  PQ codebooks artifact (once, at build)
+  ``occupancy.json``  build-time cell-occupancy baseline (once)
+  ``drift_parts/``    per-batch drift rows ∂ _batch_id
+  ``<index_dir>_knobs.json``  fingerprint + committed head (sibling)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import pq as pqops
+
+
+def _paths(index_dir: str) -> dict:
+    root = index_dir.rstrip("/")
+    return {
+        "members": os.path.join(root, "members"),
+        "centroids": os.path.join(root, "centroids"),
+        "codebooks": os.path.join(root, "codebooks.json"),
+        "occupancy": os.path.join(root, "occupancy.json"),
+        "drift": os.path.join(root, "drift_parts"),
+        "knobs": root + "_knobs.json",
+    }
+
+
+def make_ann_index_ingest(
+    index_dir: str,
+    *,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+    n_cells: int | None = None,
+    m: int = 8,
+    ksub: int = 16,
+    train_iters: int = 10,
+    residual: bool = False,
+    retrain_threshold: float = 0.25,
+) -> Callable[[DataFrame, int], None]:
+    """Build the ``foreachBatch`` body: ``fn(batch_df, batch_id)``.
+
+    Wire it as ``stream.writeStream.foreachBatch(fn)``. The first batch
+    that arrives trains the quantizers (bounded-sample, deterministic —
+    operators/similarity.train_centroids) and becomes the drift
+    baseline, so point the stream at a representative slice first or
+    pre-build with :func:`~..operators.pq.ivf_pq_index` and write the
+    artifacts into the same layout. The quantizer shape and column
+    names are fingerprinted (``<index_dir>_knobs.json``); a redeploy
+    that changes any of them fails its first batch loudly — codes from
+    different (m, ksub, residual, rotation) spaces are not
+    interchangeable. Empty batches are no-ops (nothing to encode, no
+    drift row — TV against an empty histogram is undefined, not 1.0).
+    """
+    p = _paths(index_dir)
+    knobs = {
+        "format": "annindex-knobs/v1",
+        "vec_id": vec_id,
+        "embedding": embedding,
+        "n_cells": n_cells,
+        "m": m,
+        "ksub": ksub,
+        "train_iters": train_iters,
+        "residual": residual,
+        "retrain_threshold": retrain_threshold,
+    }
+
+    def _publish_parts(spark, members: DataFrame, batch_id: int) -> None:
+        """Members partition + its drift part, batch-keyed dynamic
+        overwrite (the replay-idempotency discipline every batch-keyed
+        sink in this engine follows)."""
+        from ..functions.artifacts import read_json_artifact
+
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            members = members.withColumn(
+                "_batch_id", F.lit(int(batch_id))
+            ).persist()
+            try:
+                (
+                    members.write.mode("overwrite")
+                    .partitionBy("_batch_id")
+                    .parquet(p["members"])
+                )
+                baseline = read_json_artifact(
+                    p["occupancy"], "ann-occupancy/v1"
+                )["profile"]
+                verdict = pqops.occupancy_drift(
+                    baseline,
+                    members.drop("_batch_id"),
+                    retrain_threshold=retrain_threshold,
+                )
+                row = [
+                    (
+                        float(verdict["tv_distance"]),
+                        bool(verdict["retrain"]),
+                        float(retrain_threshold),
+                    )
+                ]
+                (
+                    spark.createDataFrame(
+                        row,
+                        "tv_distance double, retrain boolean, "
+                        "retrain_threshold double",
+                    )
+                    .withColumn("_batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .partitionBy("_batch_id")
+                    .parquet(p["drift"])
+                )
+            finally:
+                members.unpersist()
+        finally:
+            if prev is not None:
+                spark.conf.set(conf_key, prev)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.artifacts import atomic_write_json
+        from .ingestbase import (
+            batch_fingerprint,
+            check_knobs,
+            check_sequence,
+            record_head,
+        )
+
+        spark = batch_df.sparkSession
+        check_knobs(
+            p["knobs"],
+            "annindex-knobs/v1",
+            knobs,
+            mismatch_hint=(
+                "PQ codes from different (m, ksub, residual) spaces — or "
+                "a different vector column — are not interchangeable; "
+                "rebuild the index or restore the original configuration"
+            ),
+        )
+        fp = batch_fingerprint(batch_df, vec_id)
+        check_sequence(p["knobs"], "annindex-knobs/v1", batch_id, fp)
+        if batch_df.select(vec_id).limit(1).isEmpty():
+            record_head(p["knobs"], "annindex-knobs/v1", batch_id, fp)
+            return
+        if not os.path.exists(p["codebooks"]):
+            # ---- build batch: train quantizers, become the baseline ----
+            cents, members, books = pqops.ivf_pq_index(
+                batch_df,
+                n_cells=n_cells,
+                m=m,
+                ksub=ksub,
+                vec_id=vec_id,
+                embedding=embedding,
+                train_iters=train_iters,
+                residual=residual,
+            )
+            members = members.persist()
+            try:
+                # members first: the baseline profile reads them back, so
+                # a crash mid-build leaves no codebooks.json and the
+                # replay simply rebuilds (deterministic training —
+                # train_centroids' bounded-sample md5 order)
+                (
+                    members.withColumn("_batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .partitionBy("_batch_id")
+                    .parquet(p["members"])
+                )
+                cents.write.mode("overwrite").parquet(p["centroids"])
+                profile = pqops.cell_occupancy_profile(members)
+                atomic_write_json(
+                    p["occupancy"],
+                    {"format": "ann-occupancy/v1", "profile": profile},
+                )
+                (
+                    spark.createDataFrame(
+                        [(0.0, False, float(retrain_threshold))],
+                        "tv_distance double, retrain boolean, "
+                        "retrain_threshold double",
+                    )
+                    .withColumn("_batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .partitionBy("_batch_id")
+                    .parquet(p["drift"])
+                )
+                # codebooks LAST: their existence is the "index is built"
+                # marker that routes every later batch to the append path
+                pqops.save_pq_codebooks(books, p["codebooks"])
+            finally:
+                members.unpersist()
+            record_head(p["knobs"], "annindex-knobs/v1", batch_id, fp)
+            return
+        # ---- append batch: encode at frozen quantizers -----------------
+        books = pqops.load_pq_codebooks(p["codebooks"])
+        cents = spark.read.parquet(p["centroids"])
+        members = pqops.ivf_pq_append(
+            batch_df,
+            cents,
+            books,
+            vec_id=vec_id,
+            embedding=embedding,
+            residual=residual,
+        )
+        _publish_parts(spark, members, batch_id)
+        record_head(p["knobs"], "annindex-knobs/v1", batch_id, fp)
+
+    return ingest
+
+
+def read_ann_index(
+    spark, index_dir: str
+) -> tuple[DataFrame, DataFrame, list[list[list[float]]]]:
+    """(centroids, pq_members, codebooks) for
+    :func:`~..operators.pq.ann_ivf_pq_topk` — the accumulated index, all
+    batches, bookkeeping column dropped."""
+    p = _paths(index_dir)
+    return (
+        spark.read.parquet(p["centroids"]),
+        spark.read.parquet(p["members"]).drop("_batch_id"),
+        pqops.load_pq_codebooks(p["codebooks"]),
+    )
+
+
+def drift_history(spark, index_dir: str) -> DataFrame:
+    """One row per batch: (_batch_id, tv_distance, retrain,
+    retrain_threshold) — the monitor's raw series."""
+    return spark.read.parquet(_paths(index_dir)["drift"])
+
+
+def needs_retrain(spark, index_dir: str) -> bool:
+    """True when any appended batch drifted past the retrain threshold —
+    answered from the drift parts alone (O(batches) tiny rows), the
+    members are never scanned. The planned response is a rebuild
+    (retrain quantizers on a fresh sample, re-encode — the
+    ``ivf_pq_append`` docstring's contract), not a stream failure."""
+    return not (
+        drift_history(spark, index_dir).where(F.col("retrain")).limit(1).isEmpty()
+    )

@@ -1,0 +1,136 @@
+"""Shared scaffolding for ``foreachBatch`` ingests that maintain a
+persisted, batch-id-keyed index (streaming/neardup.py's near-dup LSH
+index, streaming/annindex.py's IVF-PQ ANN index).
+
+Every such ingest has the same operational failure modes, so the guards
+live once:
+
+- **Knobs fingerprint**: the index's identity parameters (LSH shape,
+  quantizer shape, id/text/vector column names, …) are written to a
+  sidecar JSON on the first batch and validated by every later ingest —
+  a misconfigured redeploy fails its FIRST batch loudly instead of
+  silently growing the index with incomparable rows. Keys a legacy
+  fingerprint predates are claimed by the first writer that knows them
+  (record, don't reject), with an optional pre-claim hook for claims
+  that need more than recording (e.g. neardup's stats-coverage check).
+
+- **Batch-id collision guard**: batch-keyed dynamic partition overwrite
+  makes replays idempotent, but Spark numbers batches per CHECKPOINT —
+  a stream restarted with a fresh checkpoint dir re-issues id 0 with
+  NEW data against an index whose partitions for id 0 are long
+  committed. The fingerprint file therefore records the committed head
+  ``(last_batch_id, content fingerprint)`` after each full publish: an
+  arriving id behind the head, or at the head with different content,
+  is a collision and fails loudly; at the head with identical content
+  it is a true replay and proceeds.
+
+The content fingerprint is an order-independent aggregate of the RAW
+batch's id column (count + bit-XOR of xxhash64) — one tiny job per
+batch; replays hand back the same source offsets, hence the same rows,
+hence the same fingerprint.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def batch_fingerprint(batch_df: DataFrame, id_col: str) -> str:
+    """Order-independent content id of a micro-batch (see module doc)."""
+    row = batch_df.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64(F.col(id_col).cast("string"))).alias("x"),
+    ).head()
+    return f"{row['n']}:{row['x'] if row['x'] is not None else 0}"
+
+
+def check_knobs(
+    knobs_path: str,
+    fmt: str,
+    knobs: dict,
+    *,
+    mismatch_hint: str,
+    on_claim: Callable[[list[str]], None] | None = None,
+) -> None:
+    """Validate (or create) the index's knobs fingerprint.
+
+    ``knobs`` must include ``{"format": fmt}``. ``on_claim(keys)`` runs
+    before a fresh file is written (keys = every knob) or before legacy
+    missing keys are claimed (keys = just those) — raise inside it to
+    refuse the claim; nothing is written on refusal.
+    """
+    from ..functions.artifacts import atomic_write_json, read_json_artifact
+
+    if not os.path.exists(knobs_path):
+        if on_claim is not None:
+            on_claim(sorted(k for k in knobs if k != "format"))
+        atomic_write_json(knobs_path, knobs)
+        return
+    stored = read_json_artifact(knobs_path, fmt)
+    diff = {
+        k: (stored[k], v)
+        for k, v in knobs.items()
+        if k != "format" and k in stored and stored[k] != v
+    }
+    if diff:
+        raise ValueError(
+            f"ingest knobs differ from the index's fingerprint "
+            f"({knobs_path}): {diff} — {mismatch_hint}"
+        )
+    # keys a legacy fingerprint predates: first writer to know about
+    # them claims them — record, don't reject
+    missing = [k for k in knobs if k != "format" and k not in stored]
+    if missing:
+        if on_claim is not None:
+            on_claim(missing)
+        atomic_write_json(knobs_path, {**stored, **knobs})
+
+
+def check_sequence(knobs_path: str, fmt: str, batch_id: int, fp: str) -> None:
+    """The batch-id collision guard (see module doc). Call AFTER
+    :func:`check_knobs` (the file exists by then); legacy files without
+    a recorded head start enforcing from the first batch that records
+    one."""
+    from ..functions.artifacts import read_json_artifact
+
+    stored = read_json_artifact(knobs_path, fmt)
+    last = stored.get("last_batch_id")
+    if last is None:
+        return
+    if batch_id < last:
+        raise ValueError(
+            f"ingest: batch id {batch_id} is behind the index's recorded "
+            f"head {last} ({knobs_path}) — this stream was restarted with "
+            "a fresh checkpoint against an existing index; its batch ids "
+            "would collide with committed partitions. Restore the "
+            "original checkpoint dir, or point the ingest at a new index"
+        )
+    if batch_id == last and fp != stored.get("last_batch_fp"):
+        raise ValueError(
+            f"ingest: batch id {batch_id} matches the recorded head but "
+            "carries different content — a fresh-checkpoint restart "
+            "colliding with the last committed batch, not a replay. "
+            "Restore the original checkpoint dir, or point the ingest at "
+            "a new index"
+        )
+
+
+def record_head(knobs_path: str, fmt: str, batch_id: int, fp: str) -> None:
+    """Record the committed head AFTER the batch's full publish (atomic
+    rewrite; foreachBatch serializes epochs so no writer race). A crash
+    before this replays with head = batch_id − 1 (normal replay path); a
+    crash after it replays at the head with an identical fingerprint."""
+    from ..functions.artifacts import atomic_write_json, read_json_artifact
+
+    atomic_write_json(
+        knobs_path,
+        {
+            **read_json_artifact(knobs_path, fmt),
+            "last_batch_id": int(batch_id),
+            "last_batch_fp": fp,
+        },
+    )

@@ -221,81 +221,38 @@ def make_near_dup_ingest(
                 "would silently profile only post-enablement batches"
             )
 
-    def _check_knobs() -> None:
-        from ..functions.artifacts import atomic_write_json, read_json_artifact
-
-        if not os.path.exists(knobs_path):
+    def _on_claim(keys: list[str]) -> None:
+        if "stats" in keys:
             _require_stats_coverage()
-            atomic_write_json(knobs_path, knobs)
-            return
-        stored = read_json_artifact(knobs_path, "neardup-knobs/v1")
-        diff = {
-            k: (stored[k], v)
-            for k, v in knobs.items()
-            if k != "format" and k in stored and stored[k] != v
-        }
-        if diff:
-            raise ValueError(
-                f"near-dup ingest knobs differ from the index's fingerprint "
-                f"({knobs_path}): {diff} — band rows from different LSH "
-                "shapes are not comparable (and stats coverage must span "
-                "the whole stream); rebuild the index or restore the "
-                "original configuration"
-            )
-        # keys a legacy fingerprint predates (e.g. 'stats'): first writer
-        # to know about them claims them — record, don't reject
-        missing = [k for k in knobs if k != "format" and k not in stored]
-        if missing:
-            if "stats" in missing:
-                _require_stats_coverage()
-            atomic_write_json(knobs_path, {**stored, **knobs})
-
-    def _batch_fingerprint(batch_df: DataFrame) -> str:
-        # order-independent content id of the RAW batch (replays hand the
-        # same source offsets back, so a true replay reproduces it): one
-        # tiny aggregate job per batch buys the id-collision guard below
-        row = batch_df.agg(
-            F.count("*").alias("n"),
-            F.bit_xor(F.xxhash64(F.col(doc_id).cast("string"))).alias("x"),
-        ).head()
-        return f"{row['n']}:{row['x'] if row['x'] is not None else 0}"
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        from ..functions.artifacts import atomic_write_json, read_json_artifact
+        from .ingestbase import (
+            batch_fingerprint,
+            check_knobs,
+            check_sequence,
+            record_head,
+        )
 
         spark = batch_df.sparkSession
-        _check_knobs()
-        # ---- batch-id collision guard -----------------------------------
-        # The own-batch replay exclusion below assumes batch ids are
-        # unique for the index's LIFETIME, but Spark numbers batches per
-        # CHECKPOINT: a stream restarted with a fresh checkpoint dir
-        # against an existing index re-issues id 0 with NEW data — the
-        # exclusion would then hide the original partitions and the
-        # dynamic overwrite would replace them (silent data loss). The
-        # fingerprint file records (last_batch_id, content hash): an id
-        # at the recorded head must carry identical content (a true
-        # replay); an id behind it is a reset and fails loudly.
-        stored = read_json_artifact(knobs_path, "neardup-knobs/v1")
-        last = stored.get("last_batch_id")
-        fp = _batch_fingerprint(batch_df)
-        if last is not None:
-            if batch_id < last:
-                raise ValueError(
-                    f"near-dup ingest: batch id {batch_id} is behind the "
-                    f"index's recorded head {last} ({knobs_path}) — this "
-                    "stream was restarted with a fresh checkpoint against "
-                    "an existing index; its batch ids would collide with "
-                    "committed partitions. Restore the original checkpoint "
-                    "dir, or point the ingest at a new index_dir"
-                )
-            if batch_id == last and fp != stored.get("last_batch_fp"):
-                raise ValueError(
-                    f"near-dup ingest: batch id {batch_id} matches the "
-                    "recorded head but carries different content — a "
-                    "fresh-checkpoint restart colliding with the last "
-                    "committed batch, not a replay. Restore the original "
-                    "checkpoint dir, or point the ingest at a new index_dir"
-                )
+        check_knobs(
+            knobs_path,
+            "neardup-knobs/v1",
+            knobs,
+            mismatch_hint=(
+                "band rows from different LSH shapes are not comparable "
+                "(and stats coverage must span the whole stream); rebuild "
+                "the index or restore the original configuration"
+            ),
+            on_claim=_on_claim,
+        )
+        # batch-id collision guard: the own-batch replay exclusion below
+        # assumes batch ids are unique for the index's LIFETIME, but
+        # Spark numbers batches per CHECKPOINT — a fresh-checkpoint
+        # restart would hide, then overwrite, committed partitions. The
+        # shared guard (ingestbase) fails those loudly and lets true
+        # replays (same id, same content) through.
+        fp = batch_fingerprint(batch_df, doc_id)
+        check_sequence(knobs_path, "neardup-knobs/v1", batch_id, fp)
         if (
             compact_summary_every
             and batch_id > 0
@@ -402,22 +359,7 @@ def make_near_dup_ingest(
             finally:
                 if prev is not None:
                     spark.conf.set(conf_key, prev)
-            # record the committed head AFTER the full publish (atomic
-            # rewrite; foreachBatch serializes epochs so no writer race).
-            # A crash before this line replays with last = batch_id − 1,
-            # which passes the guard and rewrites all partitions — the
-            # normal replay path; a crash after it replays at last ==
-            # batch_id with an identical fingerprint. Legacy knobs files
-            # predate the field: the guard starts enforcing from the
-            # first batch that records it.
-            atomic_write_json(
-                knobs_path,
-                {
-                    **read_json_artifact(knobs_path, "neardup-knobs/v1"),
-                    "last_batch_id": int(batch_id),
-                    "last_batch_fp": fp,
-                },
-            )
+            record_head(knobs_path, "neardup-knobs/v1", batch_id, fp)
         finally:
             novel.unpersist()
 
