@@ -1009,6 +1009,27 @@ def ivf_index(
     return cents, members
 
 
+def ivf_members(
+    emb: DataFrame,
+    cents: DataFrame,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """Member rows (cell, vid, v, nrm) for ``emb`` at GIVEN centroids —
+    the append-side counterpart of :func:`ivf_index` (which trains its
+    own quantizer): new batches assign at the index's frozen coarse
+    quantizer and their rows append to the persisted members relation.
+    Broadcast assignment, map-only — O(batch × n_cells), no shuffle."""
+    base = emb.select(
+        F.col(vec_id).alias("vid"),
+        as_double_array(F.col(embedding)).alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    return _assign_cells(base, cents, round_decimals=round_decimals).select(
+        "cell", "vid", "v", "nrm"
+    )
+
+
 def ann_ivf_query(
     queries: DataFrame,
     centroids: DataFrame,
