@@ -174,3 +174,61 @@ def test_empty_batch_is_a_noop(spark, emb, tmp_path):
     assert {r["_batch_id"] for r in drift_history(spark, idx).collect()} == {0}
     ingest(emb.where("vec_id % 2 = 1"), 2)  # the stream continues past it
     assert spark.read.parquet(idx + "/members").count() == emb.count()
+
+
+def test_rebuild_closes_the_drift_loop(spark, emb, tmp_path):
+    """needs_retrain points at rebuild_ann_index: after a drifted append,
+    retraining on the accumulated corpus resets the baseline and the
+    monitor reads clean; the resumed stream keeps appending at the NEW
+    quantizers with continuing batch ids."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.annindex import (
+        rebuild_ann_index,
+    )
+
+    idx = str(tmp_path / "ann_idx7")
+    ingest = make_ann_index_ingest(idx, **_KNOBS)
+    b0 = emb.where("vec_id % 2 = 0")
+    ingest(b0, 0)
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal(64)
+    a = a / np.linalg.norm(a)
+    anchor = F.array(*[F.lit(float(x)) for x in a])
+    shifted = emb.where("vec_id % 2 = 1").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with(
+            similarity.as_double_array(F.col("embedding")),
+            anchor,
+            lambda v, x: F.lit(0.1) * v + x,
+        ).alias("embedding"),
+    )
+    shifted = shifted.cache()
+    shifted.count()
+    ingest(shifted, 1)
+    assert needs_retrain(spark, idx)
+    # the corpus the stream accumulated = b0 + shifted (all survived)
+    corpus = b0.select(
+        "vec_id", similarity.as_double_array(F.col("embedding")).alias("embedding")
+    ).unionByName(shifted)
+    rebuild_ann_index(corpus, idx)
+    assert not needs_retrain(spark, idx)
+    cents, members, books = read_ann_index(spark, idx)
+    assert members.count() == corpus.count()
+    assert {
+        r["_batch_id"]
+        for r in spark.read.parquet(idx + "/members")
+        .select("_batch_id")
+        .distinct()
+        .collect()
+    } == {-1}
+    # a checkpoint-lagged replay of the folded head batch is a no-op
+    before = _members(spark, idx)
+    ingest(shifted, 1)
+    assert _members(spark, idx) == before
+    # the stream continues: the next batch appends at the rebuilt
+    # quantizers with its id continuing past the folded head
+    more_shifted = shifted.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    ingest(more_shifted, 2)
+    assert spark.read.parquet(idx + "/members").count() == corpus.count() * 2 - emb.where("vec_id % 2 = 0").count()
+    shifted.unpersist()

@@ -175,6 +175,17 @@ def make_ann_index_ingest(
         )
         fp = batch_fingerprint(batch_df, vec_id)
         check_sequence(p["knobs"], "annindex-knobs/v1", batch_id, fp)
+        from ..functions.artifacts import read_json_artifact
+
+        stored = read_json_artifact(p["knobs"], "annindex-knobs/v1")
+        rt = stored.get("rebuilt_through")
+        if rt is not None and batch_id <= rt:
+            # the head batch published, a rebuild folded its rows into the
+            # base partition, and only THEN did the checkpoint-lagged
+            # replay arrive: its content is already represented — re-
+            # encoding it would duplicate every vector. No-op and commit.
+            record_head(p["knobs"], "annindex-knobs/v1", batch_id, fp)
+            return
         if batch_df.select(vec_id).limit(1).isEmpty():
             record_head(p["knobs"], "annindex-knobs/v1", batch_id, fp)
             return
@@ -266,9 +277,100 @@ def drift_history(spark, index_dir: str) -> DataFrame:
 def needs_retrain(spark, index_dir: str) -> bool:
     """True when any appended batch drifted past the retrain threshold —
     answered from the drift parts alone (O(batches) tiny rows), the
-    members are never scanned. The planned response is a rebuild
-    (retrain quantizers on a fresh sample, re-encode — the
-    ``ivf_pq_append`` docstring's contract), not a stream failure."""
+    members are never scanned. The planned response is
+    :func:`rebuild_ann_index`, not a stream failure."""
     return not (
         drift_history(spark, index_dir).where(F.col("retrain")).limit(1).isEmpty()
     )
+
+
+def rebuild_ann_index(emb: DataFrame, index_dir: str) -> None:
+    """The action :func:`needs_retrain` points to — retrain the
+    quantizers on the CURRENT corpus and re-encode everything, closing
+    the drift loop the way ``fix_split_leakage`` closes the leakage
+    audit's.
+
+    ``emb`` is the corpus to rebuild from (the original vectors — PQ
+    members hold codes, not vectors, so the caller owns the source of
+    truth; typically the survivor table the same stream feeds). Run it
+    while the stream is STOPPED (same contract as ``backfill_stats``):
+    the rebuild folds all members into the reserved base partition
+    (``_batch_id`` = −1, the compaction discipline — real batch ids stay
+    unique), resets the occupancy baseline and the drift history to the
+    rebuilt state, and rewrites the artifacts in dependency-safe order
+    (codebooks/centroids/occupancy last-write-wins under a stopped
+    stream; the shape knobs come from the index's own fingerprint so the
+    rebuilt code space matches what the resuming stream expects). The
+    committed head is PRESERVED — the resuming stream's batch ids
+    continue from the checkpoint, and the collision guard keeps working.
+    ``rebuilt_through`` (the head at rebuild time) is recorded so that a
+    checkpoint-lagged replay of the head batch — whose rows the rebuild
+    already folded into the base — lands as a safe no-op instead of
+    duplicating every vector. Contract: run after a CLEAN stop; a stream
+    killed mid-publish must replay to convergence before rebuilding.
+
+    Cost: one quantizer training (bounded sample) + one corpus encode —
+    the O(corpus) price that makes per-batch appends O(batch) the rest
+    of the time."""
+    from ..functions.artifacts import atomic_write_json, read_json_artifact
+    from ..sinks.compact import BASE_PART
+
+    spark = emb.sparkSession
+    p = _paths(index_dir)
+    stored = read_json_artifact(p["knobs"], "annindex-knobs/v1")
+    cents, members, books = pqops.ivf_pq_index(
+        emb,
+        n_cells=stored["n_cells"],
+        m=stored["m"],
+        ksub=stored["ksub"],
+        vec_id=stored["vec_id"],
+        embedding=stored["embedding"],
+        train_iters=stored["train_iters"],
+        residual=stored["residual"],
+    )
+    members = members.persist()
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, None)
+    # FORCE static overwrite: the rebuild replaces ALL partitions (it owns
+    # the whole table by contract — stream stopped). The session may still
+    # be in dynamic mode from the last ingest batch, under which these
+    # writes would only replace partition −1 and leave every stale
+    # batch partition (members duplicated, old drift verdicts kept).
+    spark.conf.set(conf_key, "static")
+    try:
+        (
+            members.withColumn("_batch_id", F.lit(BASE_PART))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(p["members"])
+        )
+        cents.write.mode("overwrite").parquet(p["centroids"])
+        profile = pqops.cell_occupancy_profile(members)
+        atomic_write_json(
+            p["occupancy"], {"format": "ann-occupancy/v1", "profile": profile}
+        )
+        (
+            spark.createDataFrame(
+                [(0.0, False, float(stored["retrain_threshold"]))],
+                "tv_distance double, retrain boolean, retrain_threshold double",
+            )
+            .withColumn("_batch_id", F.lit(BASE_PART))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(p["drift"])
+        )
+        pqops.save_pq_codebooks(books, p["codebooks"])
+        if stored.get("last_batch_id") is not None:
+            atomic_write_json(
+                p["knobs"],
+                {
+                    **read_json_artifact(p["knobs"], "annindex-knobs/v1"),
+                    "rebuilt_through": int(stored["last_batch_id"]),
+                },
+            )
+    finally:
+        members.unpersist()
+        if prev is not None:
+            spark.conf.set(conf_key, prev)
+        else:
+            spark.conf.unset(conf_key)
