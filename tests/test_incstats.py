@@ -352,9 +352,12 @@ def test_stats_compaction_preserves_merged_result(spark, tmp_path):
 
 def test_stats_enablement_is_fingerprinted(spark, tmp_path):
     """Enabling stats_dir MID-stream would make merged stats a bogus
-    partial baseline — the knobs fingerprint must refuse it (and refuse
-    disabling, the symmetric hole)."""
+    partial baseline — the knobs fingerprint must refuse it until a
+    backfill covers the existing survivors (the sanctioned transition),
+    and must refuse DISABLING outright (the symmetric hole: later
+    batches would stop writing parts)."""
     from vmware_sd_wan_velocloud_bi_intake_spark.streaming.neardup import (
+        backfill_stats,
         make_near_dup_ingest,
     )
 
@@ -367,12 +370,19 @@ def test_stats_enablement_is_fingerprinted(spark, tmp_path):
     knobs = dict(threshold=0.9, num_hashes=4, bands=2, shingle_n=3)
     no_stats = make_near_dup_ingest(idx, surv, **knobs)
     no_stats(docs.where("doc_id = 0"), 0)
-    with_stats = make_near_dup_ingest(
-        idx, surv, stats_dir=str(tmp_path / "fp_stats"), **knobs
-    )
-    with pytest.raises(ValueError, match="knobs differ"):
-        with_stats(docs.where("doc_id = 1"), 1)
-    no_stats(docs.where("doc_id = 1"), 1)  # consistent config proceeds
+    stats = str(tmp_path / "fp_stats")
+    with_stats = make_near_dup_ingest(idx, surv, stats_dir=stats, **knobs)
+    with pytest.raises(ValueError, match="backfill"):
+        with_stats(docs.where("doc_id = 1"), 1)  # uncovered: refused
+    backfill_stats(spark, surv, stats, ["doc_id", "text"], length_of=["text"])
+    with_stats(docs.where("doc_id = 1"), 1)  # covered: transition recorded
+    merged = {
+        r["column"]: r
+        for r in incstats.merged_stats(spark, stats, ["doc_id", "text"])
+    }
+    assert merged["doc_id"]["n_rows"] == 2  # base part + batch 1's part
+    with pytest.raises(ValueError, match="disabling statistics"):
+        no_stats(docs.where("doc_id = 1"), 1)  # True -> False stays refused
 
 
 def test_p50_zero_baseline_is_real_not_missing(spark):

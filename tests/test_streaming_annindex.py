@@ -232,3 +232,19 @@ def test_rebuild_closes_the_drift_loop(spark, emb, tmp_path):
     ingest(more_shifted, 2)
     assert spark.read.parquet(idx + "/members").count() == corpus.count() * 2 - emb.where("vec_id % 2 = 0").count()
     shifted.unpersist()
+
+
+def test_missing_baseline_fails_before_any_write(spark, emb, tmp_path):
+    """A malformed pre-built layout (occupancy.json missing) must fail
+    the append batch BEFORE it publishes anything — not strand an
+    orphaned members partition behind a wedged stream."""
+    import os
+
+    idx = str(tmp_path / "ann_idx8")
+    ingest = make_ann_index_ingest(idx, **_KNOBS)
+    ingest(emb.where("vec_id % 2 = 0"), 0)
+    os.remove(idx + "/occupancy.json")
+    before = _members(spark, idx)
+    with pytest.raises(FileNotFoundError):
+        ingest(emb.where("vec_id % 2 = 1"), 1)
+    assert _members(spark, idx) == before  # nothing landed

@@ -315,6 +315,15 @@ def fix_split_leakage_until_clean(
         shingle_n=shingle_n,
         max_bucket=max_bucket,
     )
+    if max_rounds <= 0:
+        # verify-only degradation (the pre-fix-first contract): no fixes
+        # allowed, so audit once and pass a clean corpus through
+        if split_leakage_pairs(df, id_col, text_col, split_name, **knobs).isEmpty():
+            return df
+        raise RuntimeError(
+            "fix_split_leakage_until_clean: corpus leaks and max_rounds=0 "
+            "allows no fix passes"
+        )
     out = df
     for _ in range(max_rounds):
         out = fix_split_leakage(

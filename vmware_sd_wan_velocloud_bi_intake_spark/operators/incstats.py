@@ -138,18 +138,17 @@ def write_stats_part(
     partition overwrite — a foreachBatch replay rewrites its own part
     byte-identically (the at-least-once discipline every batch-keyed
     sink in this engine follows)."""
-    spark = df.sparkSession
     part = stats_part(df, columns, length_of=length_of).withColumn(
         "_batch_id", F.lit(int(batch_id))
     )
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, None)
-    spark.conf.set(conf_key, "dynamic")
-    try:
-        part.write.mode("overwrite").partitionBy("_batch_id").parquet(parts_dir)
-    finally:
-        if prev is not None:
-            spark.conf.set(conf_key, prev)
+    # per-WRITE dynamic overwrite (sinks/merge.py discipline): scoped to
+    # this write, never mutates the session conf
+    (
+        part.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(parts_dir)
+    )
 
 
 def merged_stats(

@@ -103,55 +103,54 @@ def make_ann_index_ingest(
     }
 
     def _publish_parts(spark, members: DataFrame, batch_id: int) -> None:
-        """Members partition + its drift part, batch-keyed dynamic
-        overwrite (the replay-idempotency discipline every batch-keyed
-        sink in this engine follows)."""
+        """Members partition + its drift part, each a batch-keyed
+        per-WRITE dynamic overwrite (sinks/merge.py discipline — scoped
+        to the write, never a session-conf mutation). The baseline is
+        read BEFORE anything lands: a malformed pre-built layout (e.g.
+        missing occupancy.json) must fail the batch before it publishes,
+        not strand an orphaned members partition behind a wedged
+        stream."""
         from ..functions.artifacts import read_json_artifact
 
-        conf_key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(conf_key, None)
-        spark.conf.set(conf_key, "dynamic")
+        baseline = read_json_artifact(p["occupancy"], "ann-occupancy/v1")[
+            "profile"
+        ]
+        members = members.withColumn(
+            "_batch_id", F.lit(int(batch_id))
+        ).persist()
         try:
-            members = members.withColumn(
-                "_batch_id", F.lit(int(batch_id))
-            ).persist()
-            try:
+            verdict = pqops.occupancy_drift(
+                baseline,
+                members.drop("_batch_id"),
+                retrain_threshold=retrain_threshold,
+            )
+            (
+                members.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(p["members"])
+            )
+            row = [
                 (
-                    members.write.mode("overwrite")
-                    .partitionBy("_batch_id")
-                    .parquet(p["members"])
+                    float(verdict["tv_distance"]),
+                    bool(verdict["retrain"]),
+                    float(retrain_threshold),
                 )
-                baseline = read_json_artifact(
-                    p["occupancy"], "ann-occupancy/v1"
-                )["profile"]
-                verdict = pqops.occupancy_drift(
-                    baseline,
-                    members.drop("_batch_id"),
-                    retrain_threshold=retrain_threshold,
+            ]
+            (
+                spark.createDataFrame(
+                    row,
+                    "tv_distance double, retrain boolean, "
+                    "retrain_threshold double",
                 )
-                row = [
-                    (
-                        float(verdict["tv_distance"]),
-                        bool(verdict["retrain"]),
-                        float(retrain_threshold),
-                    )
-                ]
-                (
-                    spark.createDataFrame(
-                        row,
-                        "tv_distance double, retrain boolean, "
-                        "retrain_threshold double",
-                    )
-                    .withColumn("_batch_id", F.lit(int(batch_id)))
-                    .write.mode("overwrite")
-                    .partitionBy("_batch_id")
-                    .parquet(p["drift"])
-                )
-            finally:
-                members.unpersist()
+                .withColumn("_batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(p["drift"])
+            )
         finally:
-            if prev is not None:
-                spark.conf.set(conf_key, prev)
+            members.unpersist()
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         from ..functions.artifacts import atomic_write_json
@@ -210,6 +209,7 @@ def make_ann_index_ingest(
                 (
                     members.withColumn("_batch_id", F.lit(int(batch_id)))
                     .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("_batch_id")
                     .parquet(p["members"])
                 )
@@ -227,6 +227,7 @@ def make_ann_index_ingest(
                     )
                     .withColumn("_batch_id", F.lit(int(batch_id)))
                     .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("_batch_id")
                     .parquet(p["drift"])
                 )
@@ -311,13 +312,23 @@ def rebuild_ann_index(emb: DataFrame, index_dir: str) -> None:
 
     Cost: one quantizer training (bounded sample) + one corpus encode —
     the O(corpus) price that makes per-batch appends O(batch) the rest
-    of the time."""
+    of the time.
+
+    Crash-safe: the whole rebuilt index assembles in a STAGING directory
+    and swaps in atomically (``sinks.upsert.swap_into_place`` — the same
+    protocol every destructive rewrite in this engine uses), so a crash
+    mid-rebuild leaves the original index fully intact and internally
+    consistent; re-running is idempotent. ``rebuilt_through`` is recorded
+    BEFORE the swap — safe on both sides of it: against the old index the
+    head batch's partitions already exist so its no-op replay is correct,
+    against the new one they are folded into the base."""
     from ..functions.artifacts import atomic_write_json, read_json_artifact
     from ..sinks.compact import BASE_PART
+    from ..sinks.upsert import swap_into_place
 
     spark = emb.sparkSession
-    p = _paths(index_dir)
-    stored = read_json_artifact(p["knobs"], "annindex-knobs/v1")
+    root = index_dir.rstrip("/")
+    stored = read_json_artifact(root + "_knobs.json", "annindex-knobs/v1")
     cents, members, books = pqops.ivf_pq_index(
         emb,
         n_cells=stored["n_cells"],
@@ -328,26 +339,26 @@ def rebuild_ann_index(emb: DataFrame, index_dir: str) -> None:
         train_iters=stored["train_iters"],
         residual=stored["residual"],
     )
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(
+        prefix=os.path.basename(root) + ".rebuild.",
+        dir=os.path.dirname(root) or ".",
+    )
+    sp = _paths(staging)
     members = members.persist()
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, None)
-    # FORCE static overwrite: the rebuild replaces ALL partitions (it owns
-    # the whole table by contract — stream stopped). The session may still
-    # be in dynamic mode from the last ingest batch, under which these
-    # writes would only replace partition −1 and leave every stale
-    # batch partition (members duplicated, old drift verdicts kept).
-    spark.conf.set(conf_key, "static")
     try:
         (
             members.withColumn("_batch_id", F.lit(BASE_PART))
             .write.mode("overwrite")
             .partitionBy("_batch_id")
-            .parquet(p["members"])
+            .parquet(sp["members"])
         )
-        cents.write.mode("overwrite").parquet(p["centroids"])
+        cents.write.mode("overwrite").parquet(sp["centroids"])
         profile = pqops.cell_occupancy_profile(members)
         atomic_write_json(
-            p["occupancy"], {"format": "ann-occupancy/v1", "profile": profile}
+            sp["occupancy"], {"format": "ann-occupancy/v1", "profile": profile}
         )
         (
             spark.createDataFrame(
@@ -357,20 +368,22 @@ def rebuild_ann_index(emb: DataFrame, index_dir: str) -> None:
             .withColumn("_batch_id", F.lit(BASE_PART))
             .write.mode("overwrite")
             .partitionBy("_batch_id")
-            .parquet(p["drift"])
+            .parquet(sp["drift"])
         )
-        pqops.save_pq_codebooks(books, p["codebooks"])
+        pqops.save_pq_codebooks(books, sp["codebooks"])
         if stored.get("last_batch_id") is not None:
             atomic_write_json(
-                p["knobs"],
+                root + "_knobs.json",
                 {
-                    **read_json_artifact(p["knobs"], "annindex-knobs/v1"),
+                    **read_json_artifact(
+                        root + "_knobs.json", "annindex-knobs/v1"
+                    ),
                     "rebuilt_through": int(stored["last_batch_id"]),
                 },
             )
-    finally:
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
         members.unpersist()
-        if prev is not None:
-            spark.conf.set(conf_key, prev)
-        else:
-            spark.conf.unset(conf_key)
+        raise
+    members.unpersist()
+    swap_into_place(staging, root)

@@ -25,9 +25,12 @@ live once:
   it is a true replay and proceeds.
 
 The content fingerprint is an order-independent aggregate of the RAW
-batch's id column (count + bit-XOR of xxhash64) — one tiny job per
-batch; replays hand back the same source offsets, hence the same rows,
-hence the same fingerprint.
+batch's id column (count + SUM of xxhash64, reduced mod 2^64) — one tiny
+job per batch; replays hand back the same source offsets, hence the same
+rows, hence the same fingerprint. Sum, not XOR: XOR cancels ids with
+even multiplicity, and raw batches here contain duplicate ids by design
+(the ingests dedup them), so [A, A, B] and [C, C, B] would XOR equal —
+exactly the collision the guard exists to refuse.
 """
 
 from __future__ import annotations
@@ -40,12 +43,16 @@ from pyspark.sql import functions as F
 
 
 def batch_fingerprint(batch_df: DataFrame, id_col: str) -> str:
-    """Order-independent content id of a micro-batch (see module doc)."""
+    """Order-independent, multiplicity-sensitive content id of a
+    micro-batch (see module doc for why sum beats XOR here)."""
     row = batch_df.agg(
         F.count("*").alias("n"),
-        F.bit_xor(F.xxhash64(F.col(id_col).cast("string"))).alias("x"),
+        F.sum(
+            F.xxhash64(F.col(id_col).cast("string")).cast("decimal(38,0)")
+        ).alias("s"),
     ).head()
-    return f"{row['n']}:{row['x'] if row['x'] is not None else 0}"
+    s = int(row["s"]) % (1 << 64) if row["s"] is not None else 0
+    return f"{row['n']}:{s}"
 
 
 def check_knobs(
@@ -55,6 +62,7 @@ def check_knobs(
     *,
     mismatch_hint: str,
     on_claim: Callable[[list[str]], None] | None = None,
+    transitions: dict[str, Callable] | None = None,
 ) -> None:
     """Validate (or create) the index's knobs fingerprint.
 
@@ -62,6 +70,14 @@ def check_knobs(
     before a fresh file is written (keys = every knob) or before legacy
     missing keys are claimed (keys = just those) — raise inside it to
     refuse the claim; nothing is written on refusal.
+
+    ``transitions`` maps a knob name to a validator ``fn(old, new)`` for
+    changes that CAN be legitimate with extra checks (e.g. enabling
+    statistics after a coverage backfill): a changed value for such a key
+    is routed through its validator instead of the blanket refusal — the
+    validator raises to refuse, returns to allow, and an allowed change
+    is recorded back into the fingerprint. Every other changed key still
+    refuses with ``mismatch_hint``.
     """
     from ..functions.artifacts import atomic_write_json, read_json_artifact
 
@@ -71,23 +87,29 @@ def check_knobs(
         atomic_write_json(knobs_path, knobs)
         return
     stored = read_json_artifact(knobs_path, fmt)
-    diff = {
+    changed = {
         k: (stored[k], v)
         for k, v in knobs.items()
         if k != "format" and k in stored and stored[k] != v
     }
-    if diff:
+    allowed = {}
+    for k in list(changed):
+        if transitions and k in transitions:
+            old, new = changed.pop(k)
+            transitions[k](old, new)  # raises to refuse
+            allowed[k] = new
+    if changed:
         raise ValueError(
             f"ingest knobs differ from the index's fingerprint "
-            f"({knobs_path}): {diff} — {mismatch_hint}"
+            f"({knobs_path}): {changed} — {mismatch_hint}"
         )
     # keys a legacy fingerprint predates: first writer to know about
     # them claims them — record, don't reject
     missing = [k for k in knobs if k != "format" and k not in stored]
-    if missing:
-        if on_claim is not None:
-            on_claim(missing)
-        atomic_write_json(knobs_path, {**stored, **knobs})
+    if missing and on_claim is not None:
+        on_claim(missing)
+    if missing or allowed:
+        atomic_write_json(knobs_path, {**stored, **knobs, **allowed})
 
 
 def check_sequence(knobs_path: str, fmt: str, batch_id: int, fp: str) -> None:

@@ -225,6 +225,22 @@ def make_near_dup_ingest(
         if "stats" in keys:
             _require_stats_coverage()
 
+    def _stats_transition(old: bool, new: bool) -> None:
+        """Enabling statistics on an index fingerprinted WITHOUT them is
+        legitimate once the parts cover the existing survivors (the
+        backfill_stats upgrade path) — without this route every
+        post-fingerprint index would need a rebuild just to turn stats
+        on. Disabling stays refused: later batches would stop writing
+        parts and merged_stats would silently become a partial profile."""
+        if old is False and new is True:
+            _require_stats_coverage()
+            return
+        raise ValueError(
+            "near-dup ingest: disabling statistics mid-stream would leave "
+            "merged_stats a partial profile of only the pre-disable "
+            "batches; keep stats_dir set (or rebuild the index)"
+        )
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         from .ingestbase import (
             batch_fingerprint,
@@ -244,6 +260,7 @@ def make_near_dup_ingest(
                 "the index or restore the original configuration"
             ),
             on_claim=_on_claim,
+            transitions={"stats": _stats_transition},
         )
         # batch-id collision guard: the own-batch replay exclusion below
         # assumes batch ids are unique for the index's LIFETIME, but
@@ -312,53 +329,54 @@ def make_near_dup_ingest(
         else:
             novel = batch2
         # ---- idempotent writes, keyed by the replayable batch id -------
+        # per-WRITE dynamic overwrite (sinks/merge.py discipline): scoped
+        # to each write, never mutates the session conf — a session-level
+        # set would leak 'dynamic' into every later overwrite-partitionBy
+        # write on this driver (e.g. a re-export with fewer shards would
+        # keep stale shard partitions)
         novel = novel.withColumn("_batch_id", F.lit(int(batch_id))).persist()
         try:
-            conf_key = "spark.sql.sources.partitionOverwriteMode"
-            prev = spark.conf.get(conf_key, None)
-            spark.conf.set(conf_key, "dynamic")
-            try:
-                (
-                    novel.write.mode("overwrite")
-                    .partitionBy("_batch_id")
-                    .parquet(survivors_dir)
-                )
-                rows = dedup.lsh_bucket_table(
-                    novel, doc_id, text_col, num_hashes, bands, shingle_n
-                ).withColumn("_batch_id", F.lit(int(batch_id)))
-                (
-                    rows.write.mode("overwrite")
-                    .partitionBy("_batch_id")
-                    .parquet(index_dir)
-                )
-                # summary part from the SAME in-memory rows relation (the
-                # counts are deterministic) — not a read-back of what was
-                # just written: on object stores the listing+read round
-                # trip dominates small-batch latency for no extra safety
-                (
-                    rows.groupBy("bucket")
-                    .agg(F.count("*").cast("long").alias("n_members"))
-                    .withColumn("_batch_id", F.lit(int(batch_id)))
-                    .write.mode("overwrite")
-                    .partitionBy("_batch_id")
-                    .parquet(summary_dir)
-                )
-                if stats_dir is not None:
-                    from ..operators.incstats import write_stats_part
+            (
+                novel.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(survivors_dir)
+            )
+            rows = dedup.lsh_bucket_table(
+                novel, doc_id, text_col, num_hashes, bands, shingle_n
+            ).withColumn("_batch_id", F.lit(int(batch_id)))
+            (
+                rows.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(index_dir)
+            )
+            # summary part from the SAME in-memory rows relation (the
+            # counts are deterministic) — not a read-back of what was
+            # just written: on object stores the listing+read round
+            # trip dominates small-batch latency for no extra safety
+            (
+                rows.groupBy("bucket")
+                .agg(F.count("*").cast("long").alias("n_members"))
+                .withColumn("_batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(summary_dir)
+            )
+            if stats_dir is not None:
+                from ..operators.incstats import write_stats_part
 
-                    # length_of: the text-length histogram rides every
-                    # part, so snapshot gates get distributional drift
-                    # rules (p50/p90 ratios) for free
-                    write_stats_part(
-                        novel.drop("_batch_id"),
-                        [doc_id, text_col],
-                        stats_dir,
-                        batch_id,
-                        length_of=[text_col],
-                    )
-            finally:
-                if prev is not None:
-                    spark.conf.set(conf_key, prev)
+                # length_of: the text-length histogram rides every
+                # part, so snapshot gates get distributional drift
+                # rules (p50/p90 ratios) for free
+                write_stats_part(
+                    novel.drop("_batch_id"),
+                    [doc_id, text_col],
+                    stats_dir,
+                    batch_id,
+                    length_of=[text_col],
+                )
             record_head(knobs_path, "neardup-knobs/v1", batch_id, fp)
         finally:
             novel.unpersist()

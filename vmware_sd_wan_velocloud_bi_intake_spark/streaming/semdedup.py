@@ -149,35 +149,31 @@ def make_semantic_dedup_ingest(
             )
             losers = pairs.select(F.col("batch_id").alias(vec_id)).distinct()
             novel = kept.join(losers, vec_id, "left_anti")
-        # ---- idempotent batch-keyed writes ------------------------------
+        # ---- idempotent batch-keyed writes (per-WRITE dynamic overwrite:
+        # scoped to each write, never mutates the session conf) -----------
         novel = novel.persist()
         try:
-            conf_key = "spark.sql.sources.partitionOverwriteMode"
-            prev = spark.conf.get(conf_key, None)
-            spark.conf.set(conf_key, "dynamic")
-            try:
-                (
-                    novel.withColumn("_batch_id", F.lit(int(batch_id)))
-                    .write.mode("overwrite")
-                    .partitionBy("_batch_id")
-                    .parquet(survivors_dir)
+            (
+                novel.withColumn("_batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(survivors_dir)
+            )
+            (
+                sim.ivf_members(
+                    novel,
+                    cents,
+                    vec_id=vec_id,
+                    embedding=embedding,
+                    round_decimals=round_decimals,
                 )
-                (
-                    sim.ivf_members(
-                        novel,
-                        cents,
-                        vec_id=vec_id,
-                        embedding=embedding,
-                        round_decimals=round_decimals,
-                    )
-                    .withColumn("_batch_id", F.lit(int(batch_id)))
-                    .write.mode("overwrite")
-                    .partitionBy("_batch_id")
-                    .parquet(members_dir)
-                )
-            finally:
-                if prev is not None:
-                    spark.conf.set(conf_key, prev)
+                .withColumn("_batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(members_dir)
+            )
             record_head(knobs_path, "semdedup-knobs/v1", batch_id, fp)
         finally:
             novel.unpersist()
