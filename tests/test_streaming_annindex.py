@@ -248,3 +248,43 @@ def test_missing_baseline_fails_before_any_write(spark, emb, tmp_path):
     with pytest.raises(FileNotFoundError):
         ingest(emb.where("vec_id % 2 = 1"), 1)
     assert _members(spark, idx) == before  # nothing landed
+
+
+def test_rows_compaction_preserves_members_and_history(spark, emb, tmp_path):
+    """compact_every folds committed members/drift partitions into the
+    base: search content identical to an uncompacted run, the drift
+    series keeps per-batch attribution through the in-row batch
+    column, and the partition count stays bounded."""
+    import os
+
+    idx = str(tmp_path / "ann_cmp")
+    idx_u = str(tmp_path / "ann_cmp_u")
+    ingest = make_ann_index_ingest(idx, compact_every=2, **_KNOBS)
+    uncompacted = make_ann_index_ingest(idx_u, compact_every=None, **_KNOBS)
+    for b in range(6):
+        batch = emb.where(f"vec_id % 6 = {b}")
+        ingest(batch, b)
+        uncompacted(batch, b)
+    rows = sorted(
+        map(
+            tuple,
+            spark.read.parquet(idx + "/members").drop("_batch_id").collect(),
+        )
+    )
+    rows_u = sorted(
+        map(
+            tuple,
+            spark.read.parquet(idx_u + "/members").drop("_batch_id").collect(),
+        )
+    )
+    assert rows == rows_u
+    parts = {
+        d for d in os.listdir(idx + "/members") if d.startswith("_batch_id=")
+    }
+    parts_u = {
+        d for d in os.listdir(idx_u + "/members") if d.startswith("_batch_id=")
+    }
+    assert len(parts) < len(parts_u)
+    # per-batch drift attribution survives the fold
+    hist = {r["batch"] for r in drift_history(spark, idx).collect()}
+    assert hist == set(range(6))

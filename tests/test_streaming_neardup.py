@@ -418,3 +418,45 @@ def test_knob_fingerprint_blocks_mismatched_ingest(spark, tmp_path):
     with _pytest.raises(ValueError, match="knobs differ"):
         bad(docs.where("doc_id = 5"), 2)
     assert sorted(map(tuple, spark.read.parquet(idx).collect())) == before
+
+
+def test_rows_compaction_bounds_partitions_preserves_results(spark, tmp_path):
+    """The auto-compaction also folds the band-row index and the
+    survivors table into the base partition: results stay identical to
+    an uncompacted run and the partition count stays bounded; a replay
+    of the CURRENT batch across a compaction boundary is still
+    byte-identical."""
+    import os
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx_rows")
+    surv = str(tmp_path / "surv_rows")
+    ingest = make_near_dup_ingest(idx, surv, compact_summary_every=2, **_KNOBS)
+    idx_u = str(tmp_path / "idx_rows_u")
+    surv_u = str(tmp_path / "surv_rows_u")
+    uncompacted = make_near_dup_ingest(
+        idx_u, surv_u, compact_summary_every=None, **_KNOBS
+    )
+    for b in range(6):
+        batch = docs.where(f"doc_id = {b}")
+        ingest(batch, b)
+        uncompacted(batch, b)
+    got = {r["doc_id"] for r in read_survivors(spark, surv).collect()}
+    want = {r["doc_id"] for r in read_survivors(spark, surv_u).collect()}
+    assert got == want == _expected_batch_survivors(docs)
+    # identical index CONTENT, bounded partition count
+    rows = sorted(
+        map(tuple, spark.read.parquet(idx).drop("_batch_id").collect())
+    )
+    rows_u = sorted(
+        map(tuple, spark.read.parquet(idx_u).drop("_batch_id").collect())
+    )
+    assert rows == rows_u
+    parts = {d for d in os.listdir(surv) if d.startswith("_batch_id=")}
+    parts_u = {d for d in os.listdir(surv_u) if d.startswith("_batch_id=")}
+    assert len(parts) < len(parts_u)
+    assert "_batch_id=-1" in parts
+    # replay of the current batch right at a compaction boundary
+    before = sorted(map(tuple, spark.read.parquet(surv).collect()))
+    ingest(docs.where("doc_id = 5"), 5)
+    assert sorted(map(tuple, spark.read.parquet(surv).collect())) == before

@@ -151,3 +151,24 @@ def test_guards_fire(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="knobs differ"):
         redeployed(emb.where("vec_id % 2 = 1"), 1)
+
+
+def test_rows_compaction_preserves_survivors(spark, emb, tmp_path):
+    import os
+
+    idx = str(tmp_path / "sd_cmp")
+    surv = str(tmp_path / "sd_cmp_s")
+    idx_u = str(tmp_path / "sd_cmp_u")
+    surv_u = str(tmp_path / "sd_cmp_us")
+    ingest = make_semantic_dedup_ingest(idx, surv, compact_every=2, **_KNOBS)
+    uncompacted = make_semantic_dedup_ingest(
+        idx_u, surv_u, compact_every=None, **_KNOBS
+    )
+    for b in range(6):
+        batch = emb.where(f"vec_id % 6 = {b}")
+        ingest(batch, b)
+        uncompacted(batch, b)
+    assert _survivor_ids(spark, surv) == _survivor_ids(spark, surv_u)
+    parts = {d for d in os.listdir(surv) if d.startswith("_batch_id=")}
+    parts_u = {d for d in os.listdir(surv_u) if d.startswith("_batch_id=")}
+    assert len(parts) < len(parts_u) and "_batch_id=-1" in parts

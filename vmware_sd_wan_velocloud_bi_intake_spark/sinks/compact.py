@@ -94,6 +94,61 @@ def compact_parts(
     return True
 
 
+def compact_rows_parts(
+    spark: SparkSession,
+    parts_dir: str,
+    before_batch_id: int,
+    *,
+    merge_schema: bool = False,
+) -> bool:
+    """Row-preserving :func:`compact_parts`: fold the ROWS of committed
+    ``_batch_id`` partitions into the base partition unchanged (no
+    aggregation — survivors tables, index band rows, ANN members).
+
+    Why: every batch-keyed ingest writes one partition per micro-batch,
+    so a long-lived stream's table accumulates O(batches) directories and
+    every read pays that listing. Counts/sketches compact by REFOLDING
+    (the aggregate form); row tables compact by CONCATENATION — same
+    staging/verify/swap skeleton, identity fold. Verification is a
+    row-multiset check: count plus an order-independent mod-2^64 sum of
+    per-row hashes over every non-bookkeeping column — a dropped,
+    duplicated, or mutated row changes it.
+
+    Safe for batches that can no longer replay (pass the CURRENT
+    foreachBatch id); the base partition (id −1) sorts below every real
+    batch id, so own-batch replay exclusions and partition-pruned reads
+    keep working.
+    """
+    from pyspark.sql import functions as F
+
+    def fold(old):
+        return old.drop("_batch_id")
+
+    def verify(parts, staged) -> None:
+        cols = sorted(c for c in parts.columns if c != "_batch_id")
+
+        def sig(df):
+            row = df.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.xxhash64(F.struct(*[F.col(c) for c in cols])).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("s"),
+            ).head()
+            s = int(row["s"]) % (1 << 64) if row["s"] is not None else 0
+            return (int(row["n"]), s)
+
+        if sig(parts) != sig(staged):
+            raise RuntimeError(
+                "compact_rows_parts: row multiset changed; refusing the swap"
+            )
+
+    return compact_parts(
+        spark, parts_dir, before_batch_id, fold, verify, merge_schema=merge_schema
+    )
+
+
 def dataset_bytes(path: str) -> int:
     """On-disk parquet bytes under ``path`` (recursive, listing only)."""
     total = 0

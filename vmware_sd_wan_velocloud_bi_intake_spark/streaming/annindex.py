@@ -74,8 +74,15 @@ def make_ann_index_ingest(
     train_iters: int = 10,
     residual: bool = False,
     retrain_threshold: float = 0.25,
+    compact_every: int | None = 64,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` body: ``fn(batch_df, batch_id)``.
+
+    Every ``compact_every`` batches the committed members and drift
+    partitions fold into the base partition by row-preserving
+    concatenation (``sinks.compact.compact_rows_parts``) — a long-lived
+    stream otherwise accumulates one directory per batch and every
+    search pays the listing. None disables.
 
     Wire it as ``stream.writeStream.foreachBatch(fn)``. The first batch
     that arrives trains the quantizers (bounded-sample, deterministic —
@@ -130,8 +137,12 @@ def make_ann_index_ingest(
                 .partitionBy("_batch_id")
                 .parquet(p["members"])
             )
+            # `batch` rides IN the row (not just the partition key) so a
+            # rows-compaction folding old parts into the base partition
+            # preserves which batch each verdict belongs to
             row = [
                 (
+                    int(batch_id),
                     float(verdict["tv_distance"]),
                     bool(verdict["retrain"]),
                     float(retrain_threshold),
@@ -140,7 +151,7 @@ def make_ann_index_ingest(
             (
                 spark.createDataFrame(
                     row,
-                    "tv_distance double, retrain boolean, "
+                    "batch long, tv_distance double, retrain boolean, "
                     "retrain_threshold double",
                 )
                 .withColumn("_batch_id", F.lit(int(batch_id)))
@@ -174,6 +185,13 @@ def make_ann_index_ingest(
         )
         fp = batch_fingerprint(batch_df, vec_id)
         check_sequence(p["knobs"], "annindex-knobs/v1", batch_id, fp)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            # batches < batch_id are committed (foreachBatch serializes
+            # epochs) — never this batch's own partition
+            from ..sinks.compact import compact_rows_parts
+
+            compact_rows_parts(spark, p["members"], batch_id)
+            compact_rows_parts(spark, p["drift"], batch_id)
         from ..functions.artifacts import read_json_artifact
 
         stored = read_json_artifact(p["knobs"], "annindex-knobs/v1")
@@ -221,8 +239,8 @@ def make_ann_index_ingest(
                 )
                 (
                     spark.createDataFrame(
-                        [(0.0, False, float(retrain_threshold))],
-                        "tv_distance double, retrain boolean, "
+                        [(int(batch_id), 0.0, False, float(retrain_threshold))],
+                        "batch long, tv_distance double, retrain boolean, "
                         "retrain_threshold double",
                     )
                     .withColumn("_batch_id", F.lit(int(batch_id)))
@@ -270,8 +288,10 @@ def read_ann_index(
 
 
 def drift_history(spark, index_dir: str) -> DataFrame:
-    """One row per batch: (_batch_id, tv_distance, retrain,
-    retrain_threshold) — the monitor's raw series."""
+    """One row per batch: (batch, tv_distance, retrain,
+    retrain_threshold) plus the ``_batch_id`` write key — the monitor's
+    raw series. ``batch`` rides in the row so the series survives
+    rows-compaction of old partitions into the base."""
     return spark.read.parquet(_paths(index_dir)["drift"])
 
 
@@ -362,8 +382,9 @@ def rebuild_ann_index(emb: DataFrame, index_dir: str) -> None:
         )
         (
             spark.createDataFrame(
-                [(0.0, False, float(stored["retrain_threshold"]))],
-                "tv_distance double, retrain boolean, retrain_threshold double",
+                [(int(BASE_PART), 0.0, False, float(stored["retrain_threshold"]))],
+                "batch long, tv_distance double, retrain boolean, "
+                "retrain_threshold double",
             )
             .withColumn("_batch_id", F.lit(BASE_PART))
             .write.mode("overwrite")

@@ -154,11 +154,14 @@ def make_near_dup_ingest(
     comparability, but changing them mid-stream silently changes which
     docs survive.
 
-    Every ``compact_summary_every`` batches the per-batch summary parts
-    older than the current batch are rolled into one base part
-    (:func:`compact_summary_parts`) — without it a long-lived stream's
-    summary read cost creeps linearly with batch count. Pass None to
-    disable (e.g. when an external maintenance job owns compaction).
+    Every ``compact_summary_every`` batches the per-batch parts older
+    than the current batch are rolled into one base partition: the
+    summary by refold (:func:`compact_summary_parts`), the band-row
+    index and the survivors table by row-preserving concatenation
+    (``sinks.compact.compact_rows_parts``), and the stats parts when
+    enabled — without this a long-lived stream's every read pays an
+    O(batches) partition listing. Pass None to disable (e.g. when an
+    external maintenance job owns compaction).
 
     ``stats_dir``: when set, each batch also publishes an incremental
     statistics part for its NOVEL rows (operators/incstats.py — same
@@ -277,8 +280,15 @@ def make_near_dup_ingest(
         ):
             # before the summary read below: batches < batch_id are all
             # committed (foreachBatch serializes epochs) — never this
-            # batch's own part, so replay exclusion is unaffected
+            # batch's own part, so replay exclusion is unaffected. The
+            # row tables (band rows, survivors) fold by concatenation —
+            # without it every batch's index read pays an O(batches)
+            # partition listing on a long-lived stream.
+            from ..sinks.compact import compact_rows_parts
+
             compact_summary_parts(spark, index_dir, batch_id)
+            compact_rows_parts(spark, index_dir, batch_id)
+            compact_rows_parts(spark, survivors_dir, batch_id)
             if stats_dir is not None:
                 from ..operators.incstats import compact_stats_parts
 

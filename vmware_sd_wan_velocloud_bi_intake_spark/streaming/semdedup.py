@@ -56,6 +56,7 @@ def make_semantic_dedup_ingest(
     n_cells: int | None = None,
     train_iters: int = 4,
     round_decimals: int | None = 6,
+    compact_every: int | None = 64,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` body: ``fn(batch_df, batch_id)``.
 
@@ -64,7 +65,11 @@ def make_semantic_dedup_ingest(
     loses; against the corpus the batch row loses — the corpus is
     already curated). The first batch's quantizer becomes the index's
     permanent cell structure, so point the stream at a representative
-    slice first. Empty batches are no-ops.
+    slice first. Empty batches are no-ops. Every ``compact_every``
+    batches the committed members/survivors partitions fold into the
+    base partition by row-preserving concatenation
+    (``sinks.compact.compact_rows_parts``) — bounding the per-batch
+    partition listing on a long-lived stream; None disables.
     """
     root = index_dir.rstrip("/")
     members_dir = os.path.join(root, "members")
@@ -102,6 +107,14 @@ def make_semantic_dedup_ingest(
         )
         fp = batch_fingerprint(batch_df, vec_id)
         check_sequence(knobs_path, "semdedup-knobs/v1", batch_id, fp)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            # batches < batch_id are committed (foreachBatch serializes
+            # epochs) — never this batch's own partition, so the
+            # own-batch replay exclusion below is unaffected
+            from ..sinks.compact import compact_rows_parts
+
+            compact_rows_parts(spark, members_dir, batch_id)
+            compact_rows_parts(spark, survivors_dir, batch_id)
         if batch_df.select(vec_id).limit(1).isEmpty():
             record_head(knobs_path, "semdedup-knobs/v1", batch_id, fp)
             return
