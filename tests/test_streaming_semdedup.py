@@ -172,3 +172,117 @@ def test_rows_compaction_preserves_survivors(spark, emb, tmp_path):
     parts = {d for d in os.listdir(surv) if d.startswith("_batch_id=")}
     parts_u = {d for d in os.listdir(surv_u) if d.startswith("_batch_id=")}
     assert len(parts) < len(parts_u) and "_batch_id=-1" in parts
+
+
+def test_semantic_survivors_publish_as_versions(spark, emb, tmp_path):
+    """The release pipeline composes with embedding corpora too: the
+    semantic survivor table snapshots through the same gate into pinned
+    versions (vec_id profiled; the embedding column rides as a
+    complex-type nulls-only profile row)."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.plans.publish import (
+        publish_stream_snapshot,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.sinks import versioned
+
+    idx = str(tmp_path / "sd_pub")
+    surv = str(tmp_path / "sd_pub_s")
+    root = str(tmp_path / "sd_releases")
+    ingest = make_semantic_dedup_ingest(idx, surv, **_KNOBS)
+    ingest(emb.where("vec_id % 2 = 0"), 0)
+    # the snapshot normalizes custom column names to doc_id/text — rules
+    # address the normalized names
+    rules = [{"column": "doc_id", "max_null_frac": 0.0, "min_rows": 10}]
+    v1 = publish_stream_snapshot(
+        spark, surv, root, doc_id="vec_id", text_col="embedding", rules=rules
+    )
+    assert v1 == 1
+    pinned = versioned.read_version(spark, root, v1)
+    assert {r["doc_id"] for r in pinned.select("doc_id").collect()} == (
+        _survivor_ids(spark, surv)
+    )
+    # the stream grows; the next snapshot pins v2 while v1 stays readable
+    ingest(emb.where("vec_id % 2 = 1"), 1)
+    v2 = publish_stream_snapshot(
+        spark, surv, root, doc_id="vec_id", text_col="embedding", rules=rules
+    )
+    assert v2 == 2
+    assert versioned.read_version(spark, root, 1).count() == pinned.count()
+
+
+def test_drift_monitor_and_rebuild(spark, emb, tmp_path):
+    """The semantic ingest carries the same quantizer-drift monitor as
+    the ANN ingest: a topic-shifted batch trips it, the in-place rebuild
+    (members carry raw vectors — no external corpus needed) retrains and
+    re-assigns, the monitor reads clean, survivors stay untouched, and a
+    checkpoint-lagged head-batch replay no-ops instead of emptying its
+    survivors partition."""
+    import numpy as np
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.semdedup import (
+        rebuild_semantic_index,
+        semantic_needs_retrain,
+    )
+
+    idx = str(tmp_path / "sd_drift")
+    surv = str(tmp_path / "sd_drift_s")
+    ingest = make_semantic_dedup_ingest(idx, surv, **_KNOBS)
+    b0 = emb.where("vec_id % 2 = 0")
+    ingest(b0, 0)
+    assert not semantic_needs_retrain(spark, idx)
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal(64)
+    a = a / np.linalg.norm(a)
+    anchor = F.array(*[F.lit(float(x)) for x in a])
+    shifted = emb.where("vec_id % 2 = 1").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with(
+            sim.as_double_array(F.col("embedding")),
+            anchor,
+            lambda v, x: F.lit(0.1) * v + x,
+        )
+        .cast("array<float>")  # match the survivors table's storage type
+        .alias("embedding"),
+    )
+    shifted = shifted.cache()
+    shifted.count()
+    ingest(shifted, 1)
+    assert semantic_needs_retrain(spark, idx)
+    before_survivors = _survivor_ids(spark, surv)
+    rebuild_semantic_index(spark, idx)
+    assert not semantic_needs_retrain(spark, idx)
+    assert _survivor_ids(spark, surv) == before_survivors  # history immutable
+    members = spark.read.parquet(idx + "/members")
+    assert members.count() == len(before_survivors)
+    assert {
+        r["_batch_id"]
+        for r in members.select("_batch_id").distinct().collect()
+    } == {-1}
+    # checkpoint-lagged replay of the folded head batch: safe no-op
+    ingest(shifted, 1)
+    assert _survivor_ids(spark, surv) == before_survivors
+    assert spark.read.parquet(idx + "/members").count() == len(before_survivors)
+    # the stream continues at the rebuilt quantizer
+    fresh = shifted.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    ingest(fresh, 2)
+    assert len(_survivor_ids(spark, surv)) >= len(before_survivors)
+    shifted.unpersist()
+
+
+def test_fully_duplicate_batch_records_no_drift(spark, emb, tmp_path):
+    """A batch whose every row is a corpus duplicate appends nothing —
+    the drift part must still land (tv 0, no retrain), not crash on an
+    empty histogram."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.semdedup import (
+        semantic_drift_history,
+        semantic_needs_retrain,
+    )
+
+    idx = str(tmp_path / "sd_dup")
+    surv = str(tmp_path / "sd_dup_s")
+    ingest = make_semantic_dedup_ingest(idx, surv, **_KNOBS)
+    b0 = emb.where("vec_id % 2 = 0")
+    ingest(b0, 0)
+    ingest(b0.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"), 1)
+    hist = {r["batch"]: r for r in semantic_drift_history(spark, idx).collect()}
+    assert hist[1]["tv_distance"] == 0.0 and not hist[1]["retrain"]
+    assert not semantic_needs_retrain(spark, idx)

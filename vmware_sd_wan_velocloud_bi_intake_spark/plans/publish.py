@@ -131,7 +131,11 @@ def publish_stream_snapshot(
     reason at the FILE level: the survivors table is append-only between
     publishes (batch-keyed dynamic overwrite only rewrites a partition
     during that batch's replay), so a concurrent read sees a consistent
-    prefix of batches. For byte-precise cut points, trigger it from the
+    prefix of batches — EXCEPT while a rows-compaction swaps the table
+    (every ``compact_summary_every`` batches the ingest folds committed
+    partitions into the base via a staging rename; a reader racing the
+    rename can fail its listing and should retry). For byte-precise cut
+    points — and to avoid the race entirely — trigger it from the
     stream's own foreachBatch between batches.
 
     ``profile_rows``: pass the stream's MERGED incremental statistics

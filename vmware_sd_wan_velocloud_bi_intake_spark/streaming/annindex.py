@@ -119,6 +119,8 @@ def make_ann_index_ingest(
         stream."""
         from ..functions.artifacts import read_json_artifact
 
+        from .ingestbase import write_drift_part
+
         baseline = read_json_artifact(p["occupancy"], "ann-occupancy/v1")[
             "profile"
         ]
@@ -137,28 +139,13 @@ def make_ann_index_ingest(
                 .partitionBy("_batch_id")
                 .parquet(p["members"])
             )
-            # `batch` rides IN the row (not just the partition key) so a
-            # rows-compaction folding old parts into the base partition
-            # preserves which batch each verdict belongs to
-            row = [
-                (
-                    int(batch_id),
-                    float(verdict["tv_distance"]),
-                    bool(verdict["retrain"]),
-                    float(retrain_threshold),
-                )
-            ]
-            (
-                spark.createDataFrame(
-                    row,
-                    "batch long, tv_distance double, retrain boolean, "
-                    "retrain_threshold double",
-                )
-                .withColumn("_batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch_id")
-                .parquet(p["drift"])
+            write_drift_part(
+                spark,
+                p["drift"],
+                batch_id,
+                verdict["tv_distance"],
+                verdict["retrain"],
+                retrain_threshold,
             )
         finally:
             members.unpersist()
@@ -237,17 +224,10 @@ def make_ann_index_ingest(
                     p["occupancy"],
                     {"format": "ann-occupancy/v1", "profile": profile},
                 )
-                (
-                    spark.createDataFrame(
-                        [(int(batch_id), 0.0, False, float(retrain_threshold))],
-                        "batch long, tv_distance double, retrain boolean, "
-                        "retrain_threshold double",
-                    )
-                    .withColumn("_batch_id", F.lit(int(batch_id)))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("_batch_id")
-                    .parquet(p["drift"])
+                from .ingestbase import write_drift_part
+
+                write_drift_part(
+                    spark, p["drift"], batch_id, 0.0, False, retrain_threshold
                 )
                 # codebooks LAST: their existence is the "index is built"
                 # marker that routes every later batch to the append path
@@ -292,7 +272,9 @@ def drift_history(spark, index_dir: str) -> DataFrame:
     retrain_threshold) plus the ``_batch_id`` write key — the monitor's
     raw series. ``batch`` rides in the row so the series survives
     rows-compaction of old partitions into the base."""
-    return spark.read.parquet(_paths(index_dir)["drift"])
+    from .ingestbase import drift_parts_history
+
+    return drift_parts_history(spark, _paths(index_dir)["drift"])
 
 
 def needs_retrain(spark, index_dir: str) -> bool:
@@ -300,9 +282,9 @@ def needs_retrain(spark, index_dir: str) -> bool:
     answered from the drift parts alone (O(batches) tiny rows), the
     members are never scanned. The planned response is
     :func:`rebuild_ann_index`, not a stream failure."""
-    return not (
-        drift_history(spark, index_dir).where(F.col("retrain")).limit(1).isEmpty()
-    )
+    from .ingestbase import drift_needs_retrain
+
+    return drift_needs_retrain(spark, _paths(index_dir)["drift"])
 
 
 def rebuild_ann_index(emb: DataFrame, index_dir: str) -> None:
@@ -380,16 +362,11 @@ def rebuild_ann_index(emb: DataFrame, index_dir: str) -> None:
         atomic_write_json(
             sp["occupancy"], {"format": "ann-occupancy/v1", "profile": profile}
         )
-        (
-            spark.createDataFrame(
-                [(int(BASE_PART), 0.0, False, float(stored["retrain_threshold"]))],
-                "batch long, tv_distance double, retrain boolean, "
-                "retrain_threshold double",
-            )
-            .withColumn("_batch_id", F.lit(BASE_PART))
-            .write.mode("overwrite")
-            .partitionBy("_batch_id")
-            .parquet(sp["drift"])
+        from .ingestbase import write_drift_part
+
+        write_drift_part(
+            spark, sp["drift"], BASE_PART, 0.0, False,
+            stored["retrain_threshold"],
         )
         pqops.save_pq_codebooks(books, sp["codebooks"])
         if stored.get("last_batch_id") is not None:

@@ -141,6 +141,46 @@ def check_sequence(knobs_path: str, fmt: str, batch_id: int, fp: str) -> None:
         )
 
 
+def write_drift_part(
+    spark, drift_dir: str, batch_id: int, tv: float, retrain: bool, threshold: float
+) -> None:
+    """One-row drift verdict, batch-keyed (replay rewrites it). ``batch``
+    rides IN the row — not just the partition key — so rows-compaction
+    folding old parts into the base partition preserves which batch each
+    verdict belongs to."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    (
+        spark.createDataFrame(
+            [(int(batch_id), float(tv), bool(retrain), float(threshold))],
+            "batch long, tv_distance double, retrain boolean, "
+            "retrain_threshold double",
+        )
+        .withColumn("_batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(drift_dir)
+    )
+
+
+def drift_parts_history(spark, drift_dir: str) -> DataFrame:
+    """The monitor's raw series: one row per batch (batch, tv_distance,
+    retrain, retrain_threshold) plus the ``_batch_id`` write key."""
+    return spark.read.parquet(drift_dir)
+
+
+def drift_needs_retrain(spark, drift_dir: str) -> bool:
+    """True when any batch drifted past its threshold — answered from the
+    one-row drift parts alone, never a members scan."""
+    return not (
+        drift_parts_history(spark, drift_dir)
+        .where(F.col("retrain"))
+        .limit(1)
+        .isEmpty()
+    )
+
+
 def record_head(knobs_path: str, fmt: str, batch_id: int, fp: str) -> None:
     """Record the committed head AFTER the batch's full publish (atomic
     rewrite; foreachBatch serializes epochs so no writer race). A crash

@@ -57,6 +57,7 @@ def make_semantic_dedup_ingest(
     train_iters: int = 4,
     round_decimals: int | None = 6,
     compact_every: int | None = 64,
+    retrain_threshold: float = 0.25,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` body: ``fn(batch_df, batch_id)``.
 
@@ -74,6 +75,8 @@ def make_semantic_dedup_ingest(
     root = index_dir.rstrip("/")
     members_dir = os.path.join(root, "members")
     centroids_dir = os.path.join(root, "centroids")
+    occupancy_path = os.path.join(root, "occupancy.json")
+    drift_dir = os.path.join(root, "drift_parts")
     knobs_path = root + "_knobs.json"
     knobs = {
         "format": "semdedup-knobs/v1",
@@ -83,6 +86,7 @@ def make_semantic_dedup_ingest(
         "n_cells": n_cells,
         "train_iters": train_iters,
         "round_decimals": round_decimals,
+        "retrain_threshold": retrain_threshold,
     }
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
@@ -107,6 +111,19 @@ def make_semantic_dedup_ingest(
         )
         fp = batch_fingerprint(batch_df, vec_id)
         check_sequence(knobs_path, "semdedup-knobs/v1", batch_id, fp)
+        from ..functions.artifacts import read_json_artifact
+
+        rt = read_json_artifact(knobs_path, "semdedup-knobs/v1").get(
+            "rebuilt_through"
+        )
+        if rt is not None and batch_id <= rt:
+            # a rebuild folded this head batch's member rows into the base
+            # partition — they are no longer excluded by the own-batch
+            # filter, so a checkpoint-lagged replay would self-match every
+            # row and overwrite its survivors partition as EMPTY. Its
+            # content is already represented: no-op and commit.
+            record_head(knobs_path, "semdedup-knobs/v1", batch_id, fp)
+            return
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             # batches < batch_id are committed (foreachBatch serializes
             # epochs) — never this batch's own partition, so the
@@ -164,8 +181,27 @@ def make_semantic_dedup_ingest(
             novel = kept.join(losers, vec_id, "left_anti")
         # ---- idempotent batch-keyed writes (per-WRITE dynamic overwrite:
         # scoped to each write, never mutates the session conf) -----------
+        from ..functions.artifacts import atomic_write_json
+        from ..operators.pq import cell_occupancy_profile, occupancy_drift
+        from .ingestbase import write_drift_part
+
+        building = not os.path.exists(occupancy_path)
+        baseline = None
+        if not building:
+            # read BEFORE any write: a malformed layout fails the batch
+            # before it publishes, not after (the annindex discipline)
+            baseline = read_json_artifact(occupancy_path, "ann-occupancy/v1")[
+                "profile"
+            ]
         novel = novel.persist()
         try:
+            member_rows = sim.ivf_members(
+                novel,
+                cents,
+                vec_id=vec_id,
+                embedding=embedding,
+                round_decimals=round_decimals,
+            )
             (
                 novel.withColumn("_batch_id", F.lit(int(batch_id)))
                 .write.mode("overwrite")
@@ -174,24 +210,169 @@ def make_semantic_dedup_ingest(
                 .parquet(survivors_dir)
             )
             (
-                sim.ivf_members(
-                    novel,
-                    cents,
-                    vec_id=vec_id,
-                    embedding=embedding,
-                    round_decimals=round_decimals,
-                )
-                .withColumn("_batch_id", F.lit(int(batch_id)))
+                member_rows.withColumn("_batch_id", F.lit(int(batch_id)))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("_batch_id")
                 .parquet(members_dir)
             )
+            if building:
+                atomic_write_json(
+                    occupancy_path,
+                    {
+                        "format": "ann-occupancy/v1",
+                        "profile": cell_occupancy_profile(member_rows),
+                    },
+                )
+                write_drift_part(
+                    spark, drift_dir, batch_id, 0.0, False, retrain_threshold
+                )
+            elif novel.limit(1).isEmpty():
+                # fully-duplicate batch: nothing appended, no drift
+                # evidence (occupancy_drift rejects an empty histogram)
+                write_drift_part(
+                    spark, drift_dir, batch_id, 0.0, False, retrain_threshold
+                )
+            else:
+                verdict = occupancy_drift(
+                    baseline,
+                    member_rows,
+                    retrain_threshold=retrain_threshold,
+                )
+                write_drift_part(
+                    spark,
+                    drift_dir,
+                    batch_id,
+                    verdict["tv_distance"],
+                    verdict["retrain"],
+                    retrain_threshold,
+                )
             record_head(knobs_path, "semdedup-knobs/v1", batch_id, fp)
         finally:
             novel.unpersist()
 
     return ingest
+
+
+def semantic_drift_history(spark, index_dir: str) -> DataFrame:
+    """The quantizer-drift series of a semantic-dedup index — same
+    contract as ``annindex.drift_history``."""
+    from .ingestbase import drift_parts_history
+
+    return drift_parts_history(
+        spark, os.path.join(index_dir.rstrip("/"), "drift_parts")
+    )
+
+
+def semantic_needs_retrain(spark, index_dir: str) -> bool:
+    """True when any batch's cell histogram drifted past the threshold —
+    answered from the drift parts alone. The planned response is
+    :func:`rebuild_semantic_index`. Drift here degrades SemDeDup's
+    recall (ill-fitting cells separate semantic twins into different
+    clusters, so pairs stop being compared), never its precision —
+    survivors already admitted stay admitted."""
+    from .ingestbase import drift_needs_retrain
+
+    return drift_needs_retrain(
+        spark, os.path.join(index_dir.rstrip("/"), "drift_parts")
+    )
+
+
+def rebuild_semantic_index(spark, index_dir: str) -> None:
+    """The action :func:`semantic_needs_retrain` points to — retrain the
+    coarse quantizer and re-assign every member to the new cells.
+
+    Unlike the ANN rebuild this needs NO external corpus: semantic
+    members carry their raw vectors, so the rebuild reads them back,
+    retrains (``n_cells`` re-resolved from the CURRENT corpus size when
+    the knob was None — cells grow with the corpus, restoring the
+    n²/cells pair-space bound), re-assigns, and swaps the whole index
+    root in atomically (staging + ``swap_into_place``; a crash leaves
+    the original intact). Past survivor DECISIONS are history and stay
+    untouched — the rebuild improves which future pairs get compared,
+    it does not re-deduplicate the corpus. Run while the stream is
+    STOPPED after a clean stop; ``rebuilt_through`` makes a
+    checkpoint-lagged head-batch replay a safe no-op (its member rows
+    are folded into the base and would otherwise self-match into an
+    empty survivors partition)."""
+    import math as _math
+    import shutil
+    import tempfile
+
+    from ..functions.artifacts import atomic_write_json, read_json_artifact
+    from ..operators.pq import cell_occupancy_profile
+    from ..sinks.compact import BASE_PART
+    from .ingestbase import write_drift_part
+
+    root = index_dir.rstrip("/")
+    knobs_path = root + "_knobs.json"
+    stored = read_json_artifact(knobs_path, "semdedup-knobs/v1")
+    members = spark.read.parquet(os.path.join(root, "members")).drop("_batch_id")
+    corpus = members.select(
+        F.col("vid").alias(stored["vec_id"]),
+        F.col("v").alias(stored["embedding"]),
+    )
+    cells = stored["n_cells"] or max(
+        8, _math.ceil(_math.sqrt(corpus.count()))
+    )
+    cents = sim.train_centroids(
+        corpus,
+        cells,
+        vec_id=stored["vec_id"],
+        embedding=stored["embedding"],
+        iters=stored["train_iters"],
+        round_decimals=stored["round_decimals"],
+    )
+    reassigned = sim.ivf_members(
+        corpus,
+        cents,
+        vec_id=stored["vec_id"],
+        embedding=stored["embedding"],
+        round_decimals=stored["round_decimals"],
+    ).persist()
+    staging = tempfile.mkdtemp(
+        prefix=os.path.basename(root) + ".rebuild.",
+        dir=os.path.dirname(root) or ".",
+    )
+    try:
+        (
+            reassigned.withColumn("_batch_id", F.lit(BASE_PART))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(os.path.join(staging, "members"))
+        )
+        cents.write.mode("overwrite").parquet(os.path.join(staging, "centroids"))
+        atomic_write_json(
+            os.path.join(staging, "occupancy.json"),
+            {
+                "format": "ann-occupancy/v1",
+                "profile": cell_occupancy_profile(reassigned),
+            },
+        )
+        write_drift_part(
+            spark,
+            os.path.join(staging, "drift_parts"),
+            BASE_PART,
+            0.0,
+            False,
+            stored["retrain_threshold"],
+        )
+        if stored.get("last_batch_id") is not None:
+            atomic_write_json(
+                knobs_path,
+                {
+                    **read_json_artifact(knobs_path, "semdedup-knobs/v1"),
+                    "rebuilt_through": int(stored["last_batch_id"]),
+                },
+            )
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        reassigned.unpersist()
+        raise
+    reassigned.unpersist()
+    from ..sinks.upsert import swap_into_place
+
+    swap_into_place(staging, root)
 
 
 def read_semantic_survivors(spark, survivors_dir: str) -> DataFrame:
