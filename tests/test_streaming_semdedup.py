@@ -286,3 +286,31 @@ def test_fully_duplicate_batch_records_no_drift(spark, emb, tmp_path):
     hist = {r["batch"]: r for r in semantic_drift_history(spark, idx).collect()}
     assert hist[1]["tv_distance"] == 0.0 and not hist[1]["retrain"]
     assert not semantic_needs_retrain(spark, idx)
+
+
+def test_pre_monitor_index_requires_occupancy_backfill(spark, emb, tmp_path):
+    """An index from before the drift monitor existed (no occupancy.json)
+    must refuse to silently bootstrap a baseline from a mid-stream batch;
+    backfill_occupancy derives it from the full current members, after
+    which the stream proceeds and verdicts record."""
+    import os
+    import shutil
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.semdedup import (
+        backfill_occupancy,
+        semantic_drift_history,
+    )
+
+    idx = str(tmp_path / "sd_legacy")
+    surv = str(tmp_path / "sd_legacy_s")
+    ingest = make_semantic_dedup_ingest(idx, surv, **_KNOBS)
+    ingest(emb.where("vec_id % 2 = 0"), 0)
+    # simulate the pre-monitor layout
+    os.remove(idx + "/occupancy.json")
+    shutil.rmtree(idx + "/drift_parts")
+    with pytest.raises(ValueError, match="backfill_occupancy"):
+        ingest(emb.where("vec_id % 2 = 1"), 1)
+    backfill_occupancy(spark, idx)
+    ingest(emb.where("vec_id % 2 = 1"), 1)
+    hist = {r["batch"] for r in semantic_drift_history(spark, idx).collect()}
+    assert 1 in hist  # the post-backfill batch recorded its verdict

@@ -157,6 +157,7 @@ def make_ann_index_ingest(
             check_knobs,
             check_sequence,
             record_head,
+            replay_folded_head,
         )
 
         spark = batch_df.sparkSession
@@ -172,24 +173,20 @@ def make_ann_index_ingest(
         )
         fp = batch_fingerprint(batch_df, vec_id)
         check_sequence(p["knobs"], "annindex-knobs/v1", batch_id, fp)
+        if replay_folded_head(p["knobs"], "annindex-knobs/v1", batch_id, fp):
+            # a rebuild already folded this head batch's rows into the
+            # base partition — re-encoding would duplicate every vector
+            return
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             # batches < batch_id are committed (foreachBatch serializes
-            # epochs) — never this batch's own partition
+            # epochs) — never this batch's own partition. Drift parts
+            # compact under mergeSchema: parts written before the in-row
+            # `batch` column existed must fold as NULL-batch rows, not
+            # silently bind whichever schema the footer sample picked.
             from ..sinks.compact import compact_rows_parts
 
             compact_rows_parts(spark, p["members"], batch_id)
-            compact_rows_parts(spark, p["drift"], batch_id)
-        from ..functions.artifacts import read_json_artifact
-
-        stored = read_json_artifact(p["knobs"], "annindex-knobs/v1")
-        rt = stored.get("rebuilt_through")
-        if rt is not None and batch_id <= rt:
-            # the head batch published, a rebuild folded its rows into the
-            # base partition, and only THEN did the checkpoint-lagged
-            # replay arrive: its content is already represented — re-
-            # encoding it would duplicate every vector. No-op and commit.
-            record_head(p["knobs"], "annindex-knobs/v1", batch_id, fp)
-            return
+            compact_rows_parts(spark, p["drift"], batch_id, merge_schema=True)
         if batch_df.select(vec_id).limit(1).isEmpty():
             record_head(p["knobs"], "annindex-knobs/v1", batch_id, fp)
             return

@@ -141,6 +141,24 @@ def check_sequence(knobs_path: str, fmt: str, batch_id: int, fp: str) -> None:
         )
 
 
+def replay_folded_head(knobs_path: str, fmt: str, batch_id: int, fp: str) -> bool:
+    """True when this batch is a checkpoint-lagged replay of a head batch
+    whose partitions a REBUILD already folded into the base — its content
+    is fully represented, so the caller must no-op (re-processing would
+    either duplicate rows or, where an own-batch exclusion is in play,
+    self-match everything into an empty partition). Records the head
+    before returning True so the checkpoint can commit and the stream
+    moves on. Call AFTER :func:`check_sequence` (fp equality at the head
+    is already enforced there)."""
+    from ..functions.artifacts import read_json_artifact
+
+    rt = read_json_artifact(knobs_path, fmt).get("rebuilt_through")
+    if rt is not None and batch_id <= rt:
+        record_head(knobs_path, fmt, batch_id, fp)
+        return True
+    return False
+
+
 def write_drift_part(
     spark, drift_dir: str, batch_id: int, tv: float, retrain: bool, threshold: float
 ) -> None:

@@ -90,11 +90,13 @@ def make_semantic_dedup_ingest(
     }
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.artifacts import read_json_artifact
         from .ingestbase import (
             batch_fingerprint,
             check_knobs,
             check_sequence,
             record_head,
+            replay_folded_head,
         )
 
         spark = batch_df.sparkSession
@@ -111,31 +113,40 @@ def make_semantic_dedup_ingest(
         )
         fp = batch_fingerprint(batch_df, vec_id)
         check_sequence(knobs_path, "semdedup-knobs/v1", batch_id, fp)
-        from ..functions.artifacts import read_json_artifact
-
-        rt = read_json_artifact(knobs_path, "semdedup-knobs/v1").get(
-            "rebuilt_through"
-        )
-        if rt is not None and batch_id <= rt:
+        if replay_folded_head(knobs_path, "semdedup-knobs/v1", batch_id, fp):
             # a rebuild folded this head batch's member rows into the base
             # partition — they are no longer excluded by the own-batch
             # filter, so a checkpoint-lagged replay would self-match every
-            # row and overwrite its survivors partition as EMPTY. Its
-            # content is already represented: no-op and commit.
-            record_head(knobs_path, "semdedup-knobs/v1", batch_id, fp)
+            # row and overwrite its survivors partition as EMPTY
             return
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             # batches < batch_id are committed (foreachBatch serializes
             # epochs) — never this batch's own partition, so the
-            # own-batch replay exclusion below is unaffected
+            # own-batch replay exclusion below is unaffected. Drift parts
+            # under mergeSchema: pre-`batch`-column parts fold as NULLs
             from ..sinks.compact import compact_rows_parts
 
             compact_rows_parts(spark, members_dir, batch_id)
             compact_rows_parts(spark, survivors_dir, batch_id)
+            compact_rows_parts(spark, drift_dir, batch_id, merge_schema=True)
         if batch_df.select(vec_id).limit(1).isEmpty():
             record_head(knobs_path, "semdedup-knobs/v1", batch_id, fp)
             return
-        if not os.path.isdir(centroids_dir):
+        building = not os.path.isdir(centroids_dir)
+        if not building and not os.path.exists(occupancy_path):
+            # a pre-drift-monitor index (earlier r9 layout): silently
+            # bootstrapping the baseline from an arbitrary mid-stream
+            # batch would bias every later verdict (and an empty-novel
+            # bootstrap would wedge the stream on a zero baseline) —
+            # the same upgrade class the stats coverage check refuses
+            raise ValueError(
+                f"semantic ingest: {occupancy_path} is missing on an "
+                "already-built index — run "
+                "streaming.semdedup.backfill_occupancy(spark, index_dir) "
+                "once (stream stopped) to derive the baseline from the "
+                "full current members, then restart"
+            )
+        if building:
             # ---- build batch: train the quantizer, become the corpus ---
             cells = n_cells or max(
                 8, math.ceil(math.sqrt(batch_df.select(vec_id).count()))
@@ -185,7 +196,6 @@ def make_semantic_dedup_ingest(
         from ..operators.pq import cell_occupancy_profile, occupancy_drift
         from .ingestbase import write_drift_part
 
-        building = not os.path.exists(occupancy_path)
         baseline = None
         if not building:
             # read BEFORE any write: a malformed layout fails the batch
@@ -193,6 +203,21 @@ def make_semantic_dedup_ingest(
             baseline = read_json_artifact(occupancy_path, "ann-occupancy/v1")[
                 "profile"
             ]
+        # drift measures the FULL batch's cell assignment, not the novel
+        # subset: dense cells kill proportionally more batch rows (a close
+        # twin is likelier to exist there), so a novel-only histogram
+        # systematically shifts toward sparse cells as the corpus matures
+        # and would trip the monitor on a perfectly stationary stream —
+        # the baseline is the full build batch for the same reason
+        batch_profile = cell_occupancy_profile(
+            sim.ivf_members(
+                batch_df,
+                cents,
+                vec_id=vec_id,
+                embedding=embedding,
+                round_decimals=round_decimals,
+            )
+        )
         novel = novel.persist()
         try:
             member_rows = sim.ivf_members(
@@ -219,24 +244,15 @@ def make_semantic_dedup_ingest(
             if building:
                 atomic_write_json(
                     occupancy_path,
-                    {
-                        "format": "ann-occupancy/v1",
-                        "profile": cell_occupancy_profile(member_rows),
-                    },
+                    {"format": "ann-occupancy/v1", "profile": batch_profile},
                 )
-                write_drift_part(
-                    spark, drift_dir, batch_id, 0.0, False, retrain_threshold
-                )
-            elif novel.limit(1).isEmpty():
-                # fully-duplicate batch: nothing appended, no drift
-                # evidence (occupancy_drift rejects an empty histogram)
                 write_drift_part(
                     spark, drift_dir, batch_id, 0.0, False, retrain_threshold
                 )
             else:
                 verdict = occupancy_drift(
                     baseline,
-                    member_rows,
+                    batch_profile,
                     retrain_threshold=retrain_threshold,
                 )
                 write_drift_part(
@@ -252,6 +268,49 @@ def make_semantic_dedup_ingest(
             novel.unpersist()
 
     return ingest
+
+
+def backfill_occupancy(spark, index_dir: str) -> None:
+    """One-time upgrade path for a pre-drift-monitor semantic index:
+    derive the occupancy baseline from the FULL current members (the
+    corpus cell distribution — the most meaningful yardstick available
+    post-hoc) and seed the drift series with a base part. Run while the
+    stream is STOPPED; refuses an empty members table (a zero baseline
+    would make every later verdict raise)."""
+    import os as _os
+
+    from ..functions.artifacts import atomic_write_json
+    from ..operators.pq import cell_occupancy_profile
+    from ..sinks.compact import BASE_PART
+    from .ingestbase import write_drift_part
+
+    root = index_dir.rstrip("/")
+    members = spark.read.parquet(_os.path.join(root, "members"))
+    profile = cell_occupancy_profile(members.drop("_batch_id"))
+    if profile["n_vectors"] == 0:
+        raise ValueError(
+            "backfill_occupancy: the members table is empty — there is "
+            "no distribution to baseline; let the stream build the index "
+            "first"
+        )
+    stored = {}
+    knobs_path = root + "_knobs.json"
+    if _os.path.exists(knobs_path):
+        from ..functions.artifacts import read_json_artifact
+
+        stored = read_json_artifact(knobs_path, "semdedup-knobs/v1")
+    atomic_write_json(
+        _os.path.join(root, "occupancy.json"),
+        {"format": "ann-occupancy/v1", "profile": profile},
+    )
+    write_drift_part(
+        spark,
+        _os.path.join(root, "drift_parts"),
+        BASE_PART,
+        0.0,
+        False,
+        stored.get("retrain_threshold", 0.25),
+    )
 
 
 def semantic_drift_history(spark, index_dir: str) -> DataFrame:
@@ -355,7 +414,7 @@ def rebuild_semantic_index(spark, index_dir: str) -> None:
             BASE_PART,
             0.0,
             False,
-            stored["retrain_threshold"],
+            stored.get("retrain_threshold", 0.25),  # legacy knobs predate it
         )
         if stored.get("last_batch_id") is not None:
             atomic_write_json(
