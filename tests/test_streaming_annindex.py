@@ -288,3 +288,31 @@ def test_rows_compaction_preserves_members_and_history(spark, emb, tmp_path):
     # per-batch drift attribution survives the fold
     hist = {r["batch"] for r in drift_history(spark, idx).collect()}
     assert hist == set(range(6))
+
+
+def test_end_to_end_readstream_wiring(spark, emb, tmp_path):
+    """The ingest runs under real Structured Streaming: two file-fed
+    micro-batches through writeStream.foreachBatch build then append,
+    and the accumulated index equals the corpus."""
+    stream_dir = tmp_path / "ann_in"
+    stream_dir.mkdir()
+    for i, pred in enumerate(["vec_id % 2 = 0", "vec_id % 2 = 1"]):
+        emb.where(pred).coalesce(1).write.parquet(
+            str(stream_dir / f"b{i:03d}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir / "*.parquet"))
+    )
+    idx = str(tmp_path / "ann_e2e")
+    q = (
+        stream.writeStream.foreachBatch(make_ann_index_ingest(idx, **_KNOBS))
+        .option("checkpointLocation", str(tmp_path / "ann_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    members = spark.read.parquet(idx + "/members")
+    assert members.count() == emb.count()
+    assert not needs_retrain(spark, idx)

@@ -314,3 +314,37 @@ def test_pre_monitor_index_requires_occupancy_backfill(spark, emb, tmp_path):
     ingest(emb.where("vec_id % 2 = 1"), 1)
     hist = {r["batch"] for r in semantic_drift_history(spark, idx).collect()}
     assert 1 in hist  # the post-backfill batch recorded its verdict
+
+
+def test_end_to_end_readstream_wiring(spark, emb, tmp_path):
+    """The ingest runs under real Structured Streaming: file-fed
+    micro-batches through writeStream.foreachBatch, survivors match the
+    manual two-call run."""
+    stream_dir = tmp_path / "sd_in"
+    stream_dir.mkdir()
+    for i, pred in enumerate(["vec_id % 2 = 0", "vec_id % 2 = 1"]):
+        emb.where(pred).coalesce(1).write.parquet(
+            str(stream_dir / f"b{i:03d}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir / "*.parquet"))
+    )
+    idx = str(tmp_path / "sd_e2e")
+    surv = str(tmp_path / "sd_e2e_s")
+    q = (
+        stream.writeStream.foreachBatch(
+            make_semantic_dedup_ingest(idx, surv, **_KNOBS)
+        )
+        .option("checkpointLocation", str(tmp_path / "sd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    manual_idx = str(tmp_path / "sd_e2e_m")
+    manual_surv = str(tmp_path / "sd_e2e_ms")
+    manual = make_semantic_dedup_ingest(manual_idx, manual_surv, **_KNOBS)
+    manual(emb.where("vec_id % 2 = 0"), 0)
+    manual(emb.where("vec_id % 2 = 1"), 1)
+    assert _survivor_ids(spark, surv) == _survivor_ids(spark, manual_surv)
