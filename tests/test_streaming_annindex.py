@@ -235,19 +235,28 @@ def test_rebuild_closes_the_drift_loop(spark, emb, tmp_path):
 
 
 def test_missing_baseline_fails_before_any_write(spark, emb, tmp_path):
-    """A malformed pre-built layout (occupancy.json missing) must fail
-    the append batch BEFORE it publishes anything — not strand an
-    orphaned members partition behind a wedged stream."""
+    """A pre-built layout missing occupancy.json must fail the append
+    batch actionably BEFORE it publishes anything — not strand an
+    orphaned members partition behind a wedged stream — and
+    backfill_occupancy (cell counts only; PQ members carry no vectors)
+    unblocks it."""
     import os
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.annindex import (
+        backfill_occupancy,
+    )
 
     idx = str(tmp_path / "ann_idx8")
     ingest = make_ann_index_ingest(idx, **_KNOBS)
     ingest(emb.where("vec_id % 2 = 0"), 0)
     os.remove(idx + "/occupancy.json")
     before = _members(spark, idx)
-    with pytest.raises(FileNotFoundError):
+    with pytest.raises(ValueError, match="backfill_occupancy"):
         ingest(emb.where("vec_id % 2 = 1"), 1)
     assert _members(spark, idx) == before  # nothing landed
+    backfill_occupancy(spark, idx)
+    ingest(emb.where("vec_id % 2 = 1"), 1)
+    assert spark.read.parquet(idx + "/members").count() == emb.count()
 
 
 def test_rows_compaction_preserves_members_and_history(spark, emb, tmp_path):

@@ -121,6 +121,17 @@ def make_ann_index_ingest(
 
         from .ingestbase import write_drift_part
 
+        if not os.path.exists(p["occupancy"]):
+            # a hand-pre-built layout (the docstring's ivf_pq_index path)
+            # that skipped the baseline: fail actionably before anything
+            # lands, same as the semantic ingest's upgrade guard
+            raise ValueError(
+                f"ann ingest: {p['occupancy']} is missing on an "
+                "already-built index — run "
+                "streaming.annindex.backfill_occupancy(spark, index_dir) "
+                "once (stream stopped) to derive the baseline from the "
+                "current members' cell counts, then restart"
+            )
         baseline = read_json_artifact(p["occupancy"], "ann-occupancy/v1")[
             "profile"
         ]
@@ -262,6 +273,38 @@ def read_ann_index(
         spark.read.parquet(p["members"]).drop("_batch_id"),
         pqops.load_pq_codebooks(p["codebooks"]),
     )
+
+
+def backfill_occupancy(spark, index_dir: str) -> None:
+    """One-time baseline derivation for an index whose layout predates —
+    or skipped — ``occupancy.json`` (e.g. hand-pre-built with
+    ``ivf_pq_index``): PQ members carry no vectors, but the occupancy
+    profile needs only their ``cell`` column, so the full current
+    members ARE the baseline. Seeds the drift series with a base part.
+    Run while the stream is STOPPED; refuses an empty members table."""
+    from ..functions.artifacts import atomic_write_json, read_json_artifact
+    from ..sinks.compact import BASE_PART
+    from .ingestbase import write_drift_part
+
+    p = _paths(index_dir)
+    profile = pqops.cell_occupancy_profile(
+        spark.read.parquet(p["members"]).drop("_batch_id")
+    )
+    if profile["n_vectors"] == 0:
+        raise ValueError(
+            "backfill_occupancy: the members table is empty — there is "
+            "no distribution to baseline; let the stream build the index "
+            "first"
+        )
+    threshold = 0.25
+    if os.path.exists(p["knobs"]):
+        threshold = read_json_artifact(p["knobs"], "annindex-knobs/v1").get(
+            "retrain_threshold", 0.25
+        )
+    atomic_write_json(
+        p["occupancy"], {"format": "ann-occupancy/v1", "profile": profile}
+    )
+    write_drift_part(spark, p["drift"], BASE_PART, 0.0, False, threshold)
 
 
 def drift_history(spark, index_dir: str) -> DataFrame:
