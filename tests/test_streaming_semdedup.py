@@ -348,3 +348,34 @@ def test_end_to_end_readstream_wiring(spark, emb, tmp_path):
     manual(emb.where("vec_id % 2 = 0"), 0)
     manual(emb.where("vec_id % 2 = 1"), 1)
     assert _survivor_ids(spark, surv) == _survivor_ids(spark, manual_surv)
+
+
+def test_build_crash_before_baseline_replays_clean(spark, emb, tmp_path):
+    """Crash inside the BUILD batch after the centroids landed but before
+    anything else (semdedup writes centroids early, unlike annindex):
+    the replay must re-derive everything deterministically — not demand a
+    backfill there is no data for."""
+    import json
+    import os
+    import shutil
+
+    idx = str(tmp_path / "sd_bcrash")
+    surv = str(tmp_path / "sd_bcrash_s")
+    ingest = make_semantic_dedup_ingest(idx, surv, **_KNOBS)
+    b0 = emb.where("vec_id % 2 = 0")
+    ingest(b0, 0)
+    want = _survivor_ids(spark, surv)
+    # rewind to the crash point: only centroids + knobs (head unrecorded)
+    shutil.rmtree(idx + "/members")
+    shutil.rmtree(idx + "/drift_parts")
+    shutil.rmtree(surv)
+    os.remove(idx + "/occupancy.json")
+    knobs_path = idx + "_knobs.json"
+    with open(knobs_path) as f:
+        stored = json.load(f)
+    stored.pop("last_batch_id"), stored.pop("last_batch_fp")
+    with open(knobs_path, "w") as f:
+        json.dump(stored, f)
+    ingest(b0, 0)  # Spark replays the uncommitted build batch
+    assert _survivor_ids(spark, surv) == want
+    assert os.path.exists(idx + "/occupancy.json")

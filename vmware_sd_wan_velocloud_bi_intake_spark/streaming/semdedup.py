@@ -134,18 +134,30 @@ def make_semantic_dedup_ingest(
             return
         building = not os.path.isdir(centroids_dir)
         if not building and not os.path.exists(occupancy_path):
-            # a pre-drift-monitor index (earlier r9 layout): silently
-            # bootstrapping the baseline from an arbitrary mid-stream
-            # batch would bias every later verdict (and an empty-novel
-            # bootstrap would wedge the stream on a zero baseline) —
-            # the same upgrade class the stats coverage check refuses
-            raise ValueError(
-                f"semantic ingest: {occupancy_path} is missing on an "
-                "already-built index — run "
-                "streaming.semdedup.backfill_occupancy(spark, index_dir) "
-                "once (stream stopped) to derive the baseline from the "
-                "full current members, then restart"
-            )
+            if (
+                read_json_artifact(knobs_path, "semdedup-knobs/v1").get(
+                    "last_batch_id"
+                )
+                is None
+            ):
+                # centroids landed but NO batch ever committed: a crash
+                # inside the build batch (centroids write precedes the
+                # occupancy write here, unlike annindex where the built-
+                # marker lands last) — the replay re-derives everything
+                # deterministically, so treat it as still building
+                building = True
+            else:
+                # a pre-drift-monitor index with committed history:
+                # silently bootstrapping the baseline from an arbitrary
+                # mid-stream batch would bias every later verdict — the
+                # same upgrade class the stats coverage check refuses
+                raise ValueError(
+                    f"semantic ingest: {occupancy_path} is missing on an "
+                    "already-built index — run "
+                    "streaming.semdedup.backfill_occupancy(spark, "
+                    "index_dir) once (stream stopped) to derive the "
+                    "baseline from the full current members, then restart"
+                )
         if building:
             # ---- build batch: train the quantizer, become the corpus ---
             cells = n_cells or max(
