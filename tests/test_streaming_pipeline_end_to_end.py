@@ -1,0 +1,91 @@
+"""The COMPOSED streaming curation-to-retrieval pipeline: documents flow
+through the near-dup ingest, the survivors embed (hashed-count, the text→
+vector bridge), the embeddings flow through the semantic-dedup ingest, and
+the semantic survivors build the searchable IVF-PQ ANN index — four
+independently-tested stages, here pinned as one end-to-end composition the
+way a production stream would wire them (each stage's survivors are the
+next stage's micro-batches)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vmware_sd_wan_velocloud_bi_intake_spark.operators import pq
+from vmware_sd_wan_velocloud_bi_intake_spark.operators.embedding import (
+    hashed_doc_embedding,
+)
+from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+from vmware_sd_wan_velocloud_bi_intake_spark.streaming.annindex import (
+    make_ann_index_ingest,
+    needs_retrain,
+    read_ann_index,
+)
+from vmware_sd_wan_velocloud_bi_intake_spark.streaming.neardup import (
+    make_near_dup_ingest,
+    read_survivors,
+)
+from vmware_sd_wan_velocloud_bi_intake_spark.streaming.semdedup import (
+    make_semantic_dedup_ingest,
+    read_semantic_survivors,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke):
+    df = load_table(spark, sf_smoke, "documents").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_streaming_curation_to_retrieval(spark, docs, tmp_path):
+    n_docs = docs.count()
+    # ---- stage 1: near-dup ingest over two document micro-batches ------
+    nd_idx = str(tmp_path / "nd_idx")
+    nd_surv = str(tmp_path / "nd_surv")
+    nd = make_near_dup_ingest(
+        nd_idx, nd_surv, threshold=0.5, num_hashes=8, bands=4, shingle_n=3
+    )
+    nd(docs.where("doc_id % 2 = 0"), 0)
+    nd(docs.where("doc_id % 2 = 1"), 1)
+    text_survivors = read_survivors(spark, nd_surv)
+    n_text = text_survivors.count()
+    assert 0 < n_text <= n_docs
+    # ---- stage 2: text → vector bridge over the SAME batch boundaries --
+    emb0 = hashed_doc_embedding(text_survivors.where("doc_id % 2 = 0"))
+    emb1 = hashed_doc_embedding(text_survivors.where("doc_id % 2 = 1"))
+    # ---- stage 3: semantic-dedup ingest over the embedded batches ------
+    sd_idx = str(tmp_path / "sd_idx")
+    sd_surv = str(tmp_path / "sd_surv")
+    sd = make_semantic_dedup_ingest(
+        sd_idx, sd_surv, threshold=0.95, n_cells=8, train_iters=4
+    )
+    sd(emb0, 0)
+    sd(emb1, 1)
+    sem_survivors = read_semantic_survivors(spark, sd_surv)
+    n_sem = sem_survivors.count()
+    assert 0 < n_sem <= n_text  # each stage only ever removes
+    # ---- stage 4: ANN index over the curated vectors, then query -------
+    ann_idx = str(tmp_path / "ann_idx")
+    ann = make_ann_index_ingest(ann_idx, n_cells=8, m=8, ksub=16, train_iters=4)
+    ann(sem_survivors.where("vec_id % 2 = 0"), 0)
+    ann(sem_survivors.where("vec_id % 2 = 1"), 1)
+    assert not needs_retrain(spark, ann_idx)
+    cents, members, books = read_ann_index(spark, ann_idx)
+    assert members.count() == n_sem
+    queries = sem_survivors.orderBy("vec_id").limit(3)
+    hits = pq.ann_ivf_pq_topk(
+        queries, cents, members, books, k=2, nprobe=8
+    )
+    got = {r["query_id"] for r in hits.select("query_id").distinct().collect()}
+    want = {r["vec_id"] for r in queries.select("vec_id").collect()}
+    assert got == want  # every curated doc is findable in the index
+    # retrieval only ever returns curated ids
+    neighbor_ids = {r["neighbor_id"] for r in hits.collect()}
+    curated = {r["vec_id"] for r in sem_survivors.select("vec_id").collect()}
+    assert neighbor_ids <= curated
+    # lineage: every ANN id traces back to a near-dup survivor document
+    assert curated <= {
+        r["doc_id"] for r in text_survivors.select("doc_id").collect()
+    }
