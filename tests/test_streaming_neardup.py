@@ -460,3 +460,81 @@ def test_rows_compaction_bounds_partitions_preserves_results(spark, tmp_path):
     before = sorted(map(tuple, spark.read.parquet(surv).collect()))
     ingest(docs.where("doc_id = 5"), 5)
     assert sorted(map(tuple, spark.read.parquet(surv).collect())) == before
+
+
+def test_randomized_crash_replay_schedules_converge(spark, tmp_path):
+    """Schedule fuzz over the at-least-once state machine: each batch may
+    publish cleanly, crash after any prefix of its writes (head record
+    stripped — it lands last), and replay any number of times; every
+    schedule must converge to exactly the clean run's survivor set and a
+    summary that matches the index. Seeded RNG: failures reproduce."""
+    import json
+    import os
+    import random
+    import shutil
+
+    docs = _docs(spark)
+    batches = [docs.where(f"doc_id IN ({2 * b}, {2 * b + 1})") for b in range(3)]
+    expected = _expected_batch_survivors(docs)
+
+    def strip_head(knobs_path):
+        with open(knobs_path) as f:
+            stored = json.load(f)
+        stored.pop("last_batch_id", None)
+        stored.pop("last_batch_fp", None)
+        with open(knobs_path, "w") as f:
+            json.dump(stored, f)
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        idx = str(tmp_path / f"fz_idx_{seed}")
+        surv = str(tmp_path / f"fz_surv_{seed}")
+        ingest = make_near_dup_ingest(idx, surv, **_KNOBS)
+        for b, batch in enumerate(batches):
+            attempts = rng.randint(1, 3)
+            for a in range(attempts):
+                ingest(batch, b)
+                last = a == attempts - 1
+                if not last:
+                    # crash after a random prefix of the publish: drop a
+                    # random suffix of [survivors part, index part,
+                    # summary part, head record] — the head always dies
+                    # with anything before it (it is written last)
+                    crash_at = rng.randint(0, 3)
+                    if crash_at <= 0:
+                        shutil.rmtree(
+                            os.path.join(surv, f"_batch_id={b}"),
+                            ignore_errors=True,
+                        )
+                    if crash_at <= 1:
+                        shutil.rmtree(
+                            os.path.join(idx, f"_batch_id={b}"),
+                            ignore_errors=True,
+                        )
+                    if crash_at <= 2:
+                        shutil.rmtree(
+                            os.path.join(
+                                idx + "_summary_parts", f"_batch_id={b}"
+                            ),
+                            ignore_errors=True,
+                        )
+                    strip_head(idx + "_knobs.json")
+        got = {r["doc_id"] for r in read_survivors(spark, surv).collect()}
+        assert got == expected, f"seed {seed}"
+        # summary totals must equal the index's actual per-bucket counts
+        summary = (
+            spark.read.parquet(idx + "_summary_parts")
+            .groupBy("bucket")
+            .agg(F.sum("n_members").alias("n"))
+        )
+        actual = (
+            spark.read.parquet(idx).groupBy("bucket").agg(F.count("*").alias("m"))
+        )
+        diff = (
+            summary.join(actual, "bucket", "full")
+            .where(
+                F.coalesce(F.col("n"), F.lit(-1)) != F.coalesce(F.col("m"), F.lit(-2))
+            )
+            .count()
+        )
+        assert diff == 0, f"seed {seed}: summary disagrees with index"
