@@ -464,11 +464,13 @@ def test_rows_compaction_bounds_partitions_preserves_results(spark, tmp_path):
 
 def test_randomized_crash_replay_schedules_converge(spark, tmp_path):
     """Schedule fuzz over the at-least-once state machine: each batch may
-    publish cleanly, crash after any prefix of its writes (head record
-    stripped — it lands last), and replay any number of times; every
-    schedule must converge to exactly the clean run's survivor set and a
-    summary that matches the index. Seeded RNG: failures reproduce."""
-    import json
+    publish cleanly, crash after any prefix of its write sequence
+    (survivors → index → summary → head — a real crash restores the
+    PREVIOUS batch's head, since record_head is an atomic rewrite), or
+    crash AFTER the head record but before the checkpoint commit (a true
+    replay at the head, collision guard armed); every schedule must
+    converge to exactly the clean run's survivor set and a summary that
+    matches the index. Seeded RNG: failures reproduce."""
     import os
     import random
     import shutil
@@ -477,30 +479,23 @@ def test_randomized_crash_replay_schedules_converge(spark, tmp_path):
     batches = [docs.where(f"doc_id IN ({2 * b}, {2 * b + 1})") for b in range(3)]
     expected = _expected_batch_survivors(docs)
 
-    def strip_head(knobs_path):
-        with open(knobs_path) as f:
-            stored = json.load(f)
-        stored.pop("last_batch_id", None)
-        stored.pop("last_batch_fp", None)
-        with open(knobs_path, "w") as f:
-            json.dump(stored, f)
-
     for seed in range(4):
         rng = random.Random(seed)
         idx = str(tmp_path / f"fz_idx_{seed}")
         surv = str(tmp_path / f"fz_surv_{seed}")
+        knobs_path = idx + "_knobs.json"
         ingest = make_near_dup_ingest(idx, surv, **_KNOBS)
+        committed_knobs = None  # file content after the last COMMITTED batch
         for b, batch in enumerate(batches):
             attempts = rng.randint(1, 3)
             for a in range(attempts):
                 ingest(batch, b)
                 last = a == attempts - 1
                 if not last:
-                    # crash after a random prefix of the publish: drop a
-                    # random suffix of [survivors part, index part,
-                    # summary part, head record] — the head always dies
-                    # with anything before it (it is written last)
-                    crash_at = rng.randint(0, 3)
+                    # crash after a random prefix of the publish; the head
+                    # record lands last, so any crash before it leaves the
+                    # previous batch's head in place (guard armed at b-1)
+                    crash_at = rng.randint(0, 4)
                     if crash_at <= 0:
                         shutil.rmtree(
                             os.path.join(surv, f"_batch_id={b}"),
@@ -518,7 +513,26 @@ def test_randomized_crash_replay_schedules_converge(spark, tmp_path):
                             ),
                             ignore_errors=True,
                         )
-                    strip_head(idx + "_knobs.json")
+                    if crash_at <= 3:
+                        # head record never happened: restore the previous
+                        # committed batch's knobs (or the pre-first-commit
+                        # file, which has no head at all)
+                        if committed_knobs is not None:
+                            with open(knobs_path, "w") as f:
+                                f.write(committed_knobs)
+                        else:
+                            import json
+
+                            with open(knobs_path) as f:
+                                stored = json.load(f)
+                            stored.pop("last_batch_id", None)
+                            stored.pop("last_batch_fp", None)
+                            with open(knobs_path, "w") as f:
+                                json.dump(stored, f)
+                    # crash_at == 4: everything (incl. the head) landed,
+                    # only the checkpoint commit was lost — pure replay
+            with open(knobs_path) as f:
+                committed_knobs = f.read()
         got = {r["doc_id"] for r in read_survivors(spark, surv).collect()}
         assert got == expected, f"seed {seed}"
         # summary totals must equal the index's actual per-bucket counts

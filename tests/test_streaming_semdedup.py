@@ -320,12 +320,21 @@ def test_end_to_end_readstream_wiring(spark, emb, tmp_path):
     """The ingest runs under real Structured Streaming: file-fed
     micro-batches through writeStream.foreachBatch, survivors match the
     manual two-call run."""
+    import os
+    import time
+
     stream_dir = tmp_path / "sd_in"
     stream_dir.mkdir()
     for i, pred in enumerate(["vec_id % 2 = 0", "vec_id % 2 = 1"]):
-        emb.where(pred).coalesce(1).write.parquet(
-            str(stream_dir / f"b{i:03d}.parquet")
-        )
+        d = str(stream_dir / f"b{i:03d}.parquet")
+        emb.where(pred).coalesce(1).write.parquet(d)
+        # FileStreamSource orders by modification time; pin distinct
+        # mtimes so batch order matches the manual even-first run even
+        # when both writes land within the same ms
+        t = time.time() - 100 + i * 10
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
     stream = (
         spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", "1")

@@ -278,33 +278,12 @@ def read_ann_index(
 def backfill_occupancy(spark, index_dir: str) -> None:
     """One-time baseline derivation for an index whose layout predates —
     or skipped — ``occupancy.json`` (e.g. hand-pre-built with
-    ``ivf_pq_index``): PQ members carry no vectors, but the occupancy
-    profile needs only their ``cell`` column, so the full current
-    members ARE the baseline. Seeds the drift series with a base part.
-    Run while the stream is STOPPED; refuses an empty members table."""
-    from ..functions.artifacts import atomic_write_json, read_json_artifact
-    from ..sinks.compact import BASE_PART
-    from .ingestbase import write_drift_part
+    ``ivf_pq_index``). Shared body:
+    :func:`~.ingestbase.backfill_occupancy_baseline`. Run while the
+    stream is STOPPED."""
+    from .ingestbase import backfill_occupancy_baseline
 
-    p = _paths(index_dir)
-    profile = pqops.cell_occupancy_profile(
-        spark.read.parquet(p["members"]).drop("_batch_id")
-    )
-    if profile["n_vectors"] == 0:
-        raise ValueError(
-            "backfill_occupancy: the members table is empty — there is "
-            "no distribution to baseline; let the stream build the index "
-            "first"
-        )
-    threshold = 0.25
-    if os.path.exists(p["knobs"]):
-        threshold = read_json_artifact(p["knobs"], "annindex-knobs/v1").get(
-            "retrain_threshold", 0.25
-        )
-    atomic_write_json(
-        p["occupancy"], {"format": "ann-occupancy/v1", "profile": profile}
-    )
-    write_drift_part(spark, p["drift"], BASE_PART, 0.0, False, threshold)
+    backfill_occupancy_baseline(spark, index_dir, "annindex-knobs/v1")
 
 
 def drift_history(spark, index_dir: str) -> DataFrame:

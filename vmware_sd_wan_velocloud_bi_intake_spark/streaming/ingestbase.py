@@ -182,6 +182,41 @@ def write_drift_part(
     )
 
 
+def backfill_occupancy_baseline(spark, index_dir: str, fmt: str) -> None:
+    """Shared body of the two ingests' ``backfill_occupancy``: derive the
+    occupancy baseline from the FULL current members (their ``cell``
+    column is all the profile needs — PQ members carry no vectors and
+    don't have to) and seed the drift series with a base part. Run while
+    the stream is STOPPED; refuses an empty members table (a zero
+    baseline would make every later verdict raise)."""
+    from ..functions.artifacts import atomic_write_json, read_json_artifact
+    from ..operators.pq import cell_occupancy_profile
+    from ..sinks.compact import BASE_PART
+
+    root = index_dir.rstrip("/")
+    members = spark.read.parquet(os.path.join(root, "members"))
+    profile = cell_occupancy_profile(members.drop("_batch_id"))
+    if profile["n_vectors"] == 0:
+        raise ValueError(
+            "backfill_occupancy: the members table is empty — there is "
+            "no distribution to baseline; let the stream build the index "
+            "first"
+        )
+    threshold = 0.25
+    knobs_path = root + "_knobs.json"
+    if os.path.exists(knobs_path):
+        threshold = read_json_artifact(knobs_path, fmt).get(
+            "retrain_threshold", 0.25
+        )
+    atomic_write_json(
+        os.path.join(root, "occupancy.json"),
+        {"format": "ann-occupancy/v1", "profile": profile},
+    )
+    write_drift_part(
+        spark, os.path.join(root, "drift_parts"), BASE_PART, 0.0, False, threshold
+    )
+
+
 def drift_parts_history(spark, drift_dir: str) -> DataFrame:
     """The monitor's raw series: one row per batch (batch, tv_distance,
     retrain, retrain_threshold) plus the ``_batch_id`` write key."""

@@ -134,23 +134,26 @@ def make_semantic_dedup_ingest(
             return
         building = not os.path.isdir(centroids_dir)
         if not building and not os.path.exists(occupancy_path):
-            if (
-                read_json_artifact(knobs_path, "semdedup-knobs/v1").get(
-                    "last_batch_id"
-                )
-                is None
-            ):
-                # centroids landed but NO batch ever committed: a crash
+            # discriminate on committed index CONTENT, not on "any batch
+            # ever committed" — an empty batch before the build batch
+            # records a head without creating anything, and would
+            # otherwise misroute a genuine build-batch crash here
+            has_members = os.path.isdir(members_dir) and any(
+                d.startswith("_batch_id=") for d in os.listdir(members_dir)
+            )
+            if not has_members:
+                # centroids landed but no member rows exist: a crash
                 # inside the build batch (centroids write precedes the
                 # occupancy write here, unlike annindex where the built-
                 # marker lands last) — the replay re-derives everything
                 # deterministically, so treat it as still building
                 building = True
             else:
-                # a pre-drift-monitor index with committed history:
-                # silently bootstrapping the baseline from an arbitrary
-                # mid-stream batch would bias every later verdict — the
-                # same upgrade class the stats coverage check refuses
+                # an index with real content but no baseline (the
+                # pre-drift-monitor layout, or a crash after the build
+                # batch's members landed): bootstrapping from an
+                # arbitrary batch would bias every later verdict, and
+                # the members ARE available to backfill from
                 raise ValueError(
                     f"semantic ingest: {occupancy_path} is missing on an "
                     "already-built index — run "
@@ -283,46 +286,15 @@ def make_semantic_dedup_ingest(
 
 
 def backfill_occupancy(spark, index_dir: str) -> None:
-    """One-time upgrade path for a pre-drift-monitor semantic index:
-    derive the occupancy baseline from the FULL current members (the
-    corpus cell distribution — the most meaningful yardstick available
-    post-hoc) and seed the drift series with a base part. Run while the
-    stream is STOPPED; refuses an empty members table (a zero baseline
-    would make every later verdict raise)."""
-    import os as _os
+    """One-time upgrade path for a semantic index without a baseline:
+    derive it from the FULL current members (the corpus cell
+    distribution — the most meaningful yardstick available post-hoc) and
+    seed the drift series. Shared body:
+    :func:`~.ingestbase.backfill_occupancy_baseline`. Run while the
+    stream is STOPPED."""
+    from .ingestbase import backfill_occupancy_baseline
 
-    from ..functions.artifacts import atomic_write_json
-    from ..operators.pq import cell_occupancy_profile
-    from ..sinks.compact import BASE_PART
-    from .ingestbase import write_drift_part
-
-    root = index_dir.rstrip("/")
-    members = spark.read.parquet(_os.path.join(root, "members"))
-    profile = cell_occupancy_profile(members.drop("_batch_id"))
-    if profile["n_vectors"] == 0:
-        raise ValueError(
-            "backfill_occupancy: the members table is empty — there is "
-            "no distribution to baseline; let the stream build the index "
-            "first"
-        )
-    stored = {}
-    knobs_path = root + "_knobs.json"
-    if _os.path.exists(knobs_path):
-        from ..functions.artifacts import read_json_artifact
-
-        stored = read_json_artifact(knobs_path, "semdedup-knobs/v1")
-    atomic_write_json(
-        _os.path.join(root, "occupancy.json"),
-        {"format": "ann-occupancy/v1", "profile": profile},
-    )
-    write_drift_part(
-        spark,
-        _os.path.join(root, "drift_parts"),
-        BASE_PART,
-        0.0,
-        False,
-        stored.get("retrain_threshold", 0.25),
-    )
+    backfill_occupancy_baseline(spark, index_dir, "semdedup-knobs/v1")
 
 
 def semantic_drift_history(spark, index_dir: str) -> DataFrame:
