@@ -200,6 +200,165 @@ class DedupProcessor(StatefulProcessor):
         pass
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "session_key string, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+
+
+class SessionProcessor(StatefulProcessor):
+    """Gap-closed sessionization as a TWS processor — the piece of the
+    API surface :class:`DedupProcessor` doesn't exercise: EMITTING ROWS
+    FROM THE EXPIRED-TIMER CALLBACK. A session closes in one of two
+    places: mid-batch, when a later event arrives more than ``gap_ms``
+    after the open session's last event (emitted from
+    ``handleInputRows``); or at the watermark, when no successor ever
+    arrives (emitted from ``handleExpiredTimer`` — the timer IS the
+    close). Dedup state only ever evicts on timers; sessions produce
+    output there, which is why this twin exists.
+
+    Semantics match ``streaming/jobs.streaming_sessions``
+    (``session_window``) and the batch gap rule of ``w07_sessionize``:
+    events within a batch are sorted by event time and folded; a gap
+    > ``gap_ms`` closes the current session and opens the next. Late
+    events that arrive after their session closed start a NEW session —
+    the standard watermark trade-off every session operator here
+    documents. State per key: one open (start_ms, last_ms, n_events)
+    triple plus the deadline mirror for stale-timer deletion — O(keys),
+    not O(events).
+    """
+
+    def __init__(self, gap_ms: int, tz: str = "UTC"):
+        self._gap_ms = gap_ms
+        self._tz = tz
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._sess = handle.getValueState(
+            "sess", "start_ms long, last_ms long, n_events long, deadline_ms long"
+        )
+        self._handle = handle
+
+    def _emit(self, key, start_ms: int, end_ms: int, n: int):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "session_key": [key[0]],
+                "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                "n_events": [n],
+            }
+        )
+
+    def handleInputRows(
+        self,
+        key,
+        rows: Iterator["pd.DataFrame"],
+        timerValues: TimerValues,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        batch = pd.concat(list(rows), ignore_index=True)
+        ts = batch["ts"]
+        if getattr(ts.dtype, "tz", None) is None:
+            ts = ts.dt.tz_localize(
+                self._tz, ambiguous=True, nonexistent="shift_forward"
+            )
+        times = sorted(int(t.timestamp() * 1000) for t in ts)
+        prev = self._sess.get() if self._sess.exists() else None
+        old_deadline = int(prev[3]) if prev is not None else -1
+        # gap-cluster the batch's events into candidate sessions, merge
+        # in the open session as one more interval, and re-cluster — this
+        # handles the in-watermark out-of-order cases a linear append
+        # fold gets wrong: a late event extends a session BACKWARD
+        # (start shrinks), and an event more than a gap EARLIER than the
+        # open session forms its own, earlier, immediately-closable
+        # session instead of silently merging in
+        intervals = []
+        for t in times:
+            if intervals and t - intervals[-1][1] <= self._gap_ms:
+                intervals[-1][1] = max(intervals[-1][1], t)
+                intervals[-1][2] += 1
+            else:
+                intervals.append([t, t, 1])
+        if prev is not None:
+            intervals.append([int(prev[0]), int(prev[1]), int(prev[2])])
+            intervals.sort(key=lambda iv: iv[0])
+            merged = [intervals[0]]
+            for iv in intervals[1:]:
+                if iv[0] - merged[-1][1] <= self._gap_ms:
+                    merged[-1][1] = max(merged[-1][1], iv[1])
+                    merged[-1][2] += iv[2]
+                else:
+                    merged.append(iv)
+            intervals = merged
+        # every session with a successor is closed by that successor's
+        # existence (its gap has provably elapsed in event time); the
+        # last one stays open awaiting the timer
+        for start, last, n in intervals[:-1]:
+            yield self._emit(key, start, last, n)
+        start, last, n = intervals[-1]
+        deadline = last + self._gap_ms
+        wm = timerValues.getCurrentWatermarkInMs()
+        if deadline <= wm:
+            deadline = wm + 1  # semantically closed: fire at first chance
+        if deadline != old_deadline:
+            if old_deadline >= 0:
+                self._handle.deleteTimer(old_deadline)
+            self._handle.registerTimer(deadline)
+        self._sess.update((start, last, n, deadline))
+
+    def handleExpiredTimer(
+        self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator["pd.DataFrame"]:
+        # stale timers were deleted on every extension, so a firing timer
+        # is the live one: the watermark passed last + gap with no
+        # successor — close and emit the open session
+        if self._sess.exists():
+            start, last, n, _dl = (int(x) for x in self._sess.get())
+            self._sess.clear()
+            yield self._emit(key, start, last, n)
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_sessions_tws(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of
+    :func:`..streaming.jobs.streaming_sessions`: one row per CLOSED
+    session (key, start, end, n_events), closure either mid-batch (a
+    successor past the gap) or at the watermark via the per-key timer.
+    Append-mode semantics: sessions emit exactly once, when closed.
+    Timestamp discipline: the emitted session bounds are epoch-derived
+    and rendered in the session timezone — correct under this engine's
+    pinned-UTC sessions (session.py), the same contract the
+    applyInPandasWithState operators document."""
+    from pyspark.sql import functions as F
+
+    require_tws(events.sparkSession)
+    session_tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+    keyed = (
+        events.where(F.col(ts).isNotNull())
+        .withWatermark(ts, watermark)
+        .select(
+            F.col(key).cast("string").alias("session_key"),
+            F.col(ts).alias("ts"),
+        )
+    )
+    return keyed.groupBy("session_key").transformWithStateInPandas(
+        SessionProcessor(gap_ms=_duration_ms(gap), tz=session_tz),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
 def streaming_exact_dedup_tws(
     docs: DataFrame,
     doc_id: str = "doc_id",
