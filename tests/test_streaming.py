@@ -269,3 +269,47 @@ def test_streaming_quality_scoring_matches_batch(spark, sf_smoke, tmp_path):
         r["doc_id"] for r in spark.sql("SELECT doc_id FROM scored_gated").collect()
     }
     assert kept == {d for d, p in expected.items() if p >= thresh}
+
+
+def test_streaming_interval_join_matches_batch(spark, events_stream):
+    """Stream-stream inner interval join (the j11 range-join twin): split
+    the events fixture into two streams by event-id parity and join
+    right rows within 30 minutes after each left row per user — the
+    streamed result must equal the identical batch join exactly (inner
+    matches emit as they form; availableNow drains both sides)."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.jobs import (
+        streaming_interval_join,
+    )
+
+    batch, stream = events_stream
+    cols = ["event_id", "ts", "user_id"]
+    joined = streaming_interval_join(
+        stream.where("event_id % 2 = 0").select(*cols),
+        stream.where("event_id % 2 = 1").select(*cols),
+        key="user_id",
+        within="30 minutes",
+        watermark="2 hours",
+    )
+    _run_to_memory(joined, "sj")
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("select l_event_id, r_event_id from sj").collect()
+    }
+    left_b = batch.where("event_id % 2 = 0").select(
+        *[F.col(c).alias(f"l_{c}") for c in cols]
+    )
+    right_b = batch.where("event_id % 2 = 1").select(
+        *[F.col(c).alias(f"r_{c}") for c in cols]
+    )
+    want_df = left_b.join(
+        right_b,
+        (F.col("l_user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 minutes")),
+        "inner",
+    )
+    want = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in want_df.select("l_event_id", "r_event_id").collect()
+    }
+    assert got == want and len(want) > 0

@@ -91,6 +91,47 @@ def streaming_hourly_scores(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join — the streaming twin of the
+    batch range join (``j11_range_join``): right-side rows land in
+    ``[left_ts, left_ts + within]`` per key. Output columns are the
+    inputs' prefixed ``l_``/``r_`` (both sides commonly share names).
+
+    The scale contract is WHY this exists as a named operator rather
+    than an ad-hoc ``join``: a stream-stream join is stateful on BOTH
+    sides, and unbounded state is the classic way these fall over. The
+    time-range predicate plus both watermarks let Spark derive a state
+    eviction bound — a buffered left row is droppable once the right
+    watermark passes ``l_ts + within``, a right row once the left
+    watermark passes ``r_ts`` — so state is O(rows within the watermark
+    horizon), not O(stream). Matches emit as they form (inner-join
+    append semantics), no watermark wait on the output path.
+    """
+    lp = left.select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns]
+    ).withWatermark(f"l_{left_ts}", watermark)
+    rp = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns]
+    ).withWatermark(f"r_{right_ts}", watermark)
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}"))
+        & (
+            F.col(f"r_{right_ts}")
+            <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lp.join(rp, cond, "inner")
+
+
 def streaming_curate_documents(
     docs: DataFrame,
     *,
