@@ -99,8 +99,9 @@ def streaming_interval_join(
     right_ts: str = "ts",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join — the streaming twin of the
+    """Watermarked stream-stream join — the streaming twin of the
     batch range join (``j11_range_join``): right-side rows land in
     ``[left_ts, left_ts + within]`` per key. Output columns are the
     inputs' prefixed ``l_``/``r_`` (both sides commonly share names).
@@ -112,9 +113,21 @@ def streaming_interval_join(
     eviction bound — a buffered left row is droppable once the right
     watermark passes ``l_ts + within``, a right row once the left
     watermark passes ``r_ts`` — so state is O(rows within the watermark
-    horizon), not O(stream). Matches emit as they form (inner-join
-    append semantics), no watermark wait on the output path.
+    horizon), not O(stream).
+
+    ``how``: ``inner`` emits matches as they form (no watermark wait on
+    the output path); ``left_outer`` additionally emits each unmatched
+    left row with NULL right columns, but only once the watermark has
+    PROVED no match can still arrive (right watermark past
+    ``l_ts + within``) — so outer rows trail the stream by the
+    watermark delay, the price of never retracting.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            "streaming_interval_join: how must be 'inner' or 'left_outer' "
+            "(right/full outer need the symmetric argument — flip the "
+            "sides for right_outer)"
+        )
     lp = left.select(
         *[F.col(c).alias(f"l_{c}") for c in left.columns]
     ).withWatermark(f"l_{left_ts}", watermark)
@@ -129,7 +142,7 @@ def streaming_interval_join(
             <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {within}")
         )
     )
-    return lp.join(rp, cond, "inner")
+    return lp.join(rp, cond, how)
 
 
 def streaming_curate_documents(
