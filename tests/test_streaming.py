@@ -381,3 +381,60 @@ def test_streaming_interval_join_left_outer(spark, events_stream):
         streaming_interval_join(
             stream.select(*cols), stream.select(*cols), how="right_outer"
         )
+
+
+def test_slowly_changing_dim_enrichment_patterns(spark, tmp_path):
+    """Pin the slowly-changing-dimension enrichment contract BOTH ways.
+
+    The trap: a stream-static join captures the static side's FILE
+    LISTING at plan time, so overwriting the dim under a built plan
+    doesn't refresh it — the resumed/continuing query reads deleted
+    files and dies (FILE_NOT_EXIST). The working pattern — the one every
+    ingest in streaming/ uses — is a fresh ``spark.read`` of the dim
+    INSIDE ``foreachBatch``: each micro-batch re-lists, so an atomic dim
+    swap between triggers changes the very next batch's enrichment with
+    no restart and no checkpoint surgery."""
+    dim_dir = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(0, "old-a"), (1, "old-b")], "k long, label string"
+    ).write.mode("overwrite").parquet(dim_dir)
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame([(0,), (1,)], "k long").coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    stream = spark.readStream.schema("k long").parquet(str(src / "*.parquet"))
+
+    seen = []
+
+    def enrich(batch_df, batch_id):
+        dim = batch_df.sparkSession.read.parquet(dim_dir)  # fresh per batch
+        seen.append(
+            {
+                (r["k"], r["label"])
+                for r in batch_df.join(dim, "k", "left").collect()
+            }
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            stream.writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert seen[-1] == {(0, "old-a"), (1, "old-b")}
+    # the dim swaps while the stream is parked; new data arrives
+    spark.createDataFrame(
+        [(0, "new-a"), (1, "new-b")], "k long, label string"
+    ).write.mode("overwrite").parquet(dim_dir)
+    spark.createDataFrame([(0,), (1,)], "k long").coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    run()
+    assert seen[-1] == {(0, "new-a"), (1, "new-b")}  # fresh dim, no restart
