@@ -166,8 +166,6 @@ def write_drift_part(
     rides IN the row — not just the partition key — so rows-compaction
     folding old parts into the base partition preserves which batch each
     verdict belongs to."""
-    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
-
     (
         spark.createDataFrame(
             [(int(batch_id), float(tv), bool(retrain), float(threshold))],
