@@ -438,3 +438,41 @@ def test_slowly_changing_dim_enrichment_patterns(spark, tmp_path):
     )
     run()
     assert seen[-1] == {(0, "new-a"), (1, "new-b")}  # fresh dim, no restart
+
+
+def test_streaming_windowed_distinct_matches_batch(spark, events_stream):
+    """Closed windows' distinct counts must match the batch computation:
+    exactly in exact mode, within HLL++ tolerance in sketch mode (the
+    scale default — fixed-size state per window)."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.jobs import (
+        streaming_windowed_distinct,
+    )
+
+    batch, stream = events_stream
+    _run_to_memory(
+        streaming_windowed_distinct(stream, window="1 day", exact=True),
+        "wd_exact",
+    )
+    _run_to_memory(
+        streaming_windowed_distinct(stream, window="1 day"), "wd_approx"
+    )
+    want = {
+        r["window_start"]: r["n"]
+        for r in batch.groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "n")
+        .collect()
+    }
+    got_exact = {
+        r["window_start"]: r["n_distinct"]
+        for r in spark.sql("select * from wd_exact").collect()
+    }
+    got_approx = {
+        r["window_start"]: r["n_distinct"]
+        for r in spark.sql("select * from wd_approx").collect()
+    }
+    assert got_exact, "no windows closed before the final watermark"
+    for w, n in got_exact.items():
+        assert n == want[w]  # exact mode: equality on every closed window
+    for w, n in got_approx.items():
+        assert abs(n - want[w]) <= max(2, 0.05 * want[w])  # HLL++ rsd
