@@ -371,12 +371,11 @@ def test_streaming_interval_join_left_outer(spark, events_stream):
     # CONSERVATIVE near the stream tail (rows whose horizon is within
     # the join's internal state-watermark slack stay buffered — they
     # would emit on a live stream as the watermark advanced further), so
-    # the exact emitted set isn't pinnable; the invariants are: outer
-    # rows are never matched rows, only batch-unmatched lefts appear,
-    # and the clearly-old majority DID emit
-    assert outer_only <= unmatched
-    assert outer_only.isdisjoint(matched_left)
-    assert len(outer_only) >= 0.8 * len(unmatched) > 0
+    # the exact emitted set isn't pinnable and coverage fractions would
+    # encode the fixture's time spread; the invariants are: outer rows
+    # are exactly never-matched lefts (subset implies disjointness from
+    # matched), and SOME emitted
+    assert outer_only and outer_only <= unmatched
     with pytest.raises(ValueError, match="flip the sides"):
         streaming_interval_join(
             stream.select(*cols), stream.select(*cols), how="right_outer"
@@ -425,7 +424,7 @@ def test_slowly_changing_dim_enrichment_patterns(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not drain in time"
 
     run()
     assert seen[-1] == {(0, "old-a"), (1, "old-b")}
@@ -438,6 +437,28 @@ def test_slowly_changing_dim_enrichment_patterns(spark, tmp_path):
     )
     run()
     assert seen[-1] == {(0, "new-a"), (1, "new-b")}  # fresh dim, no restart
+    # and the TRAP half: a stream-static join built BEFORE the swap holds
+    # the old file listing — running it after another overwrite dies on
+    # deleted files instead of refreshing (why the pattern above exists)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    frozen = stream.join(spark.read.parquet(dim_dir), "k", "left")
+    spark.createDataFrame(
+        [(0, "newer-a"), (1, "newer-b")], "k long, label string"
+    ).write.mode("overwrite").parquet(dim_dir)
+    spark.createDataFrame([(0,), (1,)], "k long").coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+    q = (
+        frozen.writeStream.format("memory")
+        .queryName("scd_trap")
+        .option("checkpointLocation", str(tmp_path / "ckpt_trap"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="FILE_NOT_EXIST|does not exist"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
 
 
 def test_streaming_windowed_distinct_matches_batch(spark, events_stream):
@@ -471,8 +492,24 @@ def test_streaming_windowed_distinct_matches_batch(spark, events_stream):
         r["window_start"]: r["n_distinct"]
         for r in spark.sql("select * from wd_approx").collect()
     }
-    assert got_exact, "no windows closed before the final watermark"
+    # the emission contract: every clearly-closed window (its end at
+    # least a watermark delay behind the stream max) emitted, in BOTH
+    # modes, and both modes emitted the same window set — a silently
+    # dropped window is a failure, not just a wrong count
+    import datetime
+
+    max_ts = batch.agg(F.max("ts")).head()[0]
+    clearly_closed = {
+        w
+        for w in want
+        if w + datetime.timedelta(days=1, hours=2) < max_ts
+    }
+    assert clearly_closed <= set(got_exact)
+    assert set(got_exact) == set(got_approx)
+    assert set(got_exact) <= set(want)
     for w, n in got_exact.items():
         assert n == want[w]  # exact mode: equality on every closed window
+    # approx_count_distinct's default rsd is 0.05 — a STANDARD DEVIATION,
+    # not a bound; 4 sigma keeps a correct sketch from flaking the test
     for w, n in got_approx.items():
-        assert abs(n - want[w]) <= max(2, 0.05 * want[w])  # HLL++ rsd
+        assert abs(n - want[w]) <= max(3, 0.2 * want[w])

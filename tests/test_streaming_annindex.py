@@ -321,7 +321,7 @@ def test_end_to_end_readstream_wiring(spark, emb, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain in time"
     members = spark.read.parquet(idx + "/members")
     assert members.count() == emb.count()
     assert not needs_retrain(spark, idx)

@@ -112,7 +112,7 @@ def test_end_to_end_readstream_wiring(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in time"
     got = {r["doc_id"] for r in read_survivors(spark, surv).collect()}
     assert got == _expected_batch_survivors(docs)
 

@@ -350,7 +350,7 @@ def test_end_to_end_readstream_wiring(spark, emb, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain in time"
     manual_idx = str(tmp_path / "sd_e2e_m")
     manual_surv = str(tmp_path / "sd_e2e_ms")
     manual = make_semantic_dedup_ingest(manual_idx, manual_surv, **_KNOBS)

@@ -179,7 +179,7 @@ def test_streaming_sessions_tws_end_to_end(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not drain in time"
         got = {
             (r["session_key"], int(r["n_events"]))
             for r in spark.sql("select * from tws_sessions").collect()

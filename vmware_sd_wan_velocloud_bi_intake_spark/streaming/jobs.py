@@ -117,6 +117,11 @@ def streaming_windowed_distinct(
     if exact:
         deduped = (
             events.withWatermark(ts, watermark)
+            # NULL is not an entity: countDistinct/approx_count_distinct
+            # both ignore NULLs, and the exact path must agree — without
+            # this filter dropDuplicates keeps one NULL row per window
+            # and count(*) counts it
+            .where(F.col(distinct_col).isNotNull())
             .select(win, F.col(distinct_col))
             .dropDuplicates(["win", distinct_col])
         )
