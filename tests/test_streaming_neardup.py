@@ -552,3 +552,39 @@ def test_randomized_crash_replay_schedules_converge(spark, tmp_path):
             .count()
         )
         assert diff == 0, f"seed {seed}: summary disagrees with index"
+
+
+def test_empty_first_batch_does_not_wedge_the_stream(spark, tmp_path):
+    """An empty FIRST micro-batch must not create _SUCCESS-only parquet
+    directories: without the guard the zero-partition dynamic overwrite
+    materializes index_dir/survivors_dir with no data files, the next
+    batch's os.path.isdir(index_dir) routes into spark.read.parquet, and
+    schema inference fails (UNABLE_TO_INFER_SCHEMA) on every replay —
+    wedging the stream until the directory is deleted by hand."""
+    import json
+    import os
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx_empty")
+    surv = str(tmp_path / "surv_empty")
+    ingest = make_near_dup_ingest(idx, surv, **_KNOBS)
+    ingest(docs.where("doc_id < 0"), 0)  # empty batch 0
+    # no parquet directories were created, but the head WAS recorded so
+    # the collision guard still covers batch 0
+    assert not os.path.isdir(idx)
+    assert not os.path.isdir(surv)
+    with open(idx + "_knobs.json") as f:
+        assert json.load(f)["last_batch_id"] == 0
+    # the stream proceeds: a later batch builds the index normally...
+    ingest(docs.where("doc_id IN (0, 1, 2)"), 1)
+    assert {r["doc_id"] for r in read_survivors(spark, surv).collect()} == {0, 2}
+    # ...an empty MID-stream batch is a committed no-op...
+    ingest(docs.where("doc_id < 0"), 2)
+    with open(idx + "_knobs.json") as f:
+        assert json.load(f)["last_batch_id"] == 2
+    # ...its replay is accepted (same id, same empty content)...
+    ingest(docs.where("doc_id < 0"), 2)
+    # ...and the corpus state is untouched throughout
+    ingest(docs.where("doc_id IN (3, 4)"), 3)  # 3 near-dups corpus doc 0
+    got = {r["doc_id"] for r in read_survivors(spark, surv).collect()}
+    assert got == {0, 2, 4}

@@ -293,6 +293,17 @@ def make_near_dup_ingest(
                 from ..operators.incstats import compact_stats_parts
 
                 compact_stats_parts(spark, stats_dir, batch_id)
+        # empty-batch guard (mirrors annindex/semdedup): an empty FIRST
+        # batch would otherwise dynamic-overwrite zero partitions, leaving
+        # index_dir/survivors_dir as _SUCCESS-only directories — the next
+        # batch's os.path.isdir(index_dir) then routes into a
+        # spark.read.parquet that fails schema inference
+        # (UNABLE_TO_INFER_SCHEMA) on EVERY replay, wedging the stream
+        # until someone deletes the directory. Record the head so replay
+        # and collision guards still see the batch, then skip all writes.
+        if batch_df.select(doc_id).limit(1).isEmpty():
+            record_head(knobs_path, "neardup-knobs/v1", batch_id, fp)
+            return
         # ---- within-batch dedup (exact, then verified near-dup) --------
         exact = dedup.exact_dedup_keys(batch_df, doc_id, text_col)
         keep = exact.select(F.col("keep_id").alias(doc_id))

@@ -291,7 +291,18 @@ def backfill_occupancy(spark, index_dir: str) -> None:
     distribution — the most meaningful yardstick available post-hoc) and
     seed the drift series. Shared body:
     :func:`~.ingestbase.backfill_occupancy_baseline`. Run while the
-    stream is STOPPED."""
+    stream is STOPPED.
+
+    KNOWN DISCREPANCY vs the uncrashed path: the normal build batch
+    stores the profile of the FULL build batch (including rows that were
+    then deduped away), while this backfill can only see the members
+    that survived — so after a crash between the members write and the
+    occupancy write, the re-seeded yardstick differs slightly from what
+    the uncrashed build would have stored, and drift verdicts are not
+    replay-identical across that one crash window. The build batch's
+    pre-dedup rows are simply gone post-hoc; the survivor distribution
+    is the closest available proxy and the drift rule's RELATIVE
+    threshold absorbs the small shift."""
     from .ingestbase import backfill_occupancy_baseline
 
     backfill_occupancy_baseline(spark, index_dir, "semdedup-knobs/v1")

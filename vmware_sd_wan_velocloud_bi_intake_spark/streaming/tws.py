@@ -241,11 +241,17 @@ class SessionProcessor(StatefulProcessor):
     def _emit(self, key, start_ms: int, end_ms: int, n: int):
         import pandas as pd
 
+        # tz-AWARE UTC, not naive: Arrow renders naive pandas timestamps
+        # in the Spark session timezone, so naive epoch-ms emission is
+        # only correct when session.timeZone is UTC — tz-aware instants
+        # convert correctly under ANY session tz (inputs were already
+        # localized at the session tz on the way in, making the round
+        # trip tz-consistent end to end)
         return pd.DataFrame(
             {
                 "session_key": [key[0]],
-                "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                "session_start": [pd.Timestamp(start_ms, unit="ms", tz="UTC")],
+                "session_end": [pd.Timestamp(end_ms, unit="ms", tz="UTC")],
                 "n_events": [n],
             }
         )
@@ -335,10 +341,21 @@ def streaming_sessions_tws(
     session (key, start, end, n_events), closure either mid-batch (a
     successor past the gap) or at the watermark via the per-key timer.
     Append-mode semantics: sessions emit exactly once, when closed.
-    Timestamp discipline: the emitted session bounds are epoch-derived
-    and rendered in the session timezone — correct under this engine's
-    pinned-UTC sessions (session.py), the same contract the
-    applyInPandasWithState operators document."""
+
+    END-BOUND CONVENTION — ``session_end`` is the LAST EVENT's
+    timestamp (the ``w07_sessionize`` / ``MAX(ts)`` convention the
+    parity test pins), NOT ``session_window``'s exclusive
+    ``last + gap`` bound. ``streaming_sessions`` (session_window)
+    emits ``end = last + gap``; swapping the two operators shifts
+    every session_end by exactly the gap — add ``gap`` to this
+    operator's session_end (or subtract it from session_window's) when
+    comparing outputs.
+
+    Timestamp discipline: inputs are localized at the session timezone
+    (Arrow hands naive session-tz wall times to Python), outputs are
+    emitted as tz-aware UTC instants — the round trip is correct under
+    any session timezone, not just this engine's pinned-UTC default
+    (session.py)."""
     from pyspark.sql import functions as F
 
     require_tws(events.sparkSession)
