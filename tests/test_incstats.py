@@ -452,3 +452,34 @@ def test_stats_enablement_over_legacy_index_requires_backfill(spark, tmp_path):
     for c in ("doc_id", "text"):
         assert merged[c]["n_rows"] == full[c]["n_rows"]
         assert merged[c]["n_nulls"] == full[c]["n_nulls"]
+
+
+def test_split_writer_matches_per_batch_writer(spark, tmp_path):
+    """write_stats_parts_split (the one-pass backfill form) must produce a
+    parts table merged_stats folds identically to N write_stats_part
+    calls — grouped aggregates == per-group global aggregates, including
+    the histogram bins, and the HLL estimates agree at this cardinality
+    (same sketch family, same per-part inputs)."""
+    docs = _docs(spark)
+    a = str(tmp_path / "per_batch")
+    b = str(tmp_path / "split")
+    for i in range(4):
+        incstats.write_stats_part(
+            docs.where(F.col("doc_id") % 4 == i),
+            ["doc_id", "text"],
+            a,
+            i,
+            length_of=["text"],
+        )
+    incstats.write_stats_parts_split(
+        docs, ["doc_id", "text"], b, F.col("doc_id") % 4, length_of=["text"]
+    )
+    ga = incstats.merged_stats(spark, a, ["doc_id", "text"], length_of=["text"])
+    gb = incstats.merged_stats(spark, b, ["doc_id", "text"], length_of=["text"])
+    assert ga == gb
+    # same part keys on disk
+    import os
+
+    assert {d for d in os.listdir(a) if d.startswith("_batch_id=")} == {
+        d for d in os.listdir(b) if d.startswith("_batch_id=")
+    }

@@ -392,7 +392,10 @@ def test_slowly_changing_dim_enrichment_patterns(spark, tmp_path):
     ingest in streaming/ uses — is a fresh ``spark.read`` of the dim
     INSIDE ``foreachBatch``: each micro-batch re-lists, so an atomic dim
     swap between triggers changes the very next batch's enrichment with
-    no restart and no checkpoint surgery."""
+    no restart and no checkpoint surgery. The operator form of the
+    working pattern is ``streaming/jobs.streaming_enrich_dim`` (tested
+    below in test_streaming_enrich_dim_operator_follows_versioned_swaps);
+    this test keeps pinning the RAW trap + pattern pair."""
     dim_dir = str(tmp_path / "dim")
     spark.createDataFrame(
         [(0, "old-a"), (1, "old-b")], "k long, label string"
@@ -513,3 +516,78 @@ def test_streaming_windowed_distinct_matches_batch(spark, events_stream):
     # not a bound; 4 sigma keeps a correct sketch from flaking the test
     for w, n in got_approx.items():
         assert abs(n - want[w]) <= max(3, 0.2 * want[w])
+
+
+def test_streaming_enrich_dim_operator_follows_versioned_swaps(spark, tmp_path):
+    """streaming_enrich_dim (the operator form of the SCD pattern pinned by
+    test_slowly_changing_dim_enrichment_patterns above): a versioned dim
+    publish between triggers changes the very next micro-batch's
+    enrichment — no restart, no checkpoint surgery — because the dim is
+    re-read through the _latest pointer inside foreachBatch."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.sinks.versioned import (
+        write_version,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.jobs import (
+        streaming_enrich_dim,
+    )
+
+    dim_root = str(tmp_path / "dim_root")
+    write_version(
+        spark.createDataFrame([(0, "old-a"), (1, "old-b")], "k long, label string"),
+        dim_root,
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame([(0,), (1,)], "k long").coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    stream = spark.readStream.schema("k long").parquet(str(src / "*.parquet"))
+
+    seen = []
+
+    def apply_fn(enriched, batch_id):
+        seen.append({(r["k"], r["label"]) for r in enriched.collect()})
+
+    body = streaming_enrich_dim(dim_root, "k", apply_fn)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            stream.writeStream.foreachBatch(body)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not drain in time"
+
+    run()
+    assert seen[-1] == {(0, "old-a"), (1, "old-b")}
+    # atomic swap while parked: publish v2, new data arrives, SAME
+    # checkpoint — the next batch enriches against v2
+    write_version(
+        spark.createDataFrame([(0, "new-a"), (1, "new-b")], "k long, label string"),
+        dim_root,
+    )
+    spark.createDataFrame([(2,), (3,)], "k long").coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    run()
+    # v2 carries keys 0/1 only; batch keys 2/3 keep left-join NULLs —
+    # proving the batch read v2 (v1 would ALSO give NULLs, so the v3
+    # republish below is the discriminating step)
+    assert seen[-1] == {(2, None), (3, None)}
+    # a key swap visible end to end: republish with keys 2/3, replay more
+    write_version(
+        spark.createDataFrame([(2, "v3-c"), (3, "v3-d")], "k long, label string"),
+        dim_root,
+    )
+    spark.createDataFrame([(2,), (3,)], "k long").coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+    run()
+    assert seen[-1] == {(2, "v3-c"), (3, "v3-d")}
+    # guard: outward joins against a refreshing dim are refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="left/inner/semi"):
+        streaming_enrich_dim(dim_root, "k", apply_fn, how="full_outer")

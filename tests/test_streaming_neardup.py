@@ -588,3 +588,50 @@ def test_empty_first_batch_does_not_wedge_the_stream(spark, tmp_path):
     ingest(docs.where("doc_id IN (3, 4)"), 3)  # 3 near-dups corpus doc 0
     got = {r["doc_id"] for r in read_survivors(spark, surv).collect()}
     assert got == {0, 2, 4}
+
+
+def test_backlog_start_is_bounded_and_state_identical(spark, tmp_path):
+    """run_file_ingest (ingestbase) bounds a BACKLOG first start: with
+    maxFilesPerTrigger set, a directory already holding many files drains
+    as several bounded micro-batches instead of one giant batch 0 — and
+    the final survivors/index state is identical to the unbounded run
+    (monotone arrival order makes the split invariant)."""
+    import os
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.ingestbase import (
+        run_file_ingest,
+    )
+
+    docs = _docs(spark)
+    # a pre-existing backlog: 4 files, mtimes pinned ascending by id range
+    src = tmp_path / "backlog"
+    src.mkdir()
+    for i, pred in enumerate(
+        ["doc_id < 2", "doc_id IN (2, 3)", "doc_id = 4", "doc_id = 5"]
+    ):
+        d = str(src / f"f{i}")
+        docs.where(pred).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (1_700_000_000 + i,) * 2)
+
+    def run(tag, max_files):
+        idx = str(tmp_path / f"idx_{tag}")
+        surv = str(tmp_path / f"surv_{tag}")
+        run_file_ingest(
+            spark,
+            str(src) + "/f*",
+            "doc_id long, text string",
+            make_near_dup_ingest(idx, surv, **_KNOBS),
+            str(tmp_path / f"ckpt_{tag}"),
+            max_files_per_trigger=max_files,
+        )
+        surv_df = spark.read.parquet(surv)
+        batches = {r["_batch_id"] for r in surv_df.select("_batch_id").collect()}
+        rows = {r["doc_id"] for r in surv_df.collect()}
+        return batches, rows
+
+    bounded_batches, bounded_rows = run("bounded", 1)
+    unbounded_batches, unbounded_rows = run("unbounded", None)
+    assert len(bounded_batches) > 1, "backlog was not split into batches"
+    assert unbounded_batches == {0}, "unbounded run should be one batch"
+    assert bounded_rows == unbounded_rows == _expected_batch_survivors(docs)

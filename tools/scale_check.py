@@ -189,7 +189,7 @@ QUERIES = [
     "dedup_semantic",
     "dedup_signatures",
     "dedup_survivors",
-    "dedup_incremental",
+    "dedup_stream_snapshot",
     "sim_ann_ivf",
     "sim_cosine_topk",
     "a06_customer_rollup",

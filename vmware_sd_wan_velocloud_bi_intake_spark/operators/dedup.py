@@ -170,6 +170,24 @@ def near_dup_pairs(
     bounds work without losing the survivors contract.
     """
     band_rows = lsh_bucket_table(df, doc_id, text, num_hashes, bands, shingle_n)
+    return near_dup_pairs_from_rows(band_rows, threshold, max_bucket)
+
+
+def near_dup_pairs_from_rows(
+    band_rows: DataFrame,
+    threshold: float = 0.7,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """:func:`near_dup_pairs` over a PRECOMPUTED :func:`lsh_bucket_table`.
+
+    The signature stage (shingle + minhash, one md5 per shingle per hash)
+    is the dominant cost of a near-dup pass; a caller that needs the band
+    rows for more than one consumer — the streaming ingest uses them for
+    the within-batch check, the incremental check against the persisted
+    index, AND the index append — computes them once, persists, and feeds
+    each consumer this function instead of re-shingling per consumer.
+    ``near_dup_pairs`` delegates here, so the two paths cannot drift.
+    """
     groups = (
         band_rows.groupBy("bucket")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sh"))).alias("ms"))
@@ -292,6 +310,7 @@ def near_dup_pairs_incremental(
     shingle_n: int = 3,
     max_bucket: int = 1024,
     corpus_summary: DataFrame | None = None,
+    new_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dups of a NEW batch against an existing corpus index.
 
@@ -323,9 +342,17 @@ def near_dup_pairs_incremental(
     :func:`oversized_buckets` with
     ``band_rows=corpus_index.unionByName(new_rows)``.
 
+    Pass ``new_rows`` — a precomputed :func:`lsh_bucket_table` of exactly
+    the ``new_df`` docs (ideally persisted and shared with the caller's
+    other consumers) — to skip re-shingling the batch here; ``new_df``'s
+    text column is then never read.
+
     Returns (new_doc, corpus_doc, jaccard) pairs with jaccard ≥ threshold.
     """
-    new_rows = lsh_bucket_table(new_df, doc_id, text, num_hashes, bands, shingle_n)
+    if new_rows is None:
+        new_rows = lsh_bucket_table(
+            new_df, doc_id, text, num_hashes, bands, shingle_n
+        )
     if corpus_summary is None:
         corpus_summary = bucket_summary(corpus_index)
     # cap = batch counts + writer-maintained corpus counts; buckets absent

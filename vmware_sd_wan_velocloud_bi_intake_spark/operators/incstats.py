@@ -60,8 +60,13 @@ def _hist_bin(x) -> "F.Column":
     )
 
 
-def _hist_agg(x) -> "F.Column":
-    b = _hist_bin(x)
+def _hist_agg(b) -> "F.Column":
+    """Histogram aggregate over a PRE-PROJECTED bin column. The bin
+    expression must be materialized once per row by the caller's
+    projection: inlining it here would re-evaluate the log2/floor chain
+    once per bin per row (64×) — no CSE crosses aggregate-expression
+    boundaries, and that redundancy measurably dominated the stats-part
+    aggregation."""
     return F.array(
         *[
             F.sum(F.when(b == i, 1).otherwise(0)).cast("long")
@@ -106,6 +111,14 @@ def stats_part(
     gate mergeable percentile estimates (a corpus whose median document
     length halves is a broken upstream even when row counts hold).
     """
+    proj, aggs = _stats_aggs(df, columns, length_of)
+    return proj.agg(*aggs)
+
+
+def _stats_aggs(df, columns, length_of):
+    """The shared (projected input, aggregate list) behind every
+    stats-part producer — the projection materializes each length_of
+    column's histogram bin once per row (see :func:`_hist_agg`)."""
     missing = [c for c in columns if c not in df.columns]
     if missing:
         raise ValueError(f"stats_part: unknown columns {missing}")
@@ -122,9 +135,39 @@ def stats_part(
         aggs.append(
             F.hll_sketch_agg(F.col(c).cast("string")).alias(f"__hll_{c}")
         )
+    proj = df
     for c in length_of or []:
-        aggs.append(_hist_agg(F.length(F.col(c))).alias(f"__histlen_{c}"))
-    return df.agg(*aggs)
+        proj = proj.withColumn(f"__bin_{c}", _hist_bin(F.length(F.col(c))))
+        aggs.append(_hist_agg(F.col(f"__bin_{c}")).alias(f"__histlen_{c}"))
+    return proj, aggs
+
+
+def write_stats_parts_split(
+    df: DataFrame,
+    columns: list[str],
+    parts_dir: str,
+    split: "F.Column",
+    length_of: list[str] | None = None,
+) -> None:
+    """BACKFILL form: publish MANY batch-keyed parts from one pass.
+
+    ``split`` is an expression assigning each row its part's
+    ``_batch_id`` (e.g. a date bucket when backfilling months of history
+    into per-day parts). One grouped aggregation + one dynamic partition
+    overwrite — the per-batch :func:`write_stats_part` would pay one
+    full scan PER part here; the resulting parts table is identical
+    (grouped aggregates ≡ per-group global aggregates), so
+    ``merged_stats`` folds either spelling the same way.
+    """
+    proj, aggs = _stats_aggs(df, columns, length_of)
+    (
+        proj.groupBy(split.cast("long").alias("_batch_id"))
+        .agg(*aggs)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(parts_dir)
+    )
 
 
 def write_stats_part(
@@ -156,6 +199,7 @@ def merged_stats(
     parts_dir: str,
     columns: list[str],
     length_of: list[str] | None = None,
+    include_ndv: bool = True,
 ) -> list[dict]:
     """Fold every part into profile-shaped rows (the dict form
     ``check_expectations`` consumes): counts SUM — exactly, independent
@@ -201,6 +245,12 @@ def merged_stats(
         )
     for c in columns:
         aggs.append(F.sum(f"__nulls_{c}").cast("long").alias(f"__nulls_{c}"))
+        if not include_ndv:
+            # callers that only need the EXACT statistics (counts, nulls,
+            # histogram percentiles) skip the sketch unions — the HLL
+            # columns stay in the parts for any later reader, but folding
+            # them is the dominant cost of this O(batches)-row aggregate
+            continue
         # an all-NULL column (or an empty batch) yields NULL sketches;
         # the union of nothing is NULL and its estimate must read as 0
         # distinct values, not crash the fold
@@ -223,7 +273,7 @@ def merged_stats(
                 "n_rows": n,
                 "n_nulls": nulls,
                 "null_frac": (nulls / n) if n else 0.0,
-                "ndv_approx": int(row[f"__ndv_{c}"]),
+                "ndv_approx": int(row[f"__ndv_{c}"]) if include_ndv else None,
                 "min_str": None,
                 "max_str": None,
                 "max_len": None,

@@ -23,7 +23,12 @@ from .base import Q
 # u01→g01_gateway_rollup, putting the §3.2 gateway DAG under the gate — freeing
 # two slots so the round-5/6 flagship operators BPE and the quality
 # classifier get their own hash-checked rows, per the r6 verdict's top
-# item), then the TPC-H shapes and the new medallion entries; the remainder
+# item; r10 per VERDICT r9 "Next round" #1: sim_cosine_neardup→
+# sim_cosine_topk (nd_degree column) and dedup_incremental→
+# dedup_stream_snapshot (the streamed ingest runs the same incremental
+# operator per micro-batch), freeing the slots for the round-9 streaming
+# flagship's snapshot vehicle and the incremental-stats vehicle), then the
+# TPC-H shapes and the new medallion entries; the remainder
 # (all round-1-green) follows.
 ORDER: list[str] = [
     # -- previously outside the driver window -----------------------------
@@ -73,8 +78,8 @@ ORDER: list[str] = [
     "dedup_semantic",
     "dedup_signatures",
     "dedup_survivors",
-    "dedup_incremental",
-    "sim_cosine_neardup",
+    "dedup_stream_snapshot",
+    "inc_stats_merge",
     "mm_byte_features",
     "sim_cosine_topk",
     "sim_ann_ivf",

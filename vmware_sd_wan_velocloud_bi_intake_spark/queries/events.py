@@ -372,46 +372,14 @@ WHERE NOT EXISTS (
 # A9 (intended semantics): the reference's Score metric as documented intent —
 # avg(value) * 12.5 (see SURVEY.md §2.4 A9; reference powerbi_main_fun.py:2048).
 # --------------------------------------------------------------------------
-def a09_score_intended(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("user_id").agg(
-        (
-            F.sum(dec("value")).cast("double")
-            / F.count("value")
-            * F.lit(12.5)
-        ).alias("score"),
-        F.count("*").alias("n_samples"),
-    )
-
-
-A09_ORACLE = """
-SELECT
-  user_id,
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) * 12.5 AS score,
-  COUNT(*) AS n_samples
-FROM events
-GROUP BY user_id
-"""
-
-
-# --------------------------------------------------------------------------
-# A9 (quirk-compat, U3): the literal order-dependent fold
-#   score_{k} = ((score_{k-1} * (k-1)) + v_k) * 12.5 / k
-# reproduced with an ordered collect + ``aggregate`` fold. Not a catalog
-# entry (its driver check could only ever be rows-only: the fold is
-# numerically ill-conditioned by design — 12.5× per step — exactly why
-# SURVEY.md flags it); kept as the U3 implementation, exercised by the
-# sequence property tests.
-# --------------------------------------------------------------------------
-def a09_score_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    seq = ev.groupBy("user_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
-        ).alias("samples")
-    )
-    folded = F.aggregate(
-        F.col("samples"),
+def _quirk_fold(samples: F.Column) -> F.Column:
+    """The literal order-dependent A9 fold (U3 quirk semantics,
+    /root/reference/powerbi_main_fun.py:2048):
+    ``score_k = ((score_{k-1} * (k-1)) + v_k) * 12.5 / k`` as an
+    ``aggregate`` expression over an array_sort-stabilized sample array.
+    Shared by the a09 vehicles so the two spellings cannot drift."""
+    return F.aggregate(
+        samples,
         F.struct(
             F.lit(0.0).alias("score"), F.lit(0).cast("long").alias("n")
         ),
@@ -424,6 +392,84 @@ def a09_score_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (acc["n"] + 1).alias("n"),
         ),
     )
+
+
+def a09_score_intended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 both ways under ONE hash (VERDICT r9 "Next round" #8): the
+    intended decimal-exact mean×12.5, PLUS the order-dependent quirk fold
+    as the ``score_quirk`` rider column — made oracle-expressible by
+    array_sort-stabilizing the fold order ((ts, event_id, value), unique
+    in the fixtures) so DuckDB's ``list_reduce`` replays the identical
+    IEEE-double op sequence bit-for-bit (the SURVEY §4 "quirk-compat
+    mode"). One aggregation: the sample array rides the same shuffle as
+    the intended-score sums."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        (
+            F.sum(dec("value")).cast("double")
+            / F.count("value")
+            * F.lit(12.5)
+        ).alias("score"),
+        F.count("*").alias("n_samples"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+            )
+        ).alias("_samples"),
+    )
+    return base.select(
+        "user_id",
+        "score",
+        "n_samples",
+        _quirk_fold(F.col("_samples"))["score"].alias("score_quirk"),
+    )
+
+
+A09_ORACLE = """
+WITH base AS (
+  SELECT
+    user_id,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) * 12.5 AS score,
+    COUNT(*) AS n_samples,
+    list(value ORDER BY ts, event_id, value) AS vals
+  FROM events
+  GROUP BY user_id
+), pre AS (
+  -- element k carries (s, k); s pre-seeded with the k=1 fold result so
+  -- list_reduce's first-element init equals the engine's first step
+  -- (((0*0)+v)*12.5/1 == v*12.5 bitwise)
+  SELECT user_id, score, n_samples,
+         list_transform(vals, (v, k) -> struct_pack(
+           s := CASE WHEN k = 1 THEN v * 12.5 ELSE v END, k := k)) AS elems
+  FROM base
+)
+SELECT user_id, score, n_samples,
+       (list_reduce(elems, (acc, x) -> struct_pack(
+          s := ((acc.s * (x.k - 1)) + x.s) * 12.5 / x.k, k := x.k))).s
+         AS score_quirk
+FROM pre
+"""
+
+
+# --------------------------------------------------------------------------
+# A9 (quirk-compat, U3): the literal order-dependent fold
+#   score_{k} = ((score_{k-1} * (k-1)) + v_k) * 12.5 / k
+# reproduced with an ordered collect + ``aggregate`` fold (shared
+# ``_quirk_fold``). Not its own catalog entry, but no longer rows-only:
+# since round 10 the fold's value rides ``a09_score_intended`` as the
+# hash-checked ``score_quirk`` column (array_sort-stabilized order makes
+# the ill-conditioned 12.5×-per-step chain bit-reproducible — DuckDB's
+# list_reduce replays the identical IEEE op sequence). This standalone
+# form is kept as the U3 implementation for the sequence property tests.
+# --------------------------------------------------------------------------
+def a09_score_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+        ).alias("samples")
+    )
+    folded = _quirk_fold(F.col("samples"))
     return seq.select(
         "user_id",
         folded["score"].alias("score_quirk"),
@@ -581,7 +627,9 @@ QUERIES: dict[str, Q] = {
     "a09_score_intended": Q(
         a09_score_intended,
         A09_ORACLE,
-        ("A9",),
-        "Score metric, intended semantics (avg*12.5)",
+        ("A9", "U3"),
+        "Score metric, BOTH semantics under one hash: intended (avg*12.5) "
+        "+ the order-dependent quirk fold as the score_quirk rider "
+        "(array_sort-stabilized, list_reduce-replayed bit-exactly)",
     ),
 }

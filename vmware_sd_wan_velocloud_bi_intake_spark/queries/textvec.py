@@ -408,6 +408,254 @@ WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
 
 
 # --------------------------------------------------------------------------
+# Streaming near-dup ingest snapshot (VERDICT r9 "Next round" #1): the
+# round-9 flagship — streaming/neardup.make_near_dup_ingest — driver-gated
+# end to end. The vehicle materializes a deterministic 2-file split of a
+# 20% document subset (monotone doc_id ranges, mtimes pinned because
+# FileStreamSource orders by mtime), runs the REAL Structured Streaming
+# path (readStream → maxFilesPerTrigger=1 → foreachBatch → availableNow)
+# against fresh index/survivors/checkpoint dirs, and returns the streamed
+# survivors table with the micro-batch each survivor arrived in. With ids
+# monotone in arrival order the streamed survivor set equals the one-shot
+# batch derivation (first-arrival-wins ≡ min-id — the module's documented
+# convergence rule, property-tested in tests/test_streaming_neardup.py),
+# so the DuckDB oracle is the batch derivation: exact dedup (min-id keep),
+# then banded-LSH near-dup over the keepers, plus the arrival batch from
+# the same id-range split rule. This row hash-verifies, every round: the
+# within-batch dedup, the incremental check against the persisted index +
+# writer-maintained summary (the former dedup_incremental vehicle's
+# operator, folded here — it runs near_dup_pairs_incremental per
+# micro-batch), the batch-id-keyed idempotent writes, and the stream
+# wiring itself. Reference analog: the reference IS a hand-rolled
+# micro-batch system (/root/reference/powerbi_main_fun.py:1890-1921,
+# fun_mysql_query.py:40-60); its Spark restatement gets the same oracle
+# discipline as the batch DAG.
+# --------------------------------------------------------------------------
+_STREAM_SNAP_KNOBS = dict(threshold=0.4, num_hashes=4, bands=2, shingle_n=3)
+
+
+def dedup_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.neardup import make_near_dup_ingest
+
+    from ..streaming.ingestbase import run_file_ingest
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where((F.col("doc_id") % 5) == 0)
+    )
+    # id-range split => ids monotone in arrival order (the convergence
+    # precondition); the midpoint rule is mirrored by the oracle
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    root = tempfile.mkdtemp(prefix="dedup_stream_snapshot_")
+    src = os.path.join(root, "src")
+    # ONE job writes both arrival files: single-partition partitionBy
+    # gives exactly one file per split value (two coalesce(1) writes
+    # would re-scan the subset twice for no reason)
+    (
+        docs.withColumn(
+            "arr", F.when(F.col("doc_id") <= mid, 0).otherwise(1)
+        )
+        .repartition(1)
+        .sortWithinPartitions("arr")
+        .write.partitionBy("arr")
+        .parquet(src)
+    )
+    for i in (0, 1):
+        d = os.path.join(src, f"arr={i}")
+        for f in os.listdir(d):
+            # FileStreamSource orders by modification time; same-ms
+            # writes would make the batch order nondeterministic
+            os.utime(os.path.join(d, f), (1_700_000_000 + i,) * 2)
+    run_file_ingest(
+        spark,
+        src + "/arr=*",
+        "doc_id long, text string",
+        make_near_dup_ingest(
+            os.path.join(root, "idx"),
+            os.path.join(root, "surv"),
+            **_STREAM_SNAP_KNOBS,
+        ),
+        os.path.join(root, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    surv = spark.read.parquet(os.path.join(root, "surv"))
+    return surv.select(
+        "doc_id",
+        F.length("text").alias("doc_len"),
+        F.col("_batch_id").cast("long").alias("arrived_batch"),
+    )
+
+
+DEDUP_STREAM_ORACLE = r"""
+WITH sub AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+), mid AS (
+  SELECT CAST(MAX(doc_id) // 2 AS BIGINT) AS m FROM sub
+), norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM sub
+), exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY md5(t)
+), kept AS (
+  SELECT n.doc_id, n.t FROM norm n JOIN exact_keep USING (doc_id)
+), toks AS (
+  SELECT doc_id, string_split_regex(t, '\s+') AS w FROM kept
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(w[i : i + 2], ' ') AS shingle
+    FROM toks,
+         LATERAL (SELECT unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i))
+), sig AS (
+  SELECT doc_id,
+         MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
+         MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3
+  FROM sh GROUP BY doc_id
+), buckets AS (
+  SELECT doc_id, md5('0|' || h0 || '|' || h1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, md5('1|' || h2 || '|' || h3) FROM sig
+), ok_buckets AS (
+  -- the engine's degenerate-bucket cap (max_bucket 1024)
+  SELECT bucket FROM buckets GROUP BY bucket HAVING COUNT(*) <= 1024
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  JOIN ok_buckets ob ON ob.bucket = a.bucket
+), shl AS (
+  SELECT doc_id, list(shingle) AS sl FROM sh GROUP BY doc_id
+), near_losers AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM cand
+  JOIN shl x ON x.doc_id = cand.doc_a
+  JOIN shl y ON y.doc_id = cand.doc_b
+  WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.sl, y.sl))) >= 0.4
+)
+SELECT s.doc_id, length(s.text) AS doc_len,
+       CASE WHEN s.doc_id <= (SELECT m FROM mid) THEN 0 ELSE 1 END
+         AS arrived_batch
+FROM sub s
+JOIN exact_keep ek ON ek.doc_id = s.doc_id
+WHERE s.doc_id NOT IN (SELECT doc_id FROM near_losers)
+"""
+
+
+# --------------------------------------------------------------------------
+# Incremental mergeable corpus statistics (operators/incstats.py — the r9
+# streaming-maintenance family's statistics leg, driver-gated per VERDICT
+# r9: "the streaming ingests' outputs deserve the same oracle discipline").
+# The vehicle writes TWO batch-keyed stats parts over a deterministic
+# id-range split of the documents table, folds them with merged_stats, and
+# returns the exact (batching-invariant) statistics: row count and null
+# count per profiled column, plus the √2-log-bin length-histogram p50/p90
+# for the text column. The DuckDB oracle computes the same numbers directly
+# over the whole table — so the hash verifies precisely the MERGEABILITY
+# claim (two parts folded == one scan) plus the bin/percentile arithmetic.
+# ndv is deliberately excluded: it is a Datasketches HLL estimate (an
+# estimator family DuckDB cannot replay bit-for-bit); its merge correctness
+# is pinned by tests/test_incstats.py instead.
+# --------------------------------------------------------------------------
+_INC_STATS_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def inc_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.incstats import merged_stats, write_stats_parts_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    parts_dir = os.path.join(tempfile.mkdtemp(prefix="inc_stats_"), "parts")
+    # the one-pass backfill writer: both batch parts from one grouped
+    # aggregation (identical parts table to two write_stats_part calls —
+    # grouped aggregates ≡ per-group global aggregates; the per-batch
+    # streaming write path is pinned by tests/test_incstats.py)
+    write_stats_parts_split(
+        docs,
+        _INC_STATS_COLS,
+        parts_dir,
+        F.when(F.col("doc_id") <= mid, 0).otherwise(1),
+        length_of=["text"],
+    )
+    rows = merged_stats(
+        spark,
+        parts_dir,
+        _INC_STATS_COLS,
+        length_of=["text"],
+        # the vehicle outputs only the EXACT statistics; the sketches are
+        # written (real parts) but not folded here — ndv is estimator-
+        # family (not SQL-replayable) and its merge is pytest-pinned
+        include_ndv=False,
+    )
+    # percentiles coalesce to 0.0 on the non-length rows (catalog outputs
+    # avoid NULLs — the j12_full_outer convention; stat_col disambiguates)
+    out = [
+        (
+            r["column"],
+            int(r["n_rows"]),
+            int(r["n_nulls"]),
+            round(r["p50_est"], 3) if r.get("p50_est") is not None else 0.0,
+            round(r["p90_est"], 3) if r.get("p90_est") is not None else 0.0,
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "stat_col string, n_rows long, n_nulls long, "
+        "p50_len_r3 double, p90_len_r3 double",
+    )
+
+
+INC_STATS_ORACLE = r"""
+WITH cols AS (
+  SELECT 'doc_id' AS stat_col, COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(doc_id) AS n_nulls FROM documents
+  UNION ALL
+  SELECT 'text', COUNT(*), COUNT(*) - COUNT(text) FROM documents
+  UNION ALL
+  SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang) FROM documents
+  UNION ALL
+  SELECT 'source', COUNT(*), COUNT(*) - COUNT(source) FROM documents
+  UNION ALL
+  SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars) FROM documents
+), bins AS (
+  -- sqrt-2 log bins, mirroring operators/incstats._hist_bin: bin 0 = {0},
+  -- bin i covers [2^((i-1)/2), 2^(i/2)), capped at 63
+  SELECT CASE WHEN length(text) <= 0 THEN 0
+              ELSE LEAST(CAST(FLOOR(LOG2(CAST(length(text) AS DOUBLE)) * 2)
+                              AS INT) + 1, 63) END AS bin
+  FROM documents WHERE text IS NOT NULL
+), h AS (
+  SELECT bin, COUNT(*) AS c FROM bins GROUP BY bin
+), cum AS (
+  SELECT bin, SUM(c) OVER (ORDER BY bin) AS acc, SUM(c) OVER () AS tot
+  FROM h
+), pct AS (
+  SELECT (SELECT MIN(bin) FROM cum WHERE acc >= 0.5 * tot) AS b50,
+         (SELECT MIN(bin) FROM cum WHERE acc >= 0.9 * tot) AS b90,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM h) AS n
+)
+SELECT stat_col, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_nulls AS BIGINT) AS n_nulls,
+       0.0 AS p50_len_r3, 0.0 AS p90_len_r3
+FROM cols
+UNION ALL
+SELECT 'len(text)', n, 0,
+       ROUND(CASE WHEN b50 = 0 THEN 0.0
+                  ELSE SQRT(POW(2, (b50 - 1) / 2.0) * POW(2, b50 / 2.0)) END, 3),
+       ROUND(CASE WHEN b90 = 0 THEN 0.0
+                  ELSE SQRT(POW(2, (b90 - 1) / 2.0) * POW(2, b90 / 2.0)) END, 3)
+FROM pct
+"""
+
+
+# --------------------------------------------------------------------------
 # Benchmark decontamination (beyond-ref): per-suspect-doc 3-gram overlap
 # against the distinct shingle set of an in-fixture "benchmark" blocklist
 # (doc_id % 41 == 0 — deterministic, so both engines build the identical
@@ -538,15 +786,39 @@ FROM chars GROUP BY media_id
 
 
 # --------------------------------------------------------------------------
-# Brute-force cosine top-k (beyond-ref similarity baseline).
+# Brute-force cosine top-k (beyond-ref similarity baseline). Round 10 folds
+# the former sim_cosine_neardup vehicle here (VERDICT r9 "Next round" #1's
+# slot-freeing fold — same operator family, same embeddings grain): every
+# top-k row additionally carries ``nd_degree``, the number of sign-blocked
+# verified near-dup pairs (cosine_neardup_pairs, threshold 0.4) the query
+# vector participates in — so the folded operator's full pipeline
+# (deterministic sign-pattern blocking + exact cosine ≥ τ) stays
+# hash-verified at per-vector grain: a spurious or missing pair anywhere
+# changes some vector's degree.
 # --------------------------------------------------------------------------
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     out = similarity.cosine_topk_pairs(emb, k=3)
+    nd = similarity.cosine_neardup_pairs(emb, threshold=0.4, block_dims=6)
+    deg = (
+        nd.select(F.col("vec_a").alias("query_id"))
+        .unionByName(nd.select(F.col("vec_b").alias("query_id")))
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("nd_degree"))
+    )
     # round for cross-engine float-accumulation tolerance; rank computed on
     # the unrounded value with neighbor_id tiebreak
-    return out.select(
-        "query_id", "neighbor_id", F.round(F.col("cos_sim"), 6).alias("cos_sim_r6"), "rk"
+    return (
+        out.join(deg, "query_id", "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos_sim"), 6).alias("cos_sim_r6"),
+            "rk",
+            F.coalesce(F.col("nd_degree"), F.lit(0).cast("long")).alias(
+                "nd_degree"
+            ),
+        )
     )
 
 
@@ -564,9 +836,37 @@ WITH pairs AS (
   SELECT query_id, neighbor_id, cos_sim,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
   FROM pairs
+), ndv AS (
+  -- the folded sim_cosine_neardup pipeline: deterministic 6-dim
+  -- sign-pattern blocking + exact cosine >= 0.4 (same CTEs the former
+  -- standalone oracle used)
+  SELECT vec_id,
+         md5(concat_ws('|',
+           CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END)) AS blk,
+         embedding::DOUBLE[] AS e
+  FROM embeddings
+), ndpairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM ndv a JOIN ndv b ON a.blk = b.blk AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4
+), deg AS (
+  SELECT query_id, COUNT(*) AS nd_degree FROM (
+    SELECT vec_a AS query_id FROM ndpairs
+    UNION ALL
+    SELECT vec_b FROM ndpairs)
+  GROUP BY query_id
 )
-SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim_r6, rk
-FROM ranked WHERE rk <= 3
+SELECT r.query_id, r.neighbor_id, ROUND(r.cos_sim, 6) AS cos_sim_r6, r.rk,
+       COALESCE(deg.nd_degree, 0) AS nd_degree
+FROM ranked r LEFT JOIN deg ON deg.query_id = r.query_id
+WHERE r.rk <= 3
 """
 
 
@@ -1152,17 +1452,21 @@ QUERIES: dict[str, Q] = {
         "provenance-labeled logreg quality classifier: quantized-GD "
         "training replayed step-for-step by the oracle, corpus scored",
     ),
-    "dedup_incremental": Q(
-        dedup_incremental,
-        DEDUP_INCREMENTAL_ORACLE,
-        ("beyond:dedup", "T3"),
-        "new-batch near-dup against the persisted corpus LSH index",
+    "dedup_stream_snapshot": Q(
+        dedup_stream_snapshot,
+        DEDUP_STREAM_ORACLE,
+        ("beyond:dedup", "beyond:streaming", "T3", "T4"),
+        "streamed near-dup ingest (readStream -> foreachBatch, availableNow"
+        ") snapshot hash-checked against the batch dedup derivation; "
+        "absorbs the former dedup_incremental vehicle (the ingest runs "
+        "near_dup_pairs_incremental per micro-batch)",
     ),
-    "sim_cosine_neardup": Q(
-        sim_cosine_neardup,
-        SIM_NEARDUP_ORACLE,
-        ("beyond:similarity", "beyond:dedup"),
-        "embedding-cosine near-dup via deterministic sign-blocking",
+    "inc_stats_merge": Q(
+        inc_stats_merge,
+        INC_STATS_ORACLE,
+        ("beyond:stats", "T2"),
+        "mergeable per-batch statistics parts folded to exact corpus "
+        "counts + length-histogram percentiles",
     ),
     "mm_byte_features": Q(
         mm_byte_features,

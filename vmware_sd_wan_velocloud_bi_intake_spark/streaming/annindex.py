@@ -167,6 +167,7 @@ def make_ann_index_ingest(
             batch_fingerprint,
             check_knobs,
             check_sequence,
+            fingerprint_is_empty,
             record_head,
             replay_folded_head,
         )
@@ -198,7 +199,7 @@ def make_ann_index_ingest(
 
             compact_rows_parts(spark, p["members"], batch_id)
             compact_rows_parts(spark, p["drift"], batch_id, merge_schema=True)
-        if batch_df.select(vec_id).limit(1).isEmpty():
+        if fingerprint_is_empty(fp):
             record_head(p["knobs"], "annindex-knobs/v1", batch_id, fp)
             return
         if not os.path.exists(p["codebooks"]):

@@ -260,3 +260,69 @@ def streaming_score_quality(
     if min_p is not None:
         scored = scored.where(F.col("p_quality") >= F.lit(min_p))
     return scored
+
+
+def streaming_enrich_dim(
+    dim_root: str,
+    key: str,
+    apply_fn,
+    *,
+    how: str = "left",
+    versioned: bool = True,
+    broadcast_dim: bool = True,
+):
+    """Slowly-changing-dimension enrichment as a ``foreachBatch`` body —
+    the operator form of the SCD pattern ``tests/test_streaming.py``
+    pins (VERDICT r9 "Next round" #2).
+
+    The trap this wraps: a stream-STATIC join captures the static side's
+    file listing when the plan is built, so overwriting the dim under a
+    running query doesn't refresh it — the query keeps reading the old
+    listing until it dies on deleted files (FILE_NOT_EXIST). The working
+    pattern is a fresh ``spark.read`` INSIDE ``foreachBatch``: every
+    micro-batch re-resolves the dim, so a dim swap between triggers
+    changes the very next batch's enrichment with no restart and no
+    checkpoint surgery.
+
+    ``dim_root`` is read per batch: with ``versioned=True`` (default) it
+    is a ``sinks.versioned`` root and each batch follows the ``_latest``
+    pointer — the ATOMIC swap: a publish mid-batch is invisible until
+    its pointer rename lands, so a batch never sees a half-written dim
+    (publish with ``sinks.versioned.write_version(new_dim, dim_root)``).
+    With ``versioned=False`` it is a bare parquet dir and the swap is
+    only safe BETWEEN triggers (``mode("overwrite")`` deletes files
+    first — a concurrent batch read can die mid-scan; acceptable for
+    parked availableNow pipelines, wrong for continuous ones).
+
+    ``apply_fn(enriched_df, batch_id)`` receives each enriched batch —
+    the caller owns the sink (the ingests' writer discipline applies:
+    batch-id-keyed idempotent writes). The dim side broadcasts by
+    default: SCD dims are fleet/country-sized in every reference flow
+    (the country dim of powerbi_main_fun.py:688-690 under a
+    continuously-running poller is the analog; at 100 TB the STREAM is
+    big, the dim stays small — pass ``broadcast_dim=False`` for the
+    rare huge-dim case and let AQE pick the strategy).
+
+    Wire as ``stream.writeStream.foreachBatch(streaming_enrich_dim(...))``.
+    """
+    if how in ("right", "right_outer", "full", "full_outer", "outer"):
+        raise ValueError(
+            "streaming_enrich_dim: right/full joins against a refreshing "
+            "dim would emit dim-only rows whose set depends on WHEN the "
+            "dim swapped relative to batch boundaries — enrichment is "
+            "left/inner/semi by construction"
+        )
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if versioned:
+            from ..sinks.versioned import read_version
+
+            dim = read_version(spark, dim_root)  # follows _latest, atomic
+        else:
+            dim = spark.read.parquet(dim_root)  # fresh listing per batch
+        if broadcast_dim:
+            dim = F.broadcast(dim)
+        apply_fn(batch_df.join(dim, key, how), batch_id)
+
+    return body

@@ -249,6 +249,7 @@ def make_near_dup_ingest(
             batch_fingerprint,
             check_knobs,
             check_sequence,
+            fingerprint_is_empty,
             record_head,
         )
 
@@ -301,25 +302,46 @@ def make_near_dup_ingest(
         # (UNABLE_TO_INFER_SCHEMA) on EVERY replay, wedging the stream
         # until someone deletes the directory. Record the head so replay
         # and collision guards still see the batch, then skip all writes.
-        if batch_df.select(doc_id).limit(1).isEmpty():
+        if fingerprint_is_empty(fp):
             record_head(knobs_path, "neardup-knobs/v1", batch_id, fp)
             return
-        # ---- within-batch dedup (exact, then verified near-dup) --------
-        exact = dedup.exact_dedup_keys(batch_df, doc_id, text_col)
-        keep = exact.select(F.col("keep_id").alias(doc_id))
-        batch1 = batch_df.join(keep, doc_id, "left_semi")
-        in_pairs = dedup.near_dup_pairs(
-            batch1,
-            doc_id,
-            text_col,
-            threshold=threshold,
-            num_hashes=num_hashes,
-            bands=bands,
-            shingle_n=shingle_n,
-            max_bucket=max_bucket,
+        # ---- within-batch exact dedup: ONE window shuffle ---------------
+        # min-id-per-content via a window over the content digest — one
+        # exchange, where groupBy(digest) + two semi-join-backs cost
+        # three. Same survivor rule (lowest id per normalized-content
+        # md5, nulls grouped like exact_dedup_keys' null key).
+        from pyspark.sql import Window
+
+        from ..operators.text import normalize_text
+
+        w = Window.partitionBy("_dedup_key")
+        batch1 = (
+            batch_df.withColumn(
+                "_dedup_key", F.md5(normalize_text(F.col(text_col)))
+            )
+            .withColumn("_keep", F.min(doc_id).over(w))
+            .where(F.col(doc_id) == F.col("_keep"))
+            .drop("_dedup_key", "_keep")
+        )
+        # ---- ONE signature pass per batch ------------------------------
+        # The shingle+minhash stage is the batch's dominant CPU cost, and
+        # three consumers need its output: the within-batch near-dup
+        # check, the incremental check against the persisted index, and
+        # the index append for the novel rows. Compute the band rows once
+        # over the exact KEEPERS (exact duplicates never reach the index,
+        # so a duplicate-heavy batch shingles once per distinct content),
+        # persist, and derive each consumer's slice by filtering — the
+        # former shape re-shingled the batch once per consumer.
+        band_rows_all = dedup.lsh_bucket_table(
+            batch1, doc_id, text_col, num_hashes, bands, shingle_n
+        ).persist()
+        rows1 = band_rows_all
+        in_pairs = dedup.near_dup_pairs_from_rows(
+            rows1, threshold=threshold, max_bucket=max_bucket
         )
         in_losers = in_pairs.select(F.col("doc_b").alias(doc_id)).distinct()
         batch2 = batch1.join(in_losers, doc_id, "left_anti")
+        rows2 = rows1.join(in_losers, doc_id, "left_anti")
         # ---- against the persisted corpus index (O(batch)) -------------
         # Exclude this batch's OWN partition from both the index and the
         # summary: on replay that is exactly the pre-batch corpus state,
@@ -342,6 +364,7 @@ def make_near_dup_ingest(
                 shingle_n=shingle_n,
                 max_bucket=max_bucket,
                 corpus_summary=_summary(spark, summary_dir, batch_id),
+                new_rows=rows2,
             )
             corpus_losers = pairs.select(
                 F.col("new_doc").alias(doc_id)
@@ -363,8 +386,13 @@ def make_near_dup_ingest(
                 .partitionBy("_batch_id")
                 .parquet(survivors_dir)
             )
-            rows = dedup.lsh_bucket_table(
-                novel, doc_id, text_col, num_hashes, bands, shingle_n
+            # novel's band rows from the two PERSISTED relations (the
+            # survivors write above materialized `novel`, so the full
+            # dedup chain has already run exactly once) — deriving them
+            # from the loser-chain slices instead would re-execute the
+            # unpersisted pair pipelines once per remaining write
+            rows = band_rows_all.join(
+                novel.select(doc_id), doc_id, "left_semi"
             ).withColumn("_batch_id", F.lit(int(batch_id)))
             (
                 rows.write.mode("overwrite")
@@ -401,6 +429,7 @@ def make_near_dup_ingest(
             record_head(knobs_path, "neardup-knobs/v1", batch_id, fp)
         finally:
             novel.unpersist()
+            band_rows_all.unpersist()
 
     return ingest
 

@@ -95,6 +95,7 @@ def make_semantic_dedup_ingest(
             batch_fingerprint,
             check_knobs,
             check_sequence,
+            fingerprint_is_empty,
             record_head,
             replay_folded_head,
         )
@@ -129,7 +130,7 @@ def make_semantic_dedup_ingest(
             compact_rows_parts(spark, members_dir, batch_id)
             compact_rows_parts(spark, survivors_dir, batch_id)
             compact_rows_parts(spark, drift_dir, batch_id, merge_schema=True)
-        if batch_df.select(vec_id).limit(1).isEmpty():
+        if fingerprint_is_empty(fp):
             record_head(knobs_path, "semdedup-knobs/v1", batch_id, fp)
             return
         building = not os.path.isdir(centroids_dir)
