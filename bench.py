@@ -32,6 +32,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 
+def _sentinel_once(spark) -> float:
+    """One un-minimized sentinel execution (the drift-trace probe)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 20_000_000, 1, 32)
+        .select(F.md5(F.col("id").cast("string")).alias("h"))
+        .select(F.max("h").alias("m"), F.count("*").alias("n"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
 def sentinel_sec(spark) -> float:
     """Fixed-cost host-speed probe: a deterministic all-core md5 fold whose
     plan never changes across rounds. Recorded in the bench JSON so
@@ -39,21 +55,7 @@ def sentinel_sec(spark) -> float:
     moved entire catalogs ±40% between rounds 4 and 5) instead of arguing
     about it: query_r6 / sentinel_r6 vs query_r5 / sentinel_r5 cancels the
     common factor. min-of-3, same noise defense as the queries."""
-    from pyspark.sql import functions as F
-
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        (
-            spark.range(0, 20_000_000, 1, 32)
-            .select(F.md5(F.col("id").cast("string")).alias("h"))
-            .select(F.max("h").alias("m"), F.count("*").alias("n"))
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+    return round(min(_sentinel_once(spark) for _ in range(3)), 3)
 
 
 def infer_sf(path: str) -> float:
@@ -80,12 +82,18 @@ def main() -> None:
     sentinel = sentinel_sec(spark)
 
     timings: dict[str, float] = {}
+    # one single-shot probe between passes (not min-of-3 — this is a drift
+    # TRACE, not the normalization statistic): the r9 verdict's tail-drift
+    # question ("did the host slow mid-run?") becomes answerable per pass
+    # instead of only start-vs-end
+    per_pass_sentinels: list[float] = []
     for _ in range(N_RUNS):
         for name, q in sorted(catalog.items()):
             t0 = time.perf_counter()
             q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
+        per_pass_sentinels.append(_sentinel_once(spark))
 
     # a second probe AFTER the passes: host drift during the run (the box
     # shows ±20% swings over minutes) is visible as start≠end. The
@@ -111,6 +119,7 @@ def main() -> None:
                 "sf": infer_sf(SF_DIR),
                 "sentinel_sec": sentinel,
                 "sentinel_end_sec": sentinel_end,
+                "sentinel_per_pass": per_pass_sentinels,
                 "total_over_sentinel": round(total / sentinel, 3),
                 "r6_host_equivalent_total": round(
                     total / sentinel * R6_SENTINEL, 3

@@ -184,7 +184,11 @@ GROUP BY entity_id
 # hash-checked (the p07-census fold pattern). The oracle replays the
 # synthesis arithmetic + md5 region bucketing in SQL.
 # --------------------------------------------------------------------------
-def g01_gateway_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _g01_build_sides(spark: SparkSession, sf_dir: str):
+    """The gateway DAG's three join relations: (enriched gateways, status
+    rollup, relation counts) — factored so the plan test can profile the
+    two BUILD sides (met, rel_cnt) with the exact construction the
+    vehicle broadcasts."""
     from ..operators.enrichment import enrich_region
     from ..plans.gateway import (
         GATEWAY_SCHEMA,
@@ -250,8 +254,21 @@ def g01_gateway_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     met = rollup_status_series(samples).drop("vco")
     enriched = enrich_region(silver, "gateway_id")
     rel_cnt = rel.groupBy("gateway_uuid").agg(F.count("*").alias("n_rel"))
-    # both build sides are gateway-grain (|supplier| rows) but sit behind
-    # json-explode/groupBy stages Catalyst can't size — broadcast explicitly
+    return enriched, met, rel_cnt
+
+
+def g01_gateway_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enriched, met, rel_cnt = _g01_build_sides(spark, sf_dir)
+    # both build sides are gateway-grain — their groupBy keys are gateway
+    # ids, so |rows| ≤ |supplier| (the fleet) at ANY sf — but they sit
+    # behind json-explode/groupBy stages Catalyst can't size, so the hint
+    # is explicit. Profile-justified rather than profiled per run:
+    # tests/test_gateway_pipeline.py::test_g01_broadcasts_are_profile_justified
+    # runs plans/hints.broadcast_decision over both sides' actual
+    # profile_table output and asserts the decision AND the physical
+    # BroadcastHashJoin (re-profiling gateway-grain relations on every
+    # query run would re-execute their explode/groupBy subplans just to
+    # re-learn a bound the grain already guarantees).
     per_gw = enriched.join(F.broadcast(met), "gateway_id", "left").join(
         F.broadcast(rel_cnt), "gateway_uuid", "left"
     )
