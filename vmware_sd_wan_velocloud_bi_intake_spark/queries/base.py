@@ -11,6 +11,7 @@ fixed-order scalar expressions).
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,3 +32,27 @@ class Q:
     oracle: str | None
     ops: tuple[str, ...] = field(default=())
     doc: str = ""
+
+
+@contextmanager
+def micro_batch_confs(spark, shuffle_partitions: int = 4):
+    """Scoped session confs for MICRO-BATCH-sized work inside a catalog
+    vehicle: AQE off (per-exchange stage materialization is pure driver
+    latency when there is nothing to re-plan) and few shuffle partitions
+    (32 reduce tasks per exchange over hundreds of rows is ~600
+    near-empty tasks of scheduling per micro-batch — interleaved A/B on
+    the streaming vehicle: 9.7→5.5 s). get→set→restore of confs with
+    DEFINED values (session.py sets both) — not the unset-conf leak
+    pattern sinks/merge.py warns about. Production deployments size
+    these to the batch volume instead; the catalog runs serially, so a
+    scoped override cannot race another query.
+    """
+    prior_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prior_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prior_sp)

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..operators import bpe, classifier, dedup, similarity, spans, text
 from ..sources.tables import load_table
-from .base import Q
+from .base import Q, micro_batch_confs
 
 
 # --------------------------------------------------------------------------
@@ -470,18 +470,22 @@ def dedup_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             # FileStreamSource orders by modification time; same-ms
             # writes would make the batch order nondeterministic
             os.utime(os.path.join(d, f), (1_700_000_000 + i,) * 2)
-    run_file_ingest(
-        spark,
-        src + "/arr=*",
-        "doc_id long, text string",
-        make_near_dup_ingest(
-            os.path.join(root, "idx"),
-            os.path.join(root, "surv"),
-            **_STREAM_SNAP_KNOBS,
-        ),
-        os.path.join(root, "ckpt"),
-        max_files_per_trigger=1,
-    )
+    # micro-batch conf scope (queries/base.micro_batch_confs): AQE off +
+    # few shuffle partitions for the hundreds-of-rows batches — the
+    # interleaved A/B behind both choices is in the helper's docstring
+    with micro_batch_confs(spark):
+        run_file_ingest(
+            spark,
+            src + "/arr=*",
+            "doc_id long, text string",
+            make_near_dup_ingest(
+                os.path.join(root, "idx"),
+                os.path.join(root, "surv"),
+                **_STREAM_SNAP_KNOBS,
+            ),
+            os.path.join(root, "ckpt"),
+            max_files_per_trigger=1,
+        )
     surv = spark.read.parquet(os.path.join(root, "surv"))
     return surv.select(
         "doc_id",
@@ -550,7 +554,7 @@ WHERE s.doc_id NOT IN (SELECT doc_id FROM near_losers)
 # streaming-maintenance family's statistics leg, driver-gated per VERDICT
 # r9: "the streaming ingests' outputs deserve the same oracle discipline").
 # The vehicle writes TWO batch-keyed stats parts over a deterministic
-# id-range split of the documents table, folds them with merged_stats, and
+# id-parity split of the documents table, folds them with merged_stats, and
 # returns the exact (batching-invariant) statistics: row count and null
 # count per profiled column, plus the √2-log-bin length-histogram p50/p90
 # for the text column. The DuckDB oracle computes the same numbers directly
@@ -570,20 +574,23 @@ def inc_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.incstats import merged_stats, write_stats_parts_split
 
     docs = load_table(spark, sf_dir, "documents")
-    mid = docs.agg(F.max("doc_id")).first()[0] // 2
     parts_dir = os.path.join(tempfile.mkdtemp(prefix="inc_stats_"), "parts")
     # the one-pass backfill writer: both batch parts from one grouped
     # aggregation (identical parts table to two write_stats_part calls —
     # grouped aggregates ≡ per-group global aggregates; the per-batch
-    # streaming write path is pinned by tests/test_incstats.py)
-    write_stats_parts_split(
-        docs,
-        _INC_STATS_COLS,
-        parts_dir,
-        F.when(F.col("doc_id") <= mid, 0).otherwise(1),
-        length_of=["text"],
-    )
-    rows = merged_stats(
+    # streaming write path is pinned by tests/test_incstats.py). The
+    # split rule is data-independent (doc_id parity): merged statistics
+    # are split-INVARIANT, so a midpoint computed from the data would
+    # buy nothing but one extra aggregate job per run.
+    with micro_batch_confs(spark):
+        write_stats_parts_split(
+            docs,
+            _INC_STATS_COLS,
+            parts_dir,
+            (F.col("doc_id") % 2).cast("long"),
+            length_of=["text"],
+        )
+        rows = merged_stats(
         spark,
         parts_dir,
         _INC_STATS_COLS,
