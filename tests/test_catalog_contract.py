@@ -60,3 +60,31 @@ def test_every_entry_is_oracle_checked_or_documented():
     # every catalog entry is oracle-checked (a22 became hash-checkable in
     # round 3 via within-tolerance booleans)
     assert rows_only == [], rows_only
+
+
+def test_micro_batch_confs_restore_even_on_failure(spark):
+    """The scoped conf context (queries/base.micro_batch_confs) must
+    restore BOTH confs on the exception path — a leaked 'adaptive off /
+    4 partitions' would silently deparallelize every later catalog
+    query in the session (the conf-leak class sinks/merge.py documents
+    for partitionOverwriteMode)."""
+    import pytest
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.queries.base import (
+        micro_batch_confs,
+    )
+
+    before = (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        with micro_batch_confs(spark):
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+            raise RuntimeError("boom")
+    after = (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    assert after == before
