@@ -402,7 +402,10 @@ def a09_score_intended(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the fixtures) so DuckDB's ``list_reduce`` replays the identical
     IEEE-double op sequence bit-for-bit (the SURVEY §4 "quirk-compat
     mode"). One aggregation: the sample array rides the same shuffle as
-    the intended-score sums."""
+    the intended-score sums. Scale note: quirk-compat inherently holds
+    one ordered per-key sample array in memory (bounded by per-user
+    event counts); the intended column is the unbounded-scale path —
+    exactly the trade SURVEY §4 documents for this legacy semantics."""
     ev = load_table(spark, sf_dir, "events")
     base = ev.groupBy("user_id").agg(
         (

@@ -466,6 +466,10 @@ def dedup_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for i in (0, 1):
         d = os.path.join(src, f"arr={i}")
+        if not os.path.isdir(d):
+            # a split value with zero rows writes no partition dir (ids
+            # starting above the midpoint); the stream then sees one file
+            continue
         for f in os.listdir(d):
             # FileStreamSource orders by modification time; same-ms
             # writes would make the batch order nondeterministic

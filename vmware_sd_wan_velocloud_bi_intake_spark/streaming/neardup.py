@@ -314,6 +314,14 @@ def make_near_dup_ingest(
 
         from ..operators.text import normalize_text
 
+        clash = {"_dedup_key", "_keep"} & set(batch_df.columns)
+        if clash:
+            raise ValueError(
+                f"near-dup ingest: batch carries reserved column(s) "
+                f"{sorted(clash)} — the within-batch exact-dedup window "
+                "would overwrite and then DROP them, silently losing "
+                "user data from the survivors table; rename them upstream"
+            )
         w = Window.partitionBy("_dedup_key")
         batch1 = (
             batch_df.withColumn(
