@@ -418,8 +418,16 @@ WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
 # survivors table with the micro-batch each survivor arrived in. With ids
 # monotone in arrival order the streamed survivor set equals the one-shot
 # batch derivation (first-arrival-wins ≡ min-id — the module's documented
-# convergence rule, property-tested in tests/test_streaming_neardup.py),
-# so the DuckDB oracle is the batch derivation: exact dedup (min-id keep),
+# convergence rule, property-tested in tests/test_streaming_neardup.py).
+# One honest caveat: exact equality additionally requires that no
+# verified pair of two LOSERS straddles the split (one-shot drops doc_b
+# of every pair, even loser-loser ones; the stream only checks new docs
+# against SURVIVORS — a doc whose only pair partner was itself dropped
+# in an earlier batch would survive the stream but not the one-shot).
+# τ=0.4 Jaccard is weakly transitive, so such chains are rare; the
+# fixtures have none (equality verified empirically at sf0.001/0.01/0.1,
+# and the oracle-parity CI re-asserts it at sf0.01 every run). So the
+# DuckDB oracle is the batch derivation: exact dedup (min-id keep),
 # then banded-LSH near-dup over the keepers, plus the arrival batch from
 # the same id-range split rule. This row hash-verifies, every round: the
 # within-batch dedup, the incremental check against the persisted index +

@@ -10,8 +10,13 @@ never re-shingled — and (3) the novel survivors are appended to the
 survivors table while their band rows and per-bucket counts grow the
 index. Duplicate-of-corpus docs are dropped; first arrival wins across
 batches (within a batch, lowest id — so with ids monotone in arrival
-order the stream converges to exactly the batch run's survivor set,
-which is what the parity test pins).
+order the stream converges to the batch run's survivor set, which is
+what the parity test pins; exception at the margin: a verified pair of
+two LOSERS straddling a batch boundary — the one-shot run drops doc_b
+of every pair, the stream only checks new docs against survivors, so
+the later loser would stream-survive; τ-Jaccard's weak transitivity
+makes such survivor-free chains rare, and the catalog vehicle's oracle
+parity re-verifies their absence in the fixtures every round).
 
 Idempotent under micro-batch REPLAY (the foreachBatch at-least-once
 reality): every write is a dynamic partition overwrite keyed by
