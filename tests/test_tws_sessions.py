@@ -189,3 +189,16 @@ def test_streaming_sessions_tws_end_to_end(spark, tmp_path):
     finally:
         if prev is not None:
             spark.conf.set(_PROVIDER_KEY, prev)
+
+
+def test_emitted_session_bounds_are_tz_aware_utc():
+    """Pins the r9-advice fix: _emit must produce tz-AWARE UTC
+    timestamps — Arrow renders naive pandas timestamps in the Spark
+    session timezone, so naive emission was only correct under UTC
+    sessions; aware instants convert correctly under any session tz."""
+    proc, _ = _proc()
+    out = _run(proc, [0, 3])
+    out2 = _fire(proc, wm=BASE + 3_000 + GAP_MS + 1)
+    df = out2 if not out2.empty else out
+    for col in ("session_start", "session_end"):
+        assert str(df[col].dt.tz) == "UTC", (col, df[col].dtype)
