@@ -135,3 +135,54 @@ def test_temperature_mixture_null_stratum_and_big_leftover(spark):
     caps = _apportion({"a": 1.0, "b": 1.0}, {"a": 10**9, "b": 10}, 10**8)
     assert caps == {"a": 10**8 - 10, "b": 10}
     assert time.perf_counter() - t0 < 1.0
+
+
+def test_cluster_balanced_sample_balances_skewed_topics(spark):
+    """Two well-separated synthetic topics with a 9:1 size skew; at
+    alpha=0 the balanced draw takes an equal share from each cluster
+    (a dominant topic stops drowning the mixture), deterministically."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.similarity import (
+        train_centroids,
+    )
+
+    dim = 8
+    rows = []
+    # topic A (ids 0..179): mass on axis 0; topic B (ids 200..219): axis 4
+    for i in range(180):
+        v = [0.0] * dim
+        v[0] = 10.0
+        v[1] = float(i % 7)  # in-topic variation, cosine stays ~1 to axis 0
+        rows.append((i, v))
+    for i in range(200, 220):
+        v = [0.0] * dim
+        v[4] = 10.0
+        v[5] = float(i % 5)
+        rows.append((i, v))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = train_centroids(emb, n_cells=2, iters=4, round_decimals=6)
+    out = cluster_balanced_sample(emb, cents, total_rows=40, alpha=0.0)
+    got = out.collect()
+    assert len(got) == 40
+    by_cell = {}
+    for r in got:
+        by_cell.setdefault(r["cell"], set()).add(r["vec_id"])
+    # equal share per cluster: 20 from the 180-doc topic, all 20 of the
+    # small one (without balancing, proportional draw would take 36/4)
+    assert sorted(len(v) for v in by_cell.values()) == [20, 20]
+    small_topic = {i for i in range(200, 220)}
+    assert small_topic in [set(v) for v in by_cell.values()]
+    # deterministic: the same draw twice is byte-identical
+    again = {r["vec_id"] for r in cluster_balanced_sample(
+        emb, cents, total_rows=40, alpha=0.0).collect()}
+    assert again == {r["vec_id"] for r in got}
+    # alpha=1 is proportional: the big topic dominates again
+    prop = cluster_balanced_sample(emb, cents, total_rows=40, alpha=1.0)
+    counts = sorted(
+        r["n"] for r in prop.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    )
+    assert counts == [4, 36]

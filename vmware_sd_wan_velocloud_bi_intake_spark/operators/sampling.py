@@ -163,3 +163,49 @@ def _apportion(
             break  # open strata exist but nothing placeable this round
         remaining -= placed
     return caps
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    cents: DataFrame,
+    total_rows: int,
+    alpha: float = 0.0,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Topic-balanced resampling over an embedding space — the
+    cluster-proportional curation step (the data-mixture half of the
+    SemDeDup-style pipeline): assign every vector to its cell at a
+    TRAINED coarse quantizer (``similarity.train_centroids`` — the same
+    build-once artifact the ANN index and semantic dedup share), then
+    draw a temperature-weighted mixture across cells.
+
+    ``alpha`` has the :func:`temperature_mixture` semantics at cell
+    grain: 0 gives every topic cluster an equal share of ``total_rows``
+    (maximum balance — a dominant topic stops drowning the mixture),
+    1 is proportional (no rebalancing), in between lifts tail topics.
+    Selection within a cell is the deterministic md5-rank permutation;
+    the whole draw is reproducible across runs, engines, and layouts.
+
+    Scale: one broadcast cell assignment (map-only, O(n × n_cells)) +
+    the mixture's single window shuffle on the cell key; the per-cell
+    counts that size the apportionment visit the driver bounded by
+    n_cells (the IVF centroid-table contract), never by rows.
+
+    Returns the sampled rows with their ``cell`` so downstream stages
+    (packing, splits) can stratify on it; drop it if not wanted.
+    """
+    from . import similarity
+
+    cells = similarity.ivf_members(
+        emb,
+        cents,
+        vec_id=vec_id,
+        embedding=embedding,
+        round_decimals=round_decimals,
+    ).select(F.col("vid").alias(vec_id), "cell")
+    with_cell = emb.join(cells, vec_id)
+    return temperature_mixture(
+        with_cell, "cell", vec_id, total_rows, alpha=alpha
+    )
