@@ -186,3 +186,43 @@ def test_cluster_balanced_sample_balances_skewed_topics(spark):
         r["n"] for r in prop.groupBy("cell").agg(F.count("*").alias("n")).collect()
     )
     assert counts == [4, 36]
+
+
+def test_text_only_balance_composition(spark):
+    """Raw text → hashed embeddings → trained cells → balanced draw: the
+    full topic-balancing composition with NO embedding model (the
+    text-only path test_embedding.py pins for SemDeDup, applied to the
+    mixture step). The contract under test is the OPERATOR's: every
+    trained cell contributes an equal alpha=0 share, deterministically —
+    which topics the quantizer separates is the quantizer's own
+    (elsewhere-tested) concern, and md5-ordered init over a 12:1 skew
+    may legitimately place both centroids in the big topic."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.embedding import (
+        hashed_doc_embedding,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.similarity import (
+        train_centroids,
+    )
+
+    cooking = "simmer the broth then fold in diced onions and braise gently"
+    engines = "torque converter slips when the turbine stator locks up"
+    rows = [(i, f"{cooking} variation {i % 5}") for i in range(120)]
+    rows += [(1000 + i, f"{engines} case {i % 3}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hashed_doc_embedding(docs)
+    cents = train_centroids(emb, n_cells=2, iters=4, round_decimals=6)
+    out = cluster_balanced_sample(emb, cents, total_rows=16, alpha=0.0)
+    got = out.collect()
+    assert len(got) == 16
+    by_cell = {}
+    for r in got:
+        by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    # equal alpha=0 share per trained cell (both cells hold >8 docs here,
+    # so no capacity redistribution muddies the split)
+    assert sorted(len(v) for v in by_cell.values()) == [8, 8], by_cell
+    again = {r["vec_id"] for r in cluster_balanced_sample(
+        emb, cents, total_rows=16, alpha=0.0).collect()}
+    assert again == {r["vec_id"] for r in got}
