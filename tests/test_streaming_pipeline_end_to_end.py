@@ -89,3 +89,106 @@ def test_streaming_curation_to_retrieval(spark, docs, tmp_path):
     assert curated <= {
         r["doc_id"] for r in text_survivors.select("doc_id").collect()
     }
+
+
+def test_curated_corpus_balances_and_enriches_on_export(spark, docs, tmp_path):
+    """The round-10 tail of the composed story: the curated corpus
+    (near-dup → embed → semantic dedup, as above) feeds (5) a
+    topic-BALANCED export draw reusing the semantic index's own trained
+    quantizer — no second training pass — and (6) a streamed export
+    enriched against a VERSIONED dimension through streaming_enrich_dim,
+    with a dim publish between micro-batches changing the very next
+    batch's enrichment (the SCD contract, inside the composition)."""
+    import os
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.sinks.versioned import (
+        write_version,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.jobs import (
+        streaming_enrich_dim,
+    )
+
+    # stages 1-3 (compressed): curate into a semantic survivor corpus
+    nd_idx, nd_surv = str(tmp_path / "nd_idx"), str(tmp_path / "nd_surv")
+    nd = make_near_dup_ingest(
+        nd_idx, nd_surv, threshold=0.5, num_hashes=8, bands=4, shingle_n=3
+    )
+    nd(docs.where("doc_id % 2 = 0"), 0)
+    nd(docs.where("doc_id % 2 = 1"), 1)
+    text_survivors = read_survivors(spark, nd_surv)
+    sd_idx, sd_surv = str(tmp_path / "sd_idx"), str(tmp_path / "sd_surv")
+    sd = make_semantic_dedup_ingest(
+        sd_idx, sd_surv, threshold=0.95, n_cells=8, train_iters=4
+    )
+    sd(hashed_doc_embedding(text_survivors.where("doc_id % 2 = 0")), 0)
+    sd(hashed_doc_embedding(text_survivors.where("doc_id % 2 = 1")), 1)
+    sem_survivors = read_semantic_survivors(spark, sd_surv)
+    n_sem = sem_survivors.count()
+    # ---- stage 5: balanced draw at the INDEX's quantizer ---------------
+    cents = spark.read.parquet(os.path.join(sd_idx, "centroids"))
+    target = min(32, n_sem)
+    emb_all = hashed_doc_embedding(text_survivors).join(
+        sem_survivors.select("vec_id"), "vec_id", "left_semi"
+    )
+    draw = cluster_balanced_sample(emb_all, cents, total_rows=target, alpha=0.0)
+    drawn = draw.select("vec_id", "cell").collect()
+    assert len(drawn) == target
+    cells = {}
+    for r in drawn:
+        cells[r["cell"]] = cells.get(r["cell"], 0) + 1
+    # every drawn row is a curated survivor; no cell exceeds the equal
+    # share by more than the capacity-redistribution allowance
+    assert {r["vec_id"] for r in drawn} <= {
+        r["vec_id"] for r in sem_survivors.select("vec_id").collect()
+    }
+    assert max(cells.values()) <= target  # sanity; shares sum exactly
+    # ---- stage 6: streamed export through a versioned SCD dim ----------
+    dim_root = str(tmp_path / "dim_root")
+    write_version(
+        spark.createDataFrame([("v1",)], "tag string").crossJoin(
+            draw.select(F.col("vec_id").alias("k"))
+        ).select("k", "tag"),
+        dim_root,
+    )
+    exp_src = tmp_path / "exp_src"
+    exp_src.mkdir()
+    half = target // 2
+    ordered = sorted(r["vec_id"] for r in drawn)
+    first, second = ordered[:half], ordered[half:]
+    spark.createDataFrame([(i,) for i in first], "k long").coalesce(
+        1
+    ).write.parquet(str(exp_src / "b0.parquet"))
+    seen = []
+
+    def apply_fn(enriched, batch_id):
+        seen.append({(r["k"], r["tag"]) for r in enriched.collect()})
+
+    body = streaming_enrich_dim(dim_root, "k", apply_fn)
+    ckpt = str(tmp_path / "exp_ckpt")
+
+    def run():
+        q = (
+            spark.readStream.schema("k long")
+            .parquet(str(exp_src / "*.parquet"))
+            .writeStream.foreachBatch(body)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "export stream did not drain"
+
+    run()
+    assert seen[-1] == {(i, "v1") for i in first}
+    # dim publish between triggers: the next batch enriches against v2
+    write_version(
+        spark.createDataFrame([(int(i), "v2") for i in second], "k long, tag string"),
+        dim_root,
+    )
+    spark.createDataFrame([(i,) for i in second], "k long").coalesce(
+        1
+    ).write.parquet(str(exp_src / "b1.parquet"))
+    run()
+    assert seen[-1] == {(i, "v2") for i in second}
