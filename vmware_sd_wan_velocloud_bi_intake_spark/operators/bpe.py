@@ -223,9 +223,11 @@ def train_bpe_batched(
     checkpoint_every: int = 4,
     candidate_factor: int = 4,
     min_count_ratio: float = 0.5,
+    loop_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """BPE training with top-B merge ROUNDS — the scale path for real
-    vocabularies.
+    vocabularies. ``loop_partitions`` as in :func:`train_bpe` (the loop
+    rule matters even more here: a 32k-vocab run is ~hundreds of rounds).
 
     :func:`train_bpe` is exact but job-serial in vocab size: one argmax
     Spark job per merge, so a production 32k-token vocabulary is ~32k
@@ -260,52 +262,87 @@ def train_bpe_batched(
         raise ValueError("checkpoint_every must be >= 1")
     if merge_batch < 1:
         raise ValueError("merge_batch must be >= 1")
+    from ..functions.conf import iterative_loop_confs
+
     spark = docs.sparkSession
     vocab = (
         word_vocab(docs, text_col)
         .select("freq", _init_symbols(F.col("word")).alias("sym"))
         .localCheckpoint(eager=True)
     )
+    vocab, p = _loop_sized_vocab(vocab, loop_partitions)
     last_ckpt = vocab
     merges: list[tuple[int, str, str, int]] = []
     rounds_since_ckpt = 0
-    while len(merges) < num_merges:
-        want = min(merge_batch, num_merges - len(merges))
-        top = (
-            vocab.select("freq", F.explode(_adjacent_pairs(F.col("sym"))).alias("p"))
-            .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
-            .agg(F.sum("freq").alias("cnt"))
-            .where(F.col("cnt") >= F.lit(min_count))
-            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
-            .limit(max(candidate_factor * want, want + 8))
-            .collect()
-        )
-        if not top:
-            break
-        chosen = select_disjoint_pairs(
-            [(r["left"], r["right"], int(r["cnt"])) for r in top],
-            want,
-            min_count_ratio=min_count_ratio,
-        )
-        if not chosen:
-            break
-        for l, r, c in chosen:
-            merges.append((len(merges), l, r, c))
-        vocab = vocab.withColumn(
-            "sym", merge_pass_multi_expr(F.col("sym"), [(l, r) for l, r, _ in chosen])
-        )
-        rounds_since_ckpt += 1
-        # same end-of-training skip as train_bpe: no materialization job
-        # for a vocab the loop is about to discard
-        if rounds_since_ckpt >= checkpoint_every and len(merges) < num_merges:
-            old = last_ckpt
-            vocab = vocab.localCheckpoint(eager=True)
-            last_ckpt = vocab
-            old.unpersist()
-            rounds_since_ckpt = 0
+    with iterative_loop_confs(spark, p):
+        while len(merges) < num_merges:
+            want = min(merge_batch, num_merges - len(merges))
+            top = (
+                vocab.select(
+                    "freq", F.explode(_adjacent_pairs(F.col("sym"))).alias("p")
+                )
+                .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+                .agg(F.sum("freq").alias("cnt"))
+                .where(F.col("cnt") >= F.lit(min_count))
+                .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+                .limit(max(candidate_factor * want, want + 8))
+                .collect()
+            )
+            if not top:
+                break
+            chosen = select_disjoint_pairs(
+                [(r["left"], r["right"], int(r["cnt"])) for r in top],
+                want,
+                min_count_ratio=min_count_ratio,
+            )
+            if not chosen:
+                break
+            for l, r, c in chosen:
+                merges.append((len(merges), l, r, c))
+            vocab = vocab.withColumn(
+                "sym",
+                merge_pass_multi_expr(F.col("sym"), [(l, r) for l, r, _ in chosen]),
+            )
+            rounds_since_ckpt += 1
+            # same end-of-training skip as train_bpe: no materialization job
+            # for a vocab the loop is about to discard
+            if rounds_since_ckpt >= checkpoint_every and len(merges) < num_merges:
+                old = last_ckpt
+                vocab = vocab.localCheckpoint(eager=True)
+                last_ckpt = vocab
+                old.unpersist()
+                rounds_since_ckpt = 0
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_count long"
     )
+
+
+def _loop_sized_vocab(vocab: DataFrame, loop_partitions):
+    """Size the merge loop's parallelism to the VOCAB, not the corpus
+    (functions/conf.py's loop rule): the vocab table the loop iterates
+    over is orders of magnitude smaller than the corpus the session's
+    shuffle partitioning was sized for, and every merge iteration pays
+    the per-task scheduler floor across ALL of the checkpointed
+    partitions. ``loop_partitions``: "auto" counts the (already
+    checkpointed, so cheap) vocab once and shrinks to
+    ``loop_partition_count``; an int is explicit; None keeps the
+    upstream partitioning (the pre-r10 behavior). Shrinking
+    re-checkpoints the coalesced vocab — one tiny vocab-sized job that
+    the N-iteration loop amortizes immediately.
+    """
+    current = vocab.rdd.getNumPartitions()
+    if loop_partitions is None:
+        return vocab, current
+    if loop_partitions == "auto":
+        from ..functions.conf import loop_partition_count
+
+        loop_partitions = loop_partition_count(vocab.count(), current)
+    p = int(loop_partitions)
+    if p < current:
+        old = vocab
+        vocab = vocab.coalesce(p).localCheckpoint(eager=True)
+        old.unpersist()
+    return vocab, p
 
 
 def train_bpe(
@@ -314,6 +351,7 @@ def train_bpe(
     num_merges: int = 32,
     min_count: int = 2,
     checkpoint_every: int = 4,
+    loop_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Train a BPE merge table on the corpus.
 
@@ -330,39 +368,51 @@ def train_bpe(
     At hundreds of merges the flat-plan guarantee is unchanged (the
     checkpoint still lands every N); pass 1 to restore the per-merge
     truncation.
+
+    ``loop_partitions`` (default "auto") sizes the merge loop's
+    parallelism to the measured vocab instead of the session default —
+    see :func:`_loop_sized_vocab`. Merge selection is exact integer
+    arithmetic with a total-order tie-break, so the result is
+    partitioning-invariant (property-tested).
     """
     if checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
+    from ..functions.conf import iterative_loop_confs
+
     spark = docs.sparkSession
     vocab = (
         word_vocab(docs, text_col)
         .select("freq", _init_symbols(F.col("word")).alias("sym"))
         .localCheckpoint(eager=True)
     )
+    vocab, p = _loop_sized_vocab(vocab, loop_partitions)
     last_ckpt = vocab
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(num_merges):
-        best = (
-            vocab.select("freq", F.explode(_adjacent_pairs(F.col("sym"))).alias("p"))
-            .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
-            .limit(1)
-            .collect()
-        )
-        if not best or best[0]["cnt"] < min_count:
-            break
-        l, r, c = best[0]["left"], best[0]["right"], int(best[0]["cnt"])
-        merges.append((rank, l, r, c))
-        vocab = vocab.withColumn("sym", merge_pass_expr(F.col("sym"), l, r))
-        # skip the checkpoint when training is about to end: the vocab is
-        # discarded after the loop, so a final-materialization job would
-        # buy nothing (one full vocab write per run saved)
-        if (rank + 1) % checkpoint_every == 0 and rank + 1 < num_merges:
-            old = last_ckpt
-            vocab = vocab.localCheckpoint(eager=True)
-            last_ckpt = vocab
-            old.unpersist()
+    with iterative_loop_confs(spark, p):
+        for rank in range(num_merges):
+            best = (
+                vocab.select(
+                    "freq", F.explode(_adjacent_pairs(F.col("sym"))).alias("p")
+                )
+                .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["cnt"] < min_count:
+                break
+            l, r, c = best[0]["left"], best[0]["right"], int(best[0]["cnt"])
+            merges.append((rank, l, r, c))
+            vocab = vocab.withColumn("sym", merge_pass_expr(F.col("sym"), l, r))
+            # skip the checkpoint when training is about to end: the vocab is
+            # discarded after the loop, so a final-materialization job would
+            # buy nothing (one full vocab write per run saved)
+            if (rank + 1) % checkpoint_every == 0 and rank + 1 < num_merges:
+                old = last_ckpt
+                vocab = vocab.localCheckpoint(eager=True)
+                last_ckpt = vocab
+                old.unpersist()
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_count long"
     )

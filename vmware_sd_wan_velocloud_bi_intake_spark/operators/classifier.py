@@ -75,6 +75,7 @@ def train_logreg(
     lr: float = 2.0,
     round_decimals: int = 9,
     cache: bool = True,
+    loop_partitions: int | str | None = "auto",
 ) -> tuple[list[float], float]:
     """Full-batch GD. Returns (weights, bias).
 
@@ -83,13 +84,39 @@ def train_logreg(
     re-running the upstream featurization pipeline each round; unpersisted
     on exit. At corpus scales where even the projection cannot cache,
     pass False and accept the re-scan (or point ``df`` at a staged table).
+
+    ``loop_partitions`` (default "auto") applies the loop-parallelism
+    rule (functions/conf.py): the cached projection is ~50 bytes/row —
+    orders narrower than the documents it came from — yet each GD
+    iteration pays the per-task floor across every upstream partition.
+    Auto counts the input once (column-pruned: featurization expressions
+    are NOT evaluated for the count) and repartitions the projection to
+    ``loop_partition_count`` before caching — featurization still runs
+    at full upstream parallelism; only the narrow feature rows move.
+    The gradient sums' accumulation ORDER changes with partitioning; the
+    per-step rounding quantum absorbs that (the same contract that makes
+    the trainer engine-replayable), so the trained weights are
+    partitioning-invariant at ``round_decimals``. None keeps the
+    upstream partitioning; an int is explicit.
     """
     import numpy as np
 
+    from ..functions.conf import iterative_loop_confs, loop_partition_count
+
+    spark = df.sparkSession
     proj = df.select(
         F.col(features_col).alias("x"),
         F.col(label_col).cast("double").alias("y"),
     )
+    p = proj.rdd.getNumPartitions()
+    if loop_partitions == "auto":
+        want = loop_partition_count(df.count(), p)
+        if want < p:
+            proj, p = proj.repartition(want), want
+    elif loop_partitions is not None:
+        want = int(loop_partitions)
+        if want < p:
+            proj, p = proj.repartition(want), want
     if cache:
         proj = proj.persist()
     try:
@@ -99,20 +126,21 @@ def train_logreg(
         d = d_row["d"]
         w, b = [0.0] * d, 0.0
         x = F.col("x")
-        for _ in range(iters):
-            r = sigmoid(_dot_lit(x, w, b)) - F.col("y")
-            aggs = [
-                F.round(F.avg(r * F.element_at(x, j + 1)), round_decimals).alias(
-                    f"g{j}"
+        with iterative_loop_confs(spark, p):
+            for _ in range(iters):
+                r = sigmoid(_dot_lit(x, w, b)) - F.col("y")
+                aggs = [
+                    F.round(
+                        F.avg(r * F.element_at(x, j + 1)), round_decimals
+                    ).alias(f"g{j}")
+                    for j in range(d)
+                ] + [F.round(F.avg(r), round_decimals).alias("gb")]
+                row = proj.agg(*aggs).head()
+                g = np.array([row[f"g{j}"] for j in range(d)] + [row["gb"]])
+                upd = spark_round_array(
+                    np.array(w + [b]) - lr * g, round_decimals
                 )
-                for j in range(d)
-            ] + [F.round(F.avg(r), round_decimals).alias("gb")]
-            row = proj.agg(*aggs).head()
-            g = np.array([row[f"g{j}"] for j in range(d)] + [row["gb"]])
-            upd = spark_round_array(
-                np.array(w + [b]) - lr * g, round_decimals
-            )
-            w, b = [float(v) for v in upd[:d]], float(upd[d])
+                w, b = [float(v) for v in upd[:d]], float(upd[d])
     finally:
         if cache:
             proj.unpersist()

@@ -41,18 +41,13 @@ def micro_batch_confs(spark, shuffle_partitions: int = 4):
     latency when there is nothing to re-plan) and few shuffle partitions
     (32 reduce tasks per exchange over hundreds of rows is ~600
     near-empty tasks of scheduling per micro-batch — interleaved A/B on
-    the streaming vehicle: 9.7→5.5 s). get→set→restore of confs with
-    DEFINED values (session.py sets both) — not the unset-conf leak
-    pattern sinks/merge.py warns about. Production deployments size
-    these to the batch volume instead; the catalog runs serially, so a
-    scoped override cannot race another query.
+    the streaming vehicle: 9.7→5.5 s). Delegates to the shared
+    get→set→restore scope (functions/conf.py — same rule, batch-sized
+    instead of loop-sized). Production deployments size these to the
+    batch volume instead; the catalog runs serially, so a scoped
+    override cannot race another query.
     """
-    prior_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    prior_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
+    from ..functions.conf import iterative_loop_confs
+
+    with iterative_loop_confs(spark, shuffle_partitions):
         yield
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", prior_sp)
