@@ -103,6 +103,24 @@ def main() -> None:
     # methodologies defeat the drift cancellation they exist for)
     sentinel_end = sentinel_sec(spark)
 
+    # drift defense (VERDICT r9 "What's wrong" #2): when the end probe
+    # says the host slowed >2× during the run, queries benched in the
+    # slow window never saw a fair pass — r9's dedup family "regressed"
+    # 1.2× exactly this way (attribution pinned in SCALE.md). One extra
+    # full pass (mins keep absorbing) under a re-probe; bounded retries
+    # so a persistently-loaded host terminates with the flag visible in
+    # the published sentinels rather than looping.
+    drift_retries = 0
+    while sentinel_end > 2.0 * sentinel and drift_retries < 2:
+        drift_retries += 1
+        for name, q in sorted(catalog.items()):
+            t0 = time.perf_counter()
+            q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
+        per_pass_sentinels.append(_sentinel_once(spark))
+        sentinel_end = sentinel_sec(spark)
+
     total = round(sum(timings.values()), 3)
     # r6 recorded the first sentinel (1.498 s, BENCH_r06.json) — publishing
     # the ratio AND the r6-host-equivalent total makes cross-round
@@ -120,6 +138,7 @@ def main() -> None:
                 "sentinel_sec": sentinel,
                 "sentinel_end_sec": sentinel_end,
                 "sentinel_per_pass": per_pass_sentinels,
+                "drift_retries": drift_retries,
                 "total_over_sentinel": round(total / sentinel, 3),
                 "r6_host_equivalent_total": round(
                     total / sentinel * R6_SENTINEL, 3
