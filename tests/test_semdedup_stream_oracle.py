@@ -1,0 +1,52 @@
+"""Full SQL-oracle verification of the streamed semantic-dedup ingest
+(queries/textvec.dedup_semantic_stream + SEMDEDUP_STREAM_ORACLE).
+
+The same discipline the driver's correctness gate applies to catalog
+vehicles, run here at sf0.01 because the streamed vehicle's ~7 s of
+fixed per-batch machinery does not earn a 5-pass bench slot (the comment
+above the query documents the cost call): the real Structured Streaming
+path — readStream → maxFilesPerTrigger=1 → foreachBatch → availableNow,
+build-batch quantizer training, per-batch keep-the-outlier dedup,
+incremental probe of the persisted members — must equal the two-phase
+DuckDB replay EXACTLY (row set, cells, rounded centroid cosines,
+arrival batches). Any drift in training, assignment, either dedup
+phase, or the batch-keyed writes shows up as a row difference.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from vmware_sd_wan_velocloud_bi_intake_spark.queries.textvec import (
+    SEMDEDUP_STREAM_ORACLE,
+    dedup_semantic_stream,
+)
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect()), cols
+
+
+def test_streamed_semdedup_matches_two_phase_sql_replay(spark, sf_correct):
+    sdf = dedup_semantic_stream(spark, sf_correct)
+    srows, scols = _rows(sdf)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_correct}/embeddings.parquet'"
+    )
+    od = con.execute(SEMDEDUP_STREAM_ORACLE).fetch_df()
+    ocols = sorted(od.columns)
+    orows = sorted(
+        tuple(str(od[c][i]) for c in ocols) for i in range(len(od))
+    )
+
+    assert scols == ocols
+    assert len(srows) > 0, "empty survivor set would vacuously pass"
+    assert srows == orows
+    # both arrival batches must be represented, or the second micro-batch
+    # (and with it the incremental path) was never exercised
+    batches = {r[scols.index("arrived_batch")] for r in srows}
+    assert batches == {"0", "1"}

@@ -442,31 +442,26 @@ WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
 _STREAM_SNAP_KNOBS = dict(threshold=0.4, num_hashes=4, bands=2, shingle_n=3)
 
 
-def dedup_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _arrival_split_src(df: DataFrame, id_col: str, prefix: str) -> str:
+    """Materialize ``df`` as a deterministic TWO-FILE arrival split for a
+    streamed catalog vehicle: file 0 holds ids ≤ max(id)//2, file 1 the
+    rest — an id-range split, so ids are monotone in arrival order (the
+    ingests' documented stream≡batch convergence precondition) and the
+    midpoint rule is trivially mirrored by a SQL oracle. ONE job writes
+    both files (single-partition partitionBy gives exactly one file per
+    split value; two coalesce(1) writes would re-scan the subset twice),
+    then mtimes are pinned because FileStreamSource orders by
+    modification time — same-ms writes would make the batch order
+    nondeterministic. Returns the scratch root; the source glob is
+    ``<root>/src/arr=*``."""
     import os
     import tempfile
 
-    from ..streaming.neardup import make_near_dup_ingest
-
-    from ..streaming.ingestbase import run_file_ingest
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .where((F.col("doc_id") % 5) == 0)
-    )
-    # id-range split => ids monotone in arrival order (the convergence
-    # precondition); the midpoint rule is mirrored by the oracle
-    mid = docs.agg(F.max("doc_id")).first()[0] // 2
-    root = tempfile.mkdtemp(prefix="dedup_stream_snapshot_")
+    mid = df.agg(F.max(id_col)).first()[0] // 2
+    root = tempfile.mkdtemp(prefix=prefix)
     src = os.path.join(root, "src")
-    # ONE job writes both arrival files: single-partition partitionBy
-    # gives exactly one file per split value (two coalesce(1) writes
-    # would re-scan the subset twice for no reason)
     (
-        docs.withColumn(
-            "arr", F.when(F.col("doc_id") <= mid, 0).otherwise(1)
-        )
+        df.withColumn("arr", F.when(F.col(id_col) <= mid, 0).otherwise(1))
         .repartition(1)
         .sortWithinPartitions("arr")
         .write.partitionBy("arr")
@@ -479,16 +474,30 @@ def dedup_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             # starting above the midpoint); the stream then sees one file
             continue
         for f in os.listdir(d):
-            # FileStreamSource orders by modification time; same-ms
-            # writes would make the batch order nondeterministic
             os.utime(os.path.join(d, f), (1_700_000_000 + i,) * 2)
+    return root
+
+
+def dedup_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.neardup import make_near_dup_ingest
+
+    from ..streaming.ingestbase import run_file_ingest
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where((F.col("doc_id") % 5) == 0)
+    )
+    root = _arrival_split_src(docs, "doc_id", "dedup_stream_snapshot_")
     # micro-batch conf scope (queries/base.micro_batch_confs): AQE off +
     # few shuffle partitions for the hundreds-of-rows batches — the
     # interleaved A/B behind both choices is in the helper's docstring
     with micro_batch_confs(spark):
         run_file_ingest(
             spark,
-            src + "/arr=*",
+            os.path.join(root, "src", "arr=*"),
             "doc_id long, text string",
             make_near_dup_ingest(
                 os.path.join(root, "idx"),
@@ -933,11 +942,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lloyd_replay_prefix(iters: int) -> str:
+def _lloyd_replay_prefix(iters: int, train_where: str = "") -> str:
     """Unrolled quantized-Lloyd replay, in SQL — the shared WITH-prefix
     (through the per-vector ``assigned (vec_id, cell, ccos)`` CTE) for
     every oracle over the trained quantizer (`sim_ann_ivf`,
-    `dedup_semantic`).
+    `dedup_semantic_stream`).
 
     Mirrors operators.similarity.train_centroids(round_decimals=6) step for
     step: c0 = first n_cells sample vectors in md5 order; each iteration
@@ -946,6 +955,12 @@ def _lloyd_replay_prefix(iters: int) -> str:
     members (empty cells COALESCE to their previous value). Rounding at
     every step is what makes the replay exact — both engines' ulp-level
     accumulation differences sit ~1e-9 below the rounding quantum.
+
+    ``train_where`` restricts the TRAINING population (sample + the
+    n_cells sizing) without restricting ``assigned``, which always covers
+    every vector — the streamed-semdedup oracle trains on the build
+    batch (ids ≤ midpoint) exactly like the ingest's first micro-batch,
+    then assigns the whole table at the frozen centroids.
     """
     steps = []
     prev = "c0"
@@ -980,11 +995,11 @@ WITH v AS (
 ), params AS (
   SELECT GREATEST(8, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS n_cells,
          (SELECT len(e) FROM v LIMIT 1) AS d
-  FROM v
+  FROM v {train_where}
 ), samp AS (
   SELECT vec_id, e,
          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS ord
-  FROM v
+  FROM v {train_where}
   QUALIFY ord <= 16384
 ), c0 AS (
   SELECT ord - 1 AS cell, e AS cv
@@ -1068,6 +1083,127 @@ SEMDEDUP_ORACLE = f"""{_lloyd_replay_prefix(_IVF_TRAIN_ITERS)}, losers AS (
 SELECT a.vec_id, a.cell, a.ccos AS centroid_cos_r6
 FROM assigned a
 WHERE a.vec_id NOT IN (SELECT vec_id FROM losers)
+"""
+
+
+# --------------------------------------------------------------------------
+# Streamed semantic-dedup ingest snapshot (round 10): the second
+# index-maintaining ingest verified end to end against a FULL SQL
+# replay, the `dedup_stream_snapshot` oracle discipline applied to the
+# vector family. The query materializes the deterministic 2-file arrival
+# split of the embeddings table (ids ≤ max//2 arrive first), runs the
+# REAL Structured Streaming path (readStream → maxFilesPerTrigger=1 →
+# foreachBatch → availableNow) through
+# streaming/semdedup.make_semantic_dedup_ingest against fresh
+# index/survivors/checkpoint dirs, and returns the persisted INDEX
+# MEMBERS joined back to the saved centroids — so the comparison covers
+# the build batch's quantizer training (batch-0 sample, quantized
+# Lloyd), both batches' in-batch SemDeDup at the frozen quantizer
+# (keep-the-outlier, operators/similarity.semantic_dedup_survivors), the
+# incremental probe of batch 1 against batch 0's members
+# (semantic_dedup_incremental — cell equi-join, cos ≥ τ drops the batch
+# row), the centroid VALUES (through centroid_cos), and the batch-keyed
+# arrival bookkeeping. The DuckDB oracle replays the whole two-phase
+# flow: Lloyd over the build half only (train_where on the shared
+# prefix), assignment of everything at the frozen centroids, per-batch
+# in-cell losers, then the cross-batch incremental losers.
+#
+# NOT a catalog slot — a deliberate cost call, not a coverage gap: the
+# streamed run is ~7 s of per-batch machinery (fingerprint, training,
+# applyInPandas dedup, occupancy profile, drift part, three writes — all
+# real, all per-batch jobs) that is ~85% fixed at any sf, and the
+# catalog already pays that fixed cost once for the near-dup ingest
+# (`dedup_stream_snapshot`, which gates the SHARED stream wiring:
+# run_file_ingest, ingestbase guards, batch-keyed overwrite replay).
+# This family's two-phase SQL replay instead runs per round as
+# tests/test_semdedup_stream_oracle.py at sf0.01 — exact row-set
+# equality, the same strength of check the driver's hash would give,
+# minus the catalog's 5-pass bench bill. The batch SemDeDup operator
+# keeps its driver-gated `dedup_semantic` row below.
+# --------------------------------------------------------------------------
+def dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.ingestbase import run_file_ingest
+    from ..streaming.semdedup import make_semantic_dedup_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = _arrival_split_src(emb, "vec_id", "dedup_semantic_stream_")
+    idx = os.path.join(root, "idx")
+    with micro_batch_confs(spark):
+        run_file_ingest(
+            spark,
+            os.path.join(root, "src", "arr=*"),
+            "vec_id long, embedding array<float>",
+            make_semantic_dedup_ingest(
+                idx,
+                os.path.join(root, "surv"),
+                threshold=_SEMDEDUP_TAU,
+                train_iters=_IVF_TRAIN_ITERS,
+                round_decimals=6,
+            ),
+            os.path.join(root, "ckpt"),
+            max_files_per_trigger=1,
+        )
+    members = spark.read.parquet(os.path.join(idx, "members"))
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    return members.join(F.broadcast(cents), "cell").select(
+        F.col("vid").alias("vec_id"),
+        "cell",
+        F.round(
+            similarity.dot(F.col("v"), F.col("cv"))
+            / (F.col("nrm") * F.col("cnrm")),
+            6,
+        ).alias("centroid_cos_r6"),
+        F.col("_batch_id").cast("long").alias("arrived_batch"),
+    )
+
+
+_SEMDEDUP_STREAM_TRAIN_WHERE = (
+    "WHERE vec_id <= (SELECT CAST(MAX(vec_id) // 2 AS BIGINT) FROM v)"
+)
+
+SEMDEDUP_STREAM_ORACLE = f"""{
+    _lloyd_replay_prefix(_IVF_TRAIN_ITERS, _SEMDEDUP_STREAM_TRAIN_WHERE)
+}, batchd AS (
+  -- every vector at the FROZEN build-batch centroids, tagged with its
+  -- arrival micro-batch (the id-range split rule the vehicle writes)
+  SELECT a.vec_id, a.cell, a.ccos,
+         CASE WHEN a.vec_id <= (SELECT CAST(MAX(vec_id) // 2 AS BIGINT)
+                                FROM v)
+              THEN 0 ELSE 1 END AS arr
+  FROM assigned a
+), inb_losers AS (
+  -- in-batch SemDeDup, per batch: member b loses iff some SAME-BATCH,
+  -- same-cell member a earlier in (ccos, vec_id) order clears τ
+  -- (keep-the-outlier; a may itself be a loser — the operator's rule)
+  SELECT DISTINCT b.vec_id
+  FROM batchd a
+  JOIN batchd b ON a.cell = b.cell AND a.arr = b.arr
+   AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+  JOIN v x ON x.vec_id = a.vec_id
+  JOIN v y ON y.vec_id = b.vec_id
+  WHERE ROUND(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6)
+        >= {_SEMDEDUP_TAU}
+), kept AS (
+  SELECT * FROM batchd
+  WHERE vec_id NOT IN (SELECT vec_id FROM inb_losers)
+), inc_losers AS (
+  -- batch 1's kept rows probe batch 0's members (batch 0's kept rows ARE
+  -- the index after the build batch): same cell, cos ≥ τ → batch row
+  -- loses (the corpus is already curated)
+  SELECT DISTINCT k1.vec_id
+  FROM kept k1
+  JOIN kept k0 ON k1.arr = 1 AND k0.arr = 0 AND k1.cell = k0.cell
+  JOIN v x ON x.vec_id = k1.vec_id
+  JOIN v y ON y.vec_id = k0.vec_id
+  WHERE ROUND(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6)
+        >= {_SEMDEDUP_TAU}
+)
+SELECT k.vec_id, k.cell, k.ccos AS centroid_cos_r6,
+       CAST(k.arr AS BIGINT) AS arrived_batch
+FROM kept k
+WHERE NOT (k.arr = 1 AND k.vec_id IN (SELECT vec_id FROM inc_losers))
 """
 
 
