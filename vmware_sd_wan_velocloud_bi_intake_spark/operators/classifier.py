@@ -109,12 +109,16 @@ def train_logreg(
         F.col(label_col).cast("double").alias("y"),
     )
     p = proj.rdd.getNumPartitions()
-    if loop_partitions == "auto":
-        want = loop_partition_count(df.count(), p)
-        if want < p:
-            proj, p = proj.repartition(want), want
-    elif loop_partitions is not None:
-        want = int(loop_partitions)
+    if cache and loop_partitions is not None:
+        # the repartition amortizes only through the cache: uncached, its
+        # shuffle would re-run on EVERY iteration's re-scan and buy
+        # nothing — cache=False keeps the upstream partitioning and still
+        # gets the scoped loop confs below
+        want = (
+            loop_partition_count(df.count(), p)
+            if loop_partitions == "auto"
+            else int(loop_partitions)
+        )
         if want < p:
             proj, p = proj.repartition(want), want
     if cache:
