@@ -93,6 +93,25 @@ def test_train_logreg_partitioning_invariant(spark, sf_smoke):
     assert models[0] == models[1] == models[2]
 
 
+def test_loop_confs_survive_a_session_that_never_set_aqe(spark):
+    """A driver-owned session may never have set AQE explicitly. SQL
+    confs WITH engine defaults (AQE) read as their default when unset —
+    so get/restore pins an EQUIVALENT value and the effective conf is
+    unchanged; keys WITHOUT defaults take the unset-restore path
+    (covered above). Either way the scope must not crash and must leave
+    the effective value as it found it."""
+    key = "spark.sql.adaptive.enabled"
+    prior = spark.conf.get(key)
+    spark.conf.unset(key)
+    try:
+        effective = spark.conf.get(key)  # the engine default
+        with iterative_loop_confs(spark, 2):
+            assert spark.conf.get(key) == "false"
+        assert spark.conf.get(key) == effective
+    finally:
+        spark.conf.set(key, prior)
+
+
 def test_trainer_loops_restore_session_confs(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents")
     prior_sp = spark.conf.get("spark.sql.shuffle.partitions")
