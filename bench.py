@@ -58,6 +58,55 @@ def sentinel_sec(spark) -> float:
     return round(min(_sentinel_once(spark) for _ in range(3)), 3)
 
 
+def _load_prev_bench() -> dict | None:
+    """Latest BENCH_r{N}.json next to this file, reduced to
+    {"round": N, "queries": {...}, "sentinel_sec": x}. Driver bench
+    artifacts wrap the bench stdout in a "tail" field; the JSON line is
+    the last '{"metric"...' in it. Returns None when no prior round or
+    the artifact is unparseable (first round, stripped checkout)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return None
+    try:
+        with open(best) as f:
+            outer = json.load(f)
+        inner = outer if "queries" in outer else None
+        if inner is None and isinstance(outer.get("tail"), str):
+            starts = [
+                m.start() for m in re.finditer(r'\{"metric"', outer["tail"])
+            ]
+            for s in reversed(starts):
+                try:
+                    inner = json.loads(outer["tail"][s:].splitlines()[0])
+                    break
+                except Exception:
+                    continue
+        if not inner or "queries" not in inner or "sentinel_sec" not in inner:
+            return None
+        return {
+            "round": best_n,
+            "queries": inner["queries"],
+            "sentinel_sec": inner["sentinel_sec"],
+            "sf": inner.get("sf"),
+        }
+    except Exception:
+        return None
+
+
+# a per-query sentinel-normalized r-over-r ratio above this triggers an
+# automatic interleaved A/B (tools/ab_check.py discipline) whose table is
+# published in the bench JSON — VERDICT r10 "Next round" #7
+AB_FLAG_RATIO = 1.3
+
+
 def infer_sf(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -121,6 +170,51 @@ def main() -> None:
         per_pass_sentinels.append(_sentinel_once(spark))
         sentinel_end = sentinel_sec(spark)
 
+    # auto A/B (VERDICT r10 #7): at CLEAN sentinels (no drift retries,
+    # end probe within 2× of start), a query whose sentinel-normalized
+    # ratio moved >AB_FLAG_RATIO vs the previous round's bench gets the
+    # interleaved ab_check discipline run in THIS session, table embedded
+    # below — so "regression or host weather?" is answered in the
+    # artifact instead of next round's archaeology. Skipped entirely when
+    # the run itself was drift-flagged (nothing to separate) or when the
+    # env kill-switch is set (sf1 one-off runs where wall-clock matters).
+    ab_checks: dict[str, dict] = {}
+    prev = _load_prev_bench()
+    sentinels_clean = drift_retries == 0 and sentinel_end <= 2.0 * sentinel
+    if (
+        prev
+        and prev.get("sf") == infer_sf(SF_DIR)  # r-over-r only at same sf
+        and sentinels_clean
+        and not os.environ.get("SPARK_GRAFT_BENCH_NO_AB")
+    ):
+        flagged = sorted(
+            name
+            for name, cur in timings.items()
+            if name in prev["queries"]
+            and prev["queries"][name] > 0
+            and (cur / sentinel)
+            / (prev["queries"][name] / prev["sentinel_sec"])
+            > AB_FLAG_RATIO
+        )
+        if flagged:
+            from tools.ab_check import interleaved_check
+
+            table = interleaved_check(
+                spark, catalog, flagged, SF_DIR, runs=3, echo=False
+            )
+            for name in flagged:
+                ab_checks[name] = {
+                    "prev_round": prev["round"],
+                    "prev_ratio_vs_sentinel": round(
+                        prev["queries"][name] / prev["sentinel_sec"], 3
+                    ),
+                    "bench_ratio_vs_sentinel": round(
+                        timings[name] / sentinel, 3
+                    ),
+                    "ab": table["queries"][name],
+                    "ab_sentinel": table["sentinel"],
+                }
+
     total = round(sum(timings.values()), 3)
     # r6 recorded the first sentinel (1.498 s, BENCH_r06.json) — publishing
     # the ratio AND the r6-host-equivalent total makes cross-round
@@ -143,7 +237,12 @@ def main() -> None:
                 "r6_host_equivalent_total": round(
                     total / sentinel * R6_SENTINEL, 3
                 ),
-                "runs": N_RUNS,
+                # effective full passes the mins absorbed (configured +
+                # drift retries) — always == len(sentinel_per_pass), so a
+                # consumer pairing the two fields stays consistent
+                "runs": len(per_pass_sentinels),
+                "configured_runs": N_RUNS,
+                "ab_checks": ab_checks,
             }
         )
     )

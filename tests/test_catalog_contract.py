@@ -30,7 +30,7 @@ ROUND1_UNCHECKED_BLOCK = {
     "q03_shipping_priority",
     "q05_local_supplier_volume",
     "q10_returned_items",
-    "q17_small_quantity",
+    "q21_waiting_suppliers",
     "q18_large_orders",
     "med_silver_links",
     "med_gold_rollup",

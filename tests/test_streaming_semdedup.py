@@ -388,3 +388,52 @@ def test_build_crash_before_baseline_replays_clean(spark, emb, tmp_path):
     ingest(b0, 0)  # Spark replays the uncommitted build batch
     assert _survivor_ids(spark, surv) == want
     assert os.path.exists(idx + "/occupancy.json")
+
+
+def test_build_crash_replay_seeds_identical_baseline(spark, emb, tmp_path):
+    """Crash in the window between the build batch's MEMBERS write and its
+    occupancy write (VERDICT r10 #6): the replay must detect that the only
+    committed members carry its own batch id, re-derive the baseline from
+    the full batch in hand, and publish occupancy.json BYTE-IDENTICAL to
+    the uncrashed build's — so drift verdicts on every later batch are
+    replay-identical across the crash window (the survivor-derived
+    backfill proxy must never be involved here)."""
+    import json
+    import os
+    import shutil
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.streaming.semdedup import (
+        semantic_drift_history,
+    )
+
+    idx = str(tmp_path / "sd_mcrash")
+    surv = str(tmp_path / "sd_mcrash_s")
+    ingest = make_semantic_dedup_ingest(idx, surv, **_KNOBS)
+    b0 = emb.where("vec_id % 2 = 0")
+    b1 = emb.where("vec_id % 2 = 1")
+    ingest(b0, 0)
+    with open(idx + "/occupancy.json") as f:
+        uncrashed_occupancy = f.read()
+    want_surv = _survivor_ids(spark, surv)
+    # rewind to the crash point: members + survivors + centroids landed,
+    # occupancy + drift part + head did not
+    os.remove(idx + "/occupancy.json")
+    shutil.rmtree(idx + "/drift_parts")
+    knobs_path = idx + "_knobs.json"
+    with open(knobs_path) as f:
+        stored = json.load(f)
+    stored.pop("last_batch_id"), stored.pop("last_batch_fp")
+    with open(knobs_path, "w") as f:
+        json.dump(stored, f)
+    ingest(b0, 0)  # Spark replays the uncommitted build batch
+    with open(idx + "/occupancy.json") as f:
+        assert f.read() == uncrashed_occupancy, (
+            "replayed baseline differs from the uncrashed build's — drift "
+            "verdicts would diverge across the crash window"
+        )
+    assert _survivor_ids(spark, surv) == want_surv
+    # the stream proceeds normally and records verdicts against the
+    # full-batch baseline
+    ingest(b1, 1)
+    hist = {r["batch"] for r in semantic_drift_history(spark, idx).collect()}
+    assert hist == {0, 1}

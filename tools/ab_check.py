@@ -16,6 +16,16 @@ Prints one row per pass (sentinel + per-query wall) and a summary with
 min / median and the sentinel-normalized ratio (query_median /
 sentinel_median) — the statistic that survives host drift. Compare
 ratios, not walls, across sessions.
+
+``--family PREFIX`` expands to every catalog query whose name starts
+with PREFIX (``--family dedup`` → the dedup vehicles). bench.py calls
+``interleaved_check`` directly (same live session) when a query's
+sentinel-normalized ratio moved >1.3× vs the previous round at clean
+sentinels, and embeds the table as ``ab_checks`` in the bench JSON.
+
+The sentinel is IMPORTED from bench.py — one probe definition, so the
+ratios printed here are always comparable to the published bench
+sentinels (a drifting duplicate would silently decouple them).
 """
 
 from __future__ import annotations
@@ -29,67 +39,48 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import _sentinel_once
 from vmware_sd_wan_velocloud_bi_intake_spark.queries import all_queries
 from vmware_sd_wan_velocloud_bi_intake_spark.session import get_spark
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("queries", nargs="+", help="catalog query names")
-    ap.add_argument("--runs", type=int, default=5)
-    ap.add_argument(
-        "--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    )
-    args = ap.parse_args()
-
-    from pyspark.sql import functions as F
-
-    spark = get_spark(app_name="ab_check")
-    catalog = all_queries()
-    unknown = [q for q in args.queries if q not in catalog]
-    if unknown:
-        raise SystemExit(f"unknown queries: {unknown} (see queries/catalog.py)")
-
-    def sentinel() -> float:
-        t0 = time.perf_counter()
-        (
-            spark.range(0, 20_000_000, 1, 32)
-            .select(F.md5(F.col("id").cast("string")).alias("h"))
-            .select(F.max("h").alias("m"), F.count("*").alias("n"))
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        return round(time.perf_counter() - t0, 3)
+def interleaved_check(
+    spark, catalog, names, sf_dir: str, runs: int = 5, echo: bool = True
+) -> dict:
+    """One interleaved sentinel-normalized A/B table over ``names``:
+    per pass, one sentinel probe then each query once, so a host burst
+    hits all arms equally. Returns the summary dict (the same shape the
+    CLI prints). Shared by the CLI below and bench.py's auto-flag path."""
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
-        catalog[name].fn(spark, args.sf).write.format("noop").mode(
+        catalog[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         return round(time.perf_counter() - t0, 3)
 
     # warm pass (unrecorded): JVM, parquet footers, Python worker pool
-    sentinel()
-    for q in args.queries:
+    _sentinel_once(spark)
+    for q in names:
         run(q)
 
     sents: list[float] = []
-    walls: dict[str, list[float]] = {q: [] for q in args.queries}
-    for i in range(args.runs):
-        s = sentinel()
+    walls: dict[str, list[float]] = {q: [] for q in names}
+    for _ in range(runs):
+        s = _sentinel_once(spark)
         sents.append(s)
         row = [f"sent {s:7.3f}"]
-        for q in args.queries:
+        for q in names:
             w = run(q)
             walls[q].append(w)
             row.append(f"{q} {w:7.3f}")
-        print("  ".join(row), flush=True)
+        if echo:
+            print("  ".join(row), flush=True)
 
     s_med = statistics.median(sents)
-    summary = {
-        "sf": args.sf,
-        "runs": args.runs,
+    return {
+        "sf": sf_dir,
+        "runs": runs,
         "sentinel": {"min": min(sents), "median": s_med},
         "queries": {
             q: {
@@ -100,6 +91,38 @@ def main() -> None:
             for q, v in walls.items()
         },
     }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("queries", nargs="*", help="catalog query names")
+    ap.add_argument(
+        "--family",
+        action="append",
+        default=[],
+        help="expand to all catalog queries with this name prefix",
+    )
+    ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument(
+        "--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    args = ap.parse_args()
+
+    catalog = all_queries()
+    names = list(args.queries)
+    for prefix in args.family:
+        expanded = sorted(q for q in catalog if q.startswith(prefix))
+        if not expanded:
+            raise SystemExit(f"--family {prefix}: no catalog query matches")
+        names.extend(q for q in expanded if q not in names)
+    if not names:
+        raise SystemExit("no queries given (positional names or --family)")
+    unknown = [q for q in names if q not in catalog]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown} (see queries/catalog.py)")
+
+    spark = get_spark(app_name="ab_check")
+    summary = interleaved_check(spark, catalog, names, args.sf, runs=args.runs)
     print(json.dumps(summary))
     spark.stop()
 

@@ -45,13 +45,17 @@ def scoped_confs(spark, confs: dict[str, str]):
     plain get/set restore would pin the effective default as an explicit
     session value forever)."""
     prior: dict[str, object] = {}
-    for k, v in confs.items():
-        try:
-            prior[k] = spark.conf.get(k)
-        except Exception:
-            prior[k] = _UNSET
-        spark.conf.set(k, v)
+    # The set loop runs INSIDE the try: if a later key fails to set (e.g.
+    # a non-runtime-settable conf raises), the finally still restores the
+    # subset of ``prior`` captured so far instead of leaking the earlier
+    # overrides into the caller's session.
     try:
+        for k, v in confs.items():
+            try:
+                prior[k] = spark.conf.get(k)
+            except Exception:
+                prior[k] = _UNSET
+            spark.conf.set(k, v)
         yield
     finally:
         for k, p in prior.items():

@@ -326,7 +326,9 @@ def _loop_sized_vocab(vocab: DataFrame, loop_partitions):
     partitions. ``loop_partitions``: "auto" counts the (already
     checkpointed, so cheap) vocab once and shrinks to
     ``loop_partition_count``; an int is explicit; None keeps the
-    upstream partitioning (the pre-r10 behavior). Shrinking
+    upstream data partitioning (the scoped loop confs — AQE off,
+    shuffle partitions pinned — still apply; pre-r10 the loop ran
+    under plain session confs with AQE on). Shrinking
     re-checkpoints the coalesced vocab — one tiny vocab-sized job that
     the N-iteration loop amortizes immediately.
     """

@@ -97,7 +97,9 @@ def train_logreg(
     per-step rounding quantum absorbs that (the same contract that makes
     the trainer engine-replayable), so the trained weights are
     partitioning-invariant at ``round_decimals``. None keeps the
-    upstream partitioning; an int is explicit.
+    upstream data partitioning (the scoped loop confs — AQE off,
+    shuffle partitions pinned — still apply; pre-r10 the loop ran
+    under plain session confs with AQE on); an int is explicit.
     """
     import numpy as np
 

@@ -27,7 +27,9 @@ from .base import Q
 # sim_cosine_topk (nd_degree column) and dedup_incremental→
 # dedup_stream_snapshot (the streamed ingest runs the same incremental
 # operator per micro-batch), freeing the slots for the round-9 streaming
-# flagship's snapshot vehicle and the incremental-stats vehicle), then the
+# flagship's snapshot vehicle and the incremental-stats vehicle; r11 per
+# VERDICT r10 #5: q17_small_quantity→q18_large_orders (q17_* rider
+# columns), freeing the slot for q21_waiting_suppliers), then the
 # TPC-H shapes and the new medallion entries; the remainder
 # (all round-1-green) follows.
 ORDER: list[str] = [
@@ -47,7 +49,7 @@ ORDER: list[str] = [
     "q03_shipping_priority",
     "q05_local_supplier_volume",
     "q10_returned_items",
-    "q17_small_quantity",
+    "q21_waiting_suppliers",
     "q18_large_orders",
     "med_silver_links",
     "med_gold_rollup",

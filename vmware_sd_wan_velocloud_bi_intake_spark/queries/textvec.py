@@ -415,25 +415,25 @@ WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
 # FileStreamSource orders by mtime), runs the REAL Structured Streaming
 # path (readStream → maxFilesPerTrigger=1 → foreachBatch → availableNow)
 # against fresh index/survivors/checkpoint dirs, and returns the streamed
-# survivors table with the micro-batch each survivor arrived in. With ids
-# monotone in arrival order the streamed survivor set equals the one-shot
-# batch derivation (first-arrival-wins ≡ min-id — the module's documented
-# convergence rule, property-tested in tests/test_streaming_neardup.py).
-# One honest caveat: exact equality additionally requires that no
-# verified pair of two LOSERS straddles the split (one-shot drops doc_b
-# of every pair, even loser-loser ones; the stream only checks new docs
-# against SURVIVORS — a doc whose only pair partner was itself dropped
-# in an earlier batch would survive the stream but not the one-shot).
-# τ=0.4 Jaccard is weakly transitive, so such chains are rare; the
-# fixtures have none (equality verified empirically at sf0.001/0.01/0.1,
-# and the oracle-parity CI re-asserts it at sf0.01 every run). So the
-# DuckDB oracle is the batch derivation: exact dedup (min-id keep),
-# then banded-LSH near-dup over the keepers, plus the arrival batch from
-# the same id-range split rule. This row hash-verifies, every round: the
-# within-batch dedup, the incremental check against the persisted index +
-# writer-maintained summary (the former dedup_incremental vehicle's
-# operator, folded here — it runs near_dup_pairs_incremental per
-# micro-batch), the batch-id-keyed idempotent writes, and the stream
+# survivors table with the micro-batch each survivor arrived in. The
+# DuckDB oracle is a TWO-PHASE REPLAY OF THE STREAM'S OWN SEMANTICS
+# (r10 verdict #1 — the SEMDEDUP_STREAM_ORACLE discipline applied here):
+# per batch, exact dedup (min-id per normalized-content digest WITHIN
+# the batch) then within-batch near-dup (doc_b of every verified pair
+# loses — the batch engine's rule, loser-loser pairs included); then
+# batch 1's remaining rows probe batch 0's SURVIVORS only, under the
+# combined corpus+batch bucket cap the writer-maintained summary
+# enforces (near_dup_pairs_incremental's contract). Because the oracle
+# computes exactly what the stream computes, the row is green at ANY
+# fixture/sf — it no longer leans on the "no loser-loser pair straddles
+# the split" fixture property the old one-shot-batch oracle needed
+# (with ids monotone in arrival order the two coincide except on such
+# chains; the stream≡batch convergence itself stays property-tested in
+# tests/test_streaming_neardup.py). This row hash-verifies, every round:
+# the within-batch dedup, the incremental check against the persisted
+# index + writer-maintained summary (the former dedup_incremental
+# vehicle's operator, folded here — it runs near_dup_pairs_incremental
+# per micro-batch), the batch-id-keyed idempotent writes, and the stream
 # wiring itself. Reference analog: the reference IS a hand-rolled
 # micro-batch system (/root/reference/powerbi_main_fun.py:1890-1921,
 # fun_mysql_query.py:40-60); its Spark restatement gets the same oracle
@@ -442,7 +442,36 @@ WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
 _STREAM_SNAP_KNOBS = dict(threshold=0.4, num_hashes=4, bands=2, shingle_n=3)
 
 
-def _arrival_split_src(df: DataFrame, id_col: str, prefix: str) -> str:
+# Per-process scratch root for the streamed vehicles' arrival splits and
+# run dirs, removed at interpreter exit (r10 ADVICE: mkdtemp trees used
+# to accumulate in /tmp indefinitely — 5+ per bench run). One root, one
+# atexit hook; everything below it is throwaway by construction. The run
+# dirs (index/survivors/checkpoint) cannot be deleted earlier: the
+# vehicle RETURNS a DataFrame lazily backed by the survivors parquet.
+_STREAM_SCRATCH_ROOT: str | None = None
+# (prefix, sf_dir) → materialized split src dir. The split is a pure
+# function of the input table and the id-range rule, so rebuilding it on
+# every call (a write job + mtime pinning, 5× per bench run) bought
+# nothing — VERDICT r10 #3a.
+_SPLIT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _stream_scratch_dir(prefix: str) -> str:
+    """Fresh throwaway dir under the per-process scratch root."""
+    global _STREAM_SCRATCH_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _STREAM_SCRATCH_ROOT is None:
+        _STREAM_SCRATCH_ROOT = tempfile.mkdtemp(prefix="sg_stream_scratch_")
+        atexit.register(shutil.rmtree, _STREAM_SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_STREAM_SCRATCH_ROOT)
+
+
+def _arrival_split_src(
+    df: DataFrame, id_col: str, prefix: str, cache_key: str | None = None
+) -> str:
     """Materialize ``df`` as a deterministic TWO-FILE arrival split for a
     streamed catalog vehicle: file 0 holds ids ≤ max(id)//2, file 1 the
     rest — an id-range split, so ids are monotone in arrival order (the
@@ -452,14 +481,17 @@ def _arrival_split_src(df: DataFrame, id_col: str, prefix: str) -> str:
     split value; two coalesce(1) writes would re-scan the subset twice),
     then mtimes are pinned because FileStreamSource orders by
     modification time — same-ms writes would make the batch order
-    nondeterministic. Returns the scratch root; the source glob is
-    ``<root>/src/arr=*``."""
+    nondeterministic. Returns the SRC dir; the source glob is
+    ``<src>/arr=*``. Pass ``cache_key`` (the sf_dir) to reuse the split
+    across calls in one process — the split is deterministic in (input
+    table, rule), so every bench pass re-deriving it was pure waste; the
+    per-run state dirs stay fresh (callers use _stream_scratch_dir)."""
     import os
-    import tempfile
 
+    if cache_key is not None and (prefix, cache_key) in _SPLIT_CACHE:
+        return _SPLIT_CACHE[(prefix, cache_key)]
     mid = df.agg(F.max(id_col)).first()[0] // 2
-    root = tempfile.mkdtemp(prefix=prefix)
-    src = os.path.join(root, "src")
+    src = os.path.join(_stream_scratch_dir(prefix), "src")
     (
         df.withColumn("arr", F.when(F.col(id_col) <= mid, 0).otherwise(1))
         .repartition(1)
@@ -475,7 +507,9 @@ def _arrival_split_src(df: DataFrame, id_col: str, prefix: str) -> str:
             continue
         for f in os.listdir(d):
             os.utime(os.path.join(d, f), (1_700_000_000 + i,) * 2)
-    return root
+    if cache_key is not None:
+        _SPLIT_CACHE[(prefix, cache_key)] = src
+    return src
 
 
 def dedup_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,14 +524,19 @@ def dedup_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .where((F.col("doc_id") % 5) == 0)
     )
-    root = _arrival_split_src(docs, "doc_id", "dedup_stream_snapshot_")
+    src = _arrival_split_src(
+        docs, "doc_id", "dedup_stream_snapshot_", cache_key=sf_dir
+    )
+    # fresh per-RUN state (index/survivors/checkpoint) — only the split is
+    # cacheable; reusing a checkpoint would make the second run a no-op
+    root = _stream_scratch_dir("dedup_stream_run_")
     # micro-batch conf scope (queries/base.micro_batch_confs): AQE off +
     # few shuffle partitions for the hundreds-of-rows batches — the
     # interleaved A/B behind both choices is in the helper's docstring
     with micro_batch_confs(spark):
         run_file_ingest(
             spark,
-            os.path.join(root, "src", "arr=*"),
+            os.path.join(src, "arr=*"),
             "doc_id long, text string",
             make_near_dup_ingest(
                 os.path.join(root, "idx"),
@@ -521,12 +560,15 @@ WITH sub AS (
 ), mid AS (
   SELECT CAST(MAX(doc_id) // 2 AS BIGINT) AS m FROM sub
 ), norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  -- arrival batch from the vehicle's id-range split rule
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t,
+         CASE WHEN doc_id <= (SELECT m FROM mid) THEN 0 ELSE 1 END AS arr
   FROM sub
 ), exact_keep AS (
-  SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY md5(t)
+  -- phase 1, per batch: WITHIN-batch exact dedup (min-id per content)
+  SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY arr, md5(t)
 ), kept AS (
-  SELECT n.doc_id, n.t FROM norm n JOIN exact_keep USING (doc_id)
+  SELECT n.doc_id, n.t, n.arr FROM norm n JOIN exact_keep USING (doc_id)
 ), toks AS (
   SELECT doc_id, string_split_regex(t, '\s+') AS w FROM kept
 ), sh AS (
@@ -539,34 +581,60 @@ WITH sub AS (
          MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
          MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3
   FROM sh GROUP BY doc_id
-), buckets AS (
-  SELECT doc_id, md5('0|' || h0 || '|' || h1) AS bucket FROM sig
-  UNION ALL
-  SELECT doc_id, md5('1|' || h2 || '|' || h3) FROM sig
-), ok_buckets AS (
-  -- the engine's degenerate-bucket cap (max_bucket 1024)
-  SELECT bucket FROM buckets GROUP BY bucket HAVING COUNT(*) <= 1024
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM buckets a
-  JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-  JOIN ok_buckets ob ON ob.bucket = a.bucket
+), barr AS (
+  -- band rows tagged with the doc's arrival batch
+  SELECT b.doc_id, b.bucket, k.arr
+  FROM (SELECT doc_id, md5('0|' || h0 || '|' || h1) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, md5('1|' || h2 || '|' || h3) FROM sig) b
+  JOIN kept k ON k.doc_id = b.doc_id
+), inb_ok AS (
+  -- within-batch degenerate-bucket cap: membership counted per batch
+  SELECT bucket, arr FROM barr GROUP BY bucket, arr HAVING COUNT(*) <= 1024
 ), shl AS (
   SELECT doc_id, list(shingle) AS sl FROM sh GROUP BY doc_id
-), near_losers AS (
-  SELECT DISTINCT doc_b AS doc_id
-  FROM cand
-  JOIN shl x ON x.doc_id = cand.doc_a
-  JOIN shl y ON y.doc_id = cand.doc_b
+), inb_losers AS (
+  -- phase 2, per batch: within-batch near-dup, the batch engine's rule
+  -- (doc_b of every verified pair loses — loser-loser pairs included)
+  SELECT DISTINCT b.doc_id
+  FROM barr a
+  JOIN barr b ON a.bucket = b.bucket AND a.arr = b.arr AND a.doc_id < b.doc_id
+  JOIN inb_ok ok ON ok.bucket = a.bucket AND ok.arr = a.arr
+  JOIN shl x ON x.doc_id = a.doc_id
+  JOIN shl y ON y.doc_id = b.doc_id
+  WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.sl, y.sl))) >= 0.4
+), batch2 AS (
+  SELECT * FROM barr WHERE doc_id NOT IN (SELECT doc_id FROM inb_losers)
+), corpus_summary AS (
+  -- batch 0's writer-maintained summary: per-bucket counts of batch 0's
+  -- NOVEL band rows (batch 0 sees no prior index, so novel = its batch2)
+  SELECT bucket, COUNT(*) AS n_members FROM batch2 WHERE arr = 0 GROUP BY bucket
+), inc_ok AS (
+  -- incremental cap: COMBINED corpus+batch membership, evaluated only on
+  -- the buckets batch 1 touches (near_dup_pairs_incremental's contract)
+  SELECT nb.bucket
+  FROM (SELECT bucket, COUNT(*) AS n_new FROM batch2 WHERE arr = 1
+        GROUP BY bucket) nb
+  LEFT JOIN corpus_summary cs ON cs.bucket = nb.bucket
+  WHERE nb.n_new + COALESCE(cs.n_members, 0) <= 1024
+), inc_losers AS (
+  -- phase 3: batch 1's remaining rows probe batch 0's SURVIVORS only
+  -- (the persisted index holds exactly the prior batches' novel rows)
+  SELECT DISTINCT n.doc_id
+  FROM batch2 n
+  JOIN batch2 c ON n.arr = 1 AND c.arr = 0 AND n.bucket = c.bucket
+  JOIN inc_ok ok ON ok.bucket = n.bucket
+  JOIN shl x ON x.doc_id = n.doc_id
+  JOIN shl y ON y.doc_id = c.doc_id
   WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
         / len(list_distinct(list_concat(x.sl, y.sl))) >= 0.4
 )
 SELECT s.doc_id, length(s.text) AS doc_len,
-       CASE WHEN s.doc_id <= (SELECT m FROM mid) THEN 0 ELSE 1 END
-         AS arrived_batch
-FROM sub s
-JOIN exact_keep ek ON ek.doc_id = s.doc_id
-WHERE s.doc_id NOT IN (SELECT doc_id FROM near_losers)
+       CAST(k.arr AS BIGINT) AS arrived_batch
+FROM (SELECT DISTINCT doc_id, arr FROM batch2) k
+JOIN sub s ON s.doc_id = k.doc_id
+WHERE NOT (k.arr = 1 AND k.doc_id IN (SELECT doc_id FROM inc_losers))
 """
 
 
@@ -1128,12 +1196,15 @@ def dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.semdedup import make_semantic_dedup_ingest
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    root = _arrival_split_src(emb, "vec_id", "dedup_semantic_stream_")
+    src = _arrival_split_src(
+        emb, "vec_id", "dedup_semantic_stream_", cache_key=sf_dir
+    )
+    root = _stream_scratch_dir("dedup_semantic_run_")
     idx = os.path.join(root, "idx")
     with micro_batch_confs(spark):
         run_file_ingest(
             spark,
-            os.path.join(root, "src", "arr=*"),
+            os.path.join(src, "arr=*"),
             "vec_id long, embedding array<float>",
             make_semantic_dedup_ingest(
                 idx,

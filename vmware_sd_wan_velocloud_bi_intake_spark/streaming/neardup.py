@@ -15,8 +15,11 @@ what the parity test pins; exception at the margin: a verified pair of
 two LOSERS straddling a batch boundary — the one-shot run drops doc_b
 of every pair, the stream only checks new docs against survivors, so
 the later loser would stream-survive; τ-Jaccard's weak transitivity
-makes such survivor-free chains rare, and the catalog vehicle's oracle
-parity re-verifies their absence in the fixtures every round).
+makes such survivor-free chains rare. The catalog vehicle's DuckDB
+oracle does NOT depend on their absence: since r11 it is a two-phase
+replay of the stream's own semantics — per-batch dedup, then batch 1
+probed against batch 0's survivors under the combined-membership cap —
+so it agrees with the stream at any fixture/sf).
 
 Idempotent under micro-batch REPLAY (the foreachBatch at-least-once
 reality): every write is a dynamic partition overwrite keyed by
@@ -55,6 +58,13 @@ from pyspark.sql import functions as F
 from ..operators import dedup
 
 
+# the summary parts' schema is engine-owned (written a few lines below),
+# so per-batch reads declare it instead of re-inferring — schema inference
+# lists the parts tree and reads a footer on EVERY micro-batch of a
+# long-lived stream for information the writer already knows
+_SUMMARY_SCHEMA = "bucket string, n_members long, _batch_id int"
+
+
 def _summary(spark, parts_dir: str, exclude_batch_id: int) -> DataFrame | None:
     """Aggregated writer-maintained summary EXCLUDING the given batch's own
     part (replay must see the pre-batch state — including it would
@@ -65,7 +75,7 @@ def _summary(spark, parts_dir: str, exclude_batch_id: int) -> DataFrame | None:
     of wedging the stream on a nonexistent path)."""
     if not os.path.isdir(parts_dir):
         return None
-    parts = spark.read.parquet(parts_dir).where(
+    parts = spark.read.schema(_SUMMARY_SCHEMA).parquet(parts_dir).where(
         F.col("_batch_id") != F.lit(int(exclude_batch_id))
     )
     return parts.groupBy("bucket").agg(
@@ -363,7 +373,28 @@ def make_near_dup_ingest(
         # a crash between the index and summary writes). Partition-pruned
         # on the write key — a listing-level filter, not a scan.
         if os.path.isdir(index_dir):
-            index = spark.read.parquet(index_dir).where(
+            # declared schema, not inference: the index layout is
+            # engine-owned (lsh_bucket_table's columns + the batch key);
+            # only the id type follows the source — taken from the live
+            # batch, which reads the same stream. Inference would list +
+            # footer-read the index on every micro-batch.
+            from pyspark.sql.types import (
+                ArrayType,
+                IntegerType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            idx_schema = StructType(
+                [
+                    StructField("doc_id", batch_df.schema[doc_id].dataType),
+                    StructField("sh", ArrayType(StringType())),
+                    StructField("bucket", StringType()),
+                    StructField("_batch_id", IntegerType()),
+                ]
+            )
+            index = spark.read.schema(idx_schema).parquet(index_dir).where(
                 F.col("_batch_id") != F.lit(int(batch_id))
             )
             pairs = dedup.near_dup_pairs_incremental(
@@ -403,10 +434,17 @@ def make_near_dup_ingest(
             # survivors write above materialized `novel`, so the full
             # dedup chain has already run exactly once) — deriving them
             # from the loser-chain slices instead would re-execute the
-            # unpersisted pair pipelines once per remaining write
-            rows = band_rows_all.join(
-                novel.select(doc_id), doc_id, "left_semi"
-            ).withColumn("_batch_id", F.lit(int(batch_id)))
+            # unpersisted pair pipelines once per remaining write.
+            # Persisted itself: the index write AND the summary write
+            # both consume it — without the persist the semi-join reruns
+            # for the summary (one avoidable stage per micro-batch; the
+            # r11 per-section profile put the summary write at 0.85 s of
+            # batch 1's 3.1 s, ~half of it this recompute)
+            rows = (
+                band_rows_all.join(novel.select(doc_id), doc_id, "left_semi")
+                .withColumn("_batch_id", F.lit(int(batch_id)))
+                .persist()
+            )
             (
                 rows.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -443,6 +481,8 @@ def make_near_dup_ingest(
         finally:
             novel.unpersist()
             band_rows_all.unpersist()
+            if "rows" in locals():
+                rows.unpersist()
 
     return ingest
 

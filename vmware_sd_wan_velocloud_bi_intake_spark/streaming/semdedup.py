@@ -134,27 +134,52 @@ def make_semantic_dedup_ingest(
             record_head(knobs_path, "semdedup-knobs/v1", batch_id, fp)
             return
         building = not os.path.isdir(centroids_dir)
+        # set when the build batch REPLAYS across the crash window between
+        # its members write and its occupancy write: the baseline is then
+        # re-derived from the full batch in hand, exactly as the uncrashed
+        # build would have stored it (VERDICT r10 #6 — drift verdicts are
+        # replay-identical across that window; the survivor-derived
+        # backfill proxy is no longer involved in the crash case)
+        seed_baseline = False
         if not building and not os.path.exists(occupancy_path):
             # discriminate on committed index CONTENT, not on "any batch
             # ever committed" — an empty batch before the build batch
             # records a head without creating anything, and would
             # otherwise misroute a genuine build-batch crash here
-            has_members = os.path.isdir(members_dir) and any(
-                d.startswith("_batch_id=") for d in os.listdir(members_dir)
+            member_parts = (
+                {
+                    d
+                    for d in os.listdir(members_dir)
+                    if d.startswith("_batch_id=")
+                }
+                if os.path.isdir(members_dir)
+                else set()
             )
-            if not has_members:
+            if not member_parts:
                 # centroids landed but no member rows exist: a crash
                 # inside the build batch (centroids write precedes the
                 # occupancy write here, unlike annindex where the built-
                 # marker lands last) — the replay re-derives everything
                 # deterministically, so treat it as still building
                 building = True
+            elif member_parts == {f"_batch_id={int(batch_id)}"}:
+                # the ONLY committed members carry THIS batch's id: the
+                # original attempt crashed after its members write but
+                # before the occupancy write, the epoch never committed,
+                # and Spark is replaying the build batch — with its FULL
+                # content in hand (check_sequence above already verified
+                # the id+fingerprint against the recorded head, so a
+                # fresh-checkpoint id collision cannot reach this branch).
+                # The orphaned member rows are excluded by the own-batch
+                # filter below and rewritten byte-identically.
+                seed_baseline = True
             else:
-                # an index with real content but no baseline (the
-                # pre-drift-monitor layout, or a crash after the build
-                # batch's members landed): bootstrapping from an
-                # arbitrary batch would bias every later verdict, and
-                # the members ARE available to backfill from
+                # an index with real content from OTHER batches but no
+                # baseline: the pre-drift-monitor layout. Bootstrapping
+                # from an arbitrary batch would bias every later verdict;
+                # the members ARE available to backfill from (a survivor
+                # proxy — honest for the legacy case, where the original
+                # build batch's pre-dedup rows are simply gone)
                 raise ValueError(
                     f"semantic ingest: {occupancy_path} is missing on an "
                     "already-built index — run "
@@ -213,7 +238,7 @@ def make_semantic_dedup_ingest(
         from .ingestbase import write_drift_part
 
         baseline = None
-        if not building:
+        if not building and not seed_baseline:
             # read BEFORE any write: a malformed layout fails the batch
             # before it publishes, not after (the annindex discipline)
             baseline = read_json_artifact(occupancy_path, "ann-occupancy/v1")[
@@ -257,7 +282,11 @@ def make_semantic_dedup_ingest(
                 .partitionBy("_batch_id")
                 .parquet(members_dir)
             )
-            if building:
+            if building or seed_baseline:
+                # seed_baseline is the build batch REPLAYING across its
+                # own crash window: batch_profile is the same full-batch
+                # histogram the uncrashed build stored, so this write is
+                # byte-identical to the one the crash interrupted
                 atomic_write_json(
                     occupancy_path,
                     {"format": "ann-occupancy/v1", "profile": batch_profile},
@@ -287,23 +316,24 @@ def make_semantic_dedup_ingest(
 
 
 def backfill_occupancy(spark, index_dir: str) -> None:
-    """One-time upgrade path for a semantic index without a baseline:
-    derive it from the FULL current members (the corpus cell
-    distribution — the most meaningful yardstick available post-hoc) and
-    seed the drift series. Shared body:
-    :func:`~.ingestbase.backfill_occupancy_baseline`. Run while the
-    stream is STOPPED.
+    """One-time upgrade path for a LEGACY semantic index without a
+    baseline (the pre-drift-monitor layout): derive it from the FULL
+    current members (the corpus cell distribution — the most meaningful
+    yardstick available post-hoc) and seed the drift series. Shared
+    body: :func:`~.ingestbase.backfill_occupancy_baseline`. Run while
+    the stream is STOPPED.
 
-    KNOWN DISCREPANCY vs the uncrashed path: the normal build batch
-    stores the profile of the FULL build batch (including rows that were
-    then deduped away), while this backfill can only see the members
-    that survived — so after a crash between the members write and the
-    occupancy write, the re-seeded yardstick differs slightly from what
-    the uncrashed build would have stored, and drift verdicts are not
-    replay-identical across that one crash window. The build batch's
-    pre-dedup rows are simply gone post-hoc; the survivor distribution
-    is the closest available proxy and the drift rule's RELATIVE
-    threshold absorbs the small shift."""
+    NOT the crash path (since r11, VERDICT r10 #6): a crash between the
+    build batch's members write and its occupancy write is healed by
+    the batch's own REPLAY — the ingest detects that the only committed
+    members carry the replaying batch's id and re-derives the baseline
+    from the full batch in hand, byte-identical to what the uncrashed
+    build would have stored (test:
+    tests/test_streaming_semdedup.py::test_build_crash_replay_seeds_identical_baseline).
+    This backfill's survivor-derived profile is therefore only ever
+    used for the legacy case, where the original build batch's
+    pre-dedup rows are genuinely gone; the drift rule's RELATIVE
+    threshold absorbs the survivor-vs-full shift there."""
     from .ingestbase import backfill_occupancy_baseline
 
     backfill_occupancy_baseline(spark, index_dir, "semdedup-knobs/v1")
