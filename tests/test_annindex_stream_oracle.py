@@ -1,0 +1,230 @@
+"""Full SQL-oracle verification of the streamed ANN-index ingest
+(streaming/annindex.make_ann_index_ingest) — VERDICT r10 "Next round" #2:
+the one index-maintaining ingest that was verified only by numpy parity
+gets the same two-phase DuckDB replay discipline as the semantic-dedup
+ingest (tests/test_semdedup_stream_oracle.py).
+
+The REAL Structured Streaming path — readStream → maxFilesPerTrigger=1 →
+foreachBatch → availableNow over a deterministic two-file monotone-id
+arrival split — must equal the SQL replay EXACTLY on the persisted index
+members (cell, codes, rounded norm, arrival batch) and on the stored
+occupancy baseline:
+
+- phase 1 (build batch, ids ≤ midpoint): coarse quantizer = quantized
+  Lloyd over the build half (the shared ``_lloyd_replay_prefix`` the
+  sim_ann_ivf / dedup_semantic_stream oracles already use), PQ codebooks
+  = quantized per-subspace Lloyd unrolled as CTEs (md5-ordered sample,
+  first-ksub init, ROUND(d2, 6) argmin with first-min ties, ROUND(mean,
+  6) recentring, empty codes keep their centroid — mirroring
+  operators/pq.train_pq_codebooks(round_decimals=6) step for step), then
+  the build batch encoded at those books;
+- phase 2 (append batch): encoded at the FROZEN quantizers
+  (ivf_pq_append) — the replay encodes the second half against the same
+  replayed books and centroids, never retraining.
+
+Quantization (round_decimals=6, fingerprinted in the index knobs) is
+what makes the replay exact: every argmin/argmax sees only rounded
+values, so ulp-level accumulation differences between numpy and DuckDB
+cannot flip a cell or a code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+
+from vmware_sd_wan_velocloud_bi_intake_spark.queries.textvec import (
+    _arrival_split_src,
+    _lloyd_replay_prefix,
+    _stream_scratch_dir,
+)
+from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+from vmware_sd_wan_velocloud_bi_intake_spark.streaming.annindex import (
+    make_ann_index_ingest,
+)
+from vmware_sd_wan_velocloud_bi_intake_spark.streaming.ingestbase import (
+    run_file_ingest,
+)
+
+_M = 4  # subspaces (d=64 → dsub=16)
+_KSUB = 8
+_ITERS = 3
+_RD = 6
+_TRAIN_WHERE = (
+    "WHERE vec_id <= (SELECT CAST(MAX(vec_id) // 2 AS BIGINT) FROM v)"
+)
+
+
+def _codebook_replay_sql(m: int, ksub: int, iters: int, dsub: int) -> str:
+    """Unrolled quantized per-subspace Lloyd + frozen-quantizer encode,
+    appended to the coarse ``_lloyd_replay_prefix`` (which ends at the
+    ``assigned`` CTE). Emits ``codes_l (vec_id, codes)``."""
+    steps = []
+    prev = "cb0"
+    for i in range(iters):
+        nxt = f"cb{i + 1}"
+        steps.append(f"""pd{i} AS (
+  SELECT p.vec_id, p.s, c.c,
+         ROUND(list_dot_product(p.sv, p.sv)
+               - 2 * list_dot_product(p.sv, c.cv)
+               + list_dot_product(c.cv, c.cv), {_RD}) AS d2
+  FROM psub p JOIN {prev} c ON c.s = p.s
+), pa{i} AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+    FROM pd{i}) WHERE rn = 1
+), pm{i} AS (
+  SELECT a.s, a.c, dim.j, ROUND(AVG(p.sv[dim.j]), {_RD}) AS mval
+  FROM pa{i} a JOIN psub p ON p.vec_id = a.vec_id AND p.s = a.s,
+       LATERAL (SELECT unnest(generate_series(1, {dsub})) AS j) dim
+  GROUP BY a.s, a.c, dim.j
+), {nxt} AS (
+  SELECT c.s, c.c, COALESCE(lm.cv2, c.cv) AS cv
+  FROM {prev} c LEFT JOIN (
+    SELECT s, c, list(mval ORDER BY j) AS cv2 FROM pm{i} GROUP BY s, c
+  ) lm USING (s, c)
+)""")
+        prev = nxt
+    return f""", xh AS (
+  -- normalized vectors (the spherical-corpus contract train/encode share)
+  SELECT vec_id, list_transform(e, x -> x / nrm) AS xh FROM v
+), sub AS (
+  -- per-subspace slices of EVERY vector (encode input)
+  SELECT vec_id, sp.s,
+         xh[sp.s * {dsub} + 1 : (sp.s + 1) * {dsub}] AS sv
+  FROM xh, LATERAL (SELECT unnest(generate_series(0, {m - 1})) AS s) sp
+), psub AS (
+  -- the trainer's bounded deterministic sample: build half, md5 order
+  SELECT sub.vec_id, sub.s, sub.sv, so.ord
+  FROM sub JOIN (
+    SELECT vec_id,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS ord
+    FROM v {_TRAIN_WHERE}
+    QUALIFY ord <= 16384
+  ) so USING (vec_id)
+), cb0 AS (
+  -- first-ksub init, rounded (train_pq_codebooks' quantized contract)
+  SELECT s, ord - 1 AS c, list_transform(sv, y -> ROUND(y, {_RD})) AS cv
+  FROM psub WHERE ord <= {ksub}
+), {", ".join(steps)}, ed AS (
+  -- encode EVERY vector at the frozen books (build + append batches)
+  SELECT b.vec_id, b.s, c.c,
+         ROUND(list_dot_product(b.sv, b.sv)
+               - 2 * list_dot_product(b.sv, c.cv)
+               + list_dot_product(c.cv, c.cv), {_RD}) AS d2
+  FROM sub b JOIN {prev} c ON c.s = b.s
+), ecodes AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+    FROM ed) WHERE rn = 1
+), codes_l AS (
+  SELECT vec_id, list(c ORDER BY s) AS codes FROM ecodes GROUP BY vec_id
+)"""
+
+
+def _members_oracle_sql() -> str:
+    return (
+        _lloyd_replay_prefix(_ITERS, _TRAIN_WHERE)
+        + _codebook_replay_sql(_M, _KSUB, _ITERS, 64 // _M)
+        + f"""
+SELECT a.vec_id, a.cell, cl.codes, ROUND(v.nrm, {_RD}) AS nrm_r6,
+       CASE WHEN a.vec_id <= (SELECT CAST(MAX(vec_id) // 2 AS BIGINT)
+                              FROM v)
+            THEN 0 ELSE 1 END AS arrived_batch
+FROM assigned a
+JOIN codes_l cl USING (vec_id)
+JOIN v USING (vec_id)
+"""
+    )
+
+
+def test_streamed_ann_index_matches_two_phase_sql_replay(spark, sf_correct):
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_correct, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    src = _arrival_split_src(
+        emb, "vec_id", "ann_stream_oracle_", cache_key=sf_correct
+    )
+    root = _stream_scratch_dir("ann_stream_oracle_run_")
+    idx = os.path.join(root, "idx")
+    run_file_ingest(
+        spark,
+        os.path.join(src, "arr=*"),
+        "vec_id long, embedding array<float>",
+        make_ann_index_ingest(
+            idx,
+            m=_M,
+            ksub=_KSUB,
+            train_iters=_ITERS,
+            round_decimals=_RD,
+        ),
+        os.path.join(root, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    members = spark.read.parquet(os.path.join(idx, "members")).select(
+        F.col("vid").alias("vec_id"),
+        "cell",
+        "codes",
+        F.round("nrm", _RD).alias("nrm_r6"),
+        F.col("_batch_id").cast("long").alias("arrived_batch"),
+    )
+    srows = sorted(
+        (
+            int(r["vec_id"]),
+            int(r["cell"]),
+            tuple(int(c) for c in r["codes"]),
+            float(r["nrm_r6"]),
+            int(r["arrived_batch"]),
+        )
+        for r in members.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_correct}/embeddings.parquet'"
+    )
+    od = con.execute(_members_oracle_sql()).fetchall()
+    orows = sorted(
+        (
+            int(vec_id),
+            int(cell),
+            tuple(int(c) for c in codes),
+            float(nrm_r6),
+            int(arr),
+        )
+        for vec_id, cell, codes, nrm_r6, arr in od
+    )
+
+    assert len(srows) > 0, "empty index would vacuously pass"
+    assert srows == orows
+    # both arrival batches must be present, or the append path (frozen
+    # quantizers, ivf_pq_append) was never exercised
+    assert {r[4] for r in srows} == {0, 1}
+
+    # occupancy baseline: the stored build-batch profile must equal the
+    # replay's per-cell counts over the BUILD half only
+    with open(os.path.join(idx, "occupancy.json")) as f:
+        stored = json.load(f)["profile"]
+    want = {
+        int(cell): int(n)
+        for cell, n in con.execute(
+            _lloyd_replay_prefix(_ITERS, _TRAIN_WHERE)
+            + """
+SELECT a.cell, COUNT(*) AS n
+FROM assigned a
+WHERE a.vec_id <= (SELECT CAST(MAX(vec_id) // 2 AS BIGINT) FROM v)
+GROUP BY a.cell
+"""
+        ).fetchall()
+    }
+    got = {int(c): int(n) for c, n in stored["counts"].items()}
+    assert got == want
+    assert stored["n_vectors"] == sum(want.values())

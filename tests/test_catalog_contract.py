@@ -88,3 +88,21 @@ def test_micro_batch_confs_restore_even_on_failure(spark):
         spark.conf.get("spark.sql.shuffle.partitions"),
     )
     assert after == before
+
+
+def test_coverage_slot_table_in_sync():
+    """COVERAGE.md's generated "Catalog slots" table must match what
+    tools/gen_catalog_table.py renders from the live catalog — a fold
+    without its `folds=` declaration, a slot swap, or a stale table all
+    fail here (VERDICT r10 #8: the 50-slot cap bookkeeping is derived,
+    not hand-maintained). Fix with:  python tools/gen_catalog_table.py
+    --write"""
+    import os
+
+    from tools.gen_catalog_table import BEGIN, END, render_table
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "COVERAGE.md")
+    with open(path) as f:
+        md = f.read()
+    block = md[md.index(BEGIN) + len(BEGIN) : md.index(END)].strip()
+    assert block == render_table().strip()

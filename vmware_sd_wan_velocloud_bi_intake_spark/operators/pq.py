@@ -53,6 +53,7 @@ def train_pq_codebooks(
     iters: int = 10,
     sample_rows: int = 16384,
     normalize: bool = True,
+    round_decimals: int | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace k-means codebooks from a bounded deterministic sample.
 
@@ -64,7 +65,19 @@ def train_pq_codebooks(
     ``normalize=False`` trains on the vectors exactly as given — the
     residual path (:func:`ivf_pq_index` ``residual=True``) feeds already-
     normalized-then-centered residuals whose magnitude IS the signal.
+
+    ``round_decimals`` switches to QUANTIZED training, the
+    :func:`~.similarity.train_centroids` contract applied per subspace:
+    the init slices, every assignment distance, and every recentred
+    coordinate are rounded (``spark_round_array`` — Spark's HALF_UP repr
+    rule), so each step depends only on rounded values and a replay in
+    any engine (unrolled SQL in the DuckDB oracle,
+    tests/test_annindex_stream_oracle.py) reproduces the books exactly —
+    ulp-level accumulation differences are absorbed instead of
+    compounding across iterations.
     """
+    from .similarity import spark_round_array
+
     pdf = (
         emb.select(
             F.col(vec_id).alias("vid"),
@@ -86,22 +99,32 @@ def train_pq_codebooks(
         S = X[:, s * dsub : (s + 1) * dsub]
         k = min(ksub, len(S))
         C = S[:k].copy()
+        if round_decimals is not None:
+            C = spark_round_array(C, round_decimals)
         for _ in range(iters):
             # L2 assignment; np.argmin keeps the FIRST minimum on ties —
             # the expression encoder reproduces exactly this rule
             d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            if round_decimals is not None:
+                d2 = spark_round_array(d2, round_decimals)
             assign = np.argmin(d2, axis=1)
             for c in range(k):
                 members = S[assign == c]
                 if len(members):
-                    C[c] = members.mean(axis=0)
+                    mean = members.mean(axis=0)
+                    if round_decimals is not None:
+                        mean = spark_round_array(mean, round_decimals)
+                    C[c] = mean
                 # empty codes keep their previous centroid
         books.append([[float(x) for x in row] for row in C])
     return books
 
 
 def pq_encode_expr(
-    v: str, codebooks: list[list[list[float]]], normalize: bool = True
+    v: str,
+    codebooks: list[list[list[float]]],
+    normalize: bool = True,
+    round_decimals: int | None = None,
 ) -> Column:
     """array<int> of per-subspace nearest-code ids for the raw vector
     column named ``v`` — an Arrow-batched vectorized UDF.
@@ -129,8 +152,11 @@ def pq_encode_expr(
     """
     from pyspark.sql.functions import pandas_udf
 
+    from .similarity import spark_round_array
+
     B = [np.asarray(b, dtype=np.float64) for b in codebooks]
     dsub = B[0].shape[1]
+    rd = round_decimals
 
     @pandas_udf("array<int>")
     def enc(vs: pd.Series) -> pd.Series:
@@ -143,6 +169,12 @@ def pq_encode_expr(
         for s, Cs in enumerate(B):
             S = X[:, s * dsub : (s + 1) * dsub]
             d2 = ((S[:, None, :] - Cs[None, :, :]) ** 2).sum(axis=2)
+            if rd is not None:
+                # quantized encode (pairs with train_pq_codebooks'
+                # round_decimals): the argmin sees only rounded
+                # distances, so a cross-engine replay cannot flip a
+                # code on ulp-level accumulation differences
+                d2 = spark_round_array(d2, rd)
             codes[:, s] = np.argmin(d2, axis=1)
         return pd.Series(list(codes))
 
@@ -213,6 +245,7 @@ def ivf_pq_append(
     embedding: str = "embedding",
     rotation: list[list[float]] | None = None,
     residual: bool = False,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """Encode a NEW batch at FROZEN quantizers → pq_members rows
     (cell, vid, codes, nrm) to append to the index's members relation.
@@ -243,16 +276,23 @@ def ivf_pq_append(
         F.col(vec_id).alias("vid"),
         as_double_array(F.col(embedding)).alias("v"),
     ).withColumn("nrm", l2_norm(F.col("v")))
-    assigned = _assign_cells(base, centroids)
+    assigned = _assign_cells(base, centroids, round_decimals=round_decimals)
     if not residual:
         return assigned.select(
-            "cell", "vid", pq_encode_expr("v", codebooks).alias("codes"), "nrm"
+            "cell",
+            "vid",
+            pq_encode_expr(
+                "v", codebooks, round_decimals=round_decimals
+            ).alias("codes"),
+            "nrm",
         )
     with_res = _residualize(assigned, centroids)
     return with_res.select(
         "cell",
         "vid",
-        pq_encode_expr("r", codebooks, normalize=False).alias("codes"),
+        pq_encode_expr(
+            "r", codebooks, normalize=False, round_decimals=round_decimals
+        ).alias("codes"),
         "nrm",
     )
 
@@ -267,6 +307,7 @@ def ivf_pq_index(
     train_iters: int = 10,
     rotation: list[list[float]] | None = None,
     residual: bool = False,
+    round_decimals: int | None = None,
 ) -> tuple[DataFrame, DataFrame, list[list[list[float]]]]:
     """Build (centroids, pq_members, codebooks).
 
@@ -308,16 +349,26 @@ def ivf_pq_index(
         # full corpus cache materialization for one count
         n_cells = max(8, math.ceil(math.sqrt(emb.select(vec_id).count())))
     cents = train_centroids(
-        emb, n_cells, vec_id=vec_id, embedding=embedding, iters=train_iters
+        emb,
+        n_cells,
+        vec_id=vec_id,
+        embedding=embedding,
+        iters=train_iters,
+        round_decimals=round_decimals,
     )
-    assigned = _assign_cells(base, cents)
+    assigned = _assign_cells(base, cents, round_decimals=round_decimals)
     if not residual:
         books = train_pq_codebooks(
             emb, m=m, ksub=ksub, vec_id=vec_id, embedding=embedding,
-            iters=train_iters,
+            iters=train_iters, round_decimals=round_decimals,
         )
         members = assigned.select(
-            "cell", "vid", pq_encode_expr("v", books).alias("codes"), "nrm"
+            "cell",
+            "vid",
+            pq_encode_expr("v", books, round_decimals=round_decimals).alias(
+                "codes"
+            ),
+            "nrm",
         )
         return cents, members, books
     # residual space: r = x̂ − c(cell), computed JVM-side (normalize +
@@ -326,12 +377,14 @@ def ivf_pq_index(
     with_res = _residualize(assigned, cents)
     books = train_pq_codebooks(
         with_res, m=m, ksub=ksub, vec_id="vid", embedding="r",
-        iters=train_iters, normalize=False,
+        iters=train_iters, normalize=False, round_decimals=round_decimals,
     )
     members = with_res.select(
         "cell",
         "vid",
-        pq_encode_expr("r", books, normalize=False).alias("codes"),
+        pq_encode_expr(
+            "r", books, normalize=False, round_decimals=round_decimals
+        ).alias("codes"),
         "nrm",
     )
     return cents, members, books

@@ -26,12 +26,18 @@ class Q:
              (driver then records a weaker rows-only check)
     ops    : SURVEY.md §2 operator IDs this query exercises
     doc    : one-line description
+    folds  : former catalog vehicles this slot absorbed (the 50-slot cap
+             is load-bearing — every fold is recorded here, "rN: name
+             (how it rides)", and COVERAGE.md's generated slot table
+             renders the full history; tests/test_catalog_contract.py
+             keeps the table in sync with these declarations)
     """
 
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     ops: tuple[str, ...] = field(default=())
     doc: str = ""
+    folds: tuple[str, ...] = field(default=())
 
 
 @contextmanager

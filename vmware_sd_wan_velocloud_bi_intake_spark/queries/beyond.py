@@ -583,6 +583,7 @@ QUERIES: dict[str, Q] = {
         oracle=A19_ORACLE,
         ops=("A6", "A15"),
         doc="ROLLUP grouping sets + distinct aggregates in one shuffle",
+        folds=("r2: a20 (distinct aggregates in-rollup)",),
     ),
     "o05_rank_topn": Q(
         fn=o05_rank_topn,

@@ -507,6 +507,7 @@ QUERIES: dict[str, Q] = {
         ("P7", "F2", "A16", "O4", "T5", "O3", "A15"),
         "attribute projection: regex validation, banding, hash-sample gate, "
         "broadcast census constants",
+        folds=("r7: a15 (broadcast census constants)",),
     ),
     "a06_customer_rollup": Q(
         a06_customer_rollup,
@@ -537,6 +538,7 @@ QUERIES: dict[str, Q] = {
         A17_ORACLE,
         ("A17", "A16", "F22"),
         "threshold tier banding × HA state-machine census",
+        folds=("r2: f22 (HA state-machine census)",),
     ),
     "a18_usage_pct": Q(
         a18_usage_pct, A18_ORACLE, ("A18", "F14", "F16", "A8"), "usage%% with clamp"

@@ -400,6 +400,7 @@ QUERIES: dict[str, Q] = {
         EAV_PIVOT_ORACLE,
         ("S11", "F21", "S9", "S8"),
         "EAV round trip: wide -> long melt -> wide pivot + used accounting",
+        folds=("r2: eav_melt + eav_pivot (merged into one round-trip vehicle)",),
     ),
     "g01_gateway_rollup": Q(
         g01_gateway_rollup,
@@ -407,6 +408,7 @@ QUERIES: dict[str, Q] = {
         ("U1", "U2", "J9", "T7", "P4", "J6", "A14", "S3"),
         "gateway DAG: bronze JSON parse -> silver flatten -> relation "
         "explode -> A14 max rollup + the folded u01 enrichment aggregate",
+        folds=("r8: u01 (enrichment aggregate columns)",),
     ),
     "f28_json_extract": Q(
         f28_json_extract,
@@ -414,5 +416,10 @@ QUERIES: dict[str, Q] = {
         ("F28", "F18", "F19", "W6", "S4", "F7", "F8", "F9", "O1", "O2"),
         "JSON extraction + typed coercion + fixed-window measures over the "
         "ordered-limit slice, with epoch/ISO round-trip sums",
+        folds=(
+            "r2: w06 (fixed-window measures)",
+            "r7: f09 (epoch/ISO round-trip sums; f09 had carried o02 "
+            "since r2)",
+        ),
     ),
 }

@@ -1663,6 +1663,8 @@ QUERIES: dict[str, Q] = {
         ("beyond:dedup", "S9"),
         "survivor set after exact + LSH/Jaccard near-dup removal, carrying "
         "the passage-grain span-dedup stats + cleaned-text length",
+        folds=("r7: dedup_exact (dedup_key/dup_count columns on every "
+               "survivor)",),
     ),
     "txt_bpe": Q(
         txt_bpe,
@@ -1686,6 +1688,8 @@ QUERIES: dict[str, Q] = {
         ") snapshot hash-checked against the batch dedup derivation; "
         "absorbs the former dedup_incremental vehicle (the ingest runs "
         "near_dup_pairs_incremental per micro-batch)",
+        folds=("r10: dedup_incremental (near_dup_pairs_incremental runs "
+               "on every post-first micro-batch)",),
     ),
     "inc_stats_merge": Q(
         inc_stats_merge,
@@ -1705,6 +1709,7 @@ QUERIES: dict[str, Q] = {
         SIM_COSINE_ORACLE,
         ("beyond:similarity",),
         "blocked-corpus brute-force cosine top-k neighbors",
+        folds=("r10: sim_cosine_neardup (nd_degree column)",),
     ),
     "sim_ann_ivf": Q(
         sim_ann_ivf,

@@ -321,6 +321,10 @@ QUERIES: dict[str, Q] = {
             "carries the former q17_small_quantity (decorrelated per-part "
             "scalar subquery) as the q17_* rider columns (r11 fold)"
         ),
+        folds=(
+            "r11: q17_small_quantity (q17_* rider columns; oracle is the "
+            "literal correlated scalar subquery)",
+        ),
     ),
     "q21_waiting_suppliers": Q(
         fn=q21_waiting_suppliers,

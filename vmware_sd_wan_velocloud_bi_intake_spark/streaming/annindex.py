@@ -75,6 +75,7 @@ def make_ann_index_ingest(
     residual: bool = False,
     retrain_threshold: float = 0.25,
     compact_every: int | None = 64,
+    round_decimals: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` body: ``fn(batch_df, batch_id)``.
 
@@ -107,6 +108,13 @@ def make_ann_index_ingest(
         "train_iters": train_iters,
         "residual": residual,
         "retrain_threshold": retrain_threshold,
+        # quantized-training knob (operators/pq round_decimals): codes
+        # from quantized and unquantized spaces differ at tie margins,
+        # so it is part of the index's identity like m/ksub. Set it (6)
+        # to make the whole ingest engine-replayable — the two-phase
+        # DuckDB oracle in tests/test_annindex_stream_oracle.py replays
+        # training, assignment, and encode exactly at this contract.
+        "round_decimals": round_decimals,
     }
 
     def _publish_parts(spark, members: DataFrame, batch_id: int) -> None:
@@ -213,6 +221,7 @@ def make_ann_index_ingest(
                 embedding=embedding,
                 train_iters=train_iters,
                 residual=residual,
+                round_decimals=round_decimals,
             )
             members = members.persist()
             try:
@@ -255,6 +264,7 @@ def make_ann_index_ingest(
             vec_id=vec_id,
             embedding=embedding,
             residual=residual,
+            round_decimals=round_decimals,
         )
         _publish_parts(spark, members, batch_id)
         record_head(p["knobs"], "annindex-knobs/v1", batch_id, fp)
