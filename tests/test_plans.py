@@ -71,6 +71,9 @@ _SCALAR_CROSS_OK = {
     # same deliberate broadcast n x n_cells assignment as sim_ann_ivf
     "dedup_semantic",
     "txt_bpe",
+    # r11 fold: the q17 rider is a SINGLE-ROW global aggregate broadcast
+    # onto every q18 row (constant columns) — k×1, never n×n
+    "q18_large_orders",
 }
 
 
@@ -80,6 +83,23 @@ def test_no_cartesian_products_anywhere(spark, sf_smoke):
         assert "CartesianProduct" not in plan, name
         if name not in _SCALAR_CROSS_OK:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q21_decorrelates_to_keyed_semi_anti(spark, sf_smoke):
+    """The Q21-shape correlated EXISTS / NOT EXISTS must plan as SEMI and
+    ANTI hash joins KEYED on the order key (the l_suppkey <> residual
+    rides the equi join as an extra condition) — never a nested-loop scan
+    of lineitem per row. At bench sf the small side broadcasts; at scale
+    Catalyst's size stats flip the same logical joins to co-partitioned
+    SMJ on l_orderkey, which is why the equi key must be in the plan."""
+    plan = _plan(spark, sf_smoke, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the equi key reached both join operators (keys line mentions
+    # l_orderkey on semi/anti join rows of the formatted plan)
+    assert plan.count("l_orderkey") >= 2, plan
 
 
 def test_qoe_suite_is_one_scan_no_joins(spark, sf_smoke):
