@@ -1685,8 +1685,9 @@ QUERIES: dict[str, Q] = {
         DEDUP_STREAM_ORACLE,
         ("beyond:dedup", "beyond:streaming", "T3", "T4"),
         "streamed near-dup ingest (readStream -> foreachBatch, availableNow"
-        ") snapshot hash-checked against the batch dedup derivation; "
-        "absorbs the former dedup_incremental vehicle (the ingest runs "
+        ") snapshot hash-checked against a two-phase SQL replay of the "
+        "stream's own semantics (r11); absorbs the former "
+        "dedup_incremental vehicle (the ingest runs "
         "near_dup_pairs_incremental per micro-batch)",
         folds=("r10: dedup_incremental (near_dup_pairs_incremental runs "
                "on every post-first micro-batch)",),
