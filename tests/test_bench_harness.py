@@ -1,0 +1,71 @@
+"""bench.py harness plumbing that runs without Spark: previous-round
+artifact parsing and the auto-A/B flag rule (VERDICT r10 #7 + r10 ADVICE
+on runs/sentinel_per_pass consistency)."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def test_load_prev_bench_parses_driver_wrapped_artifact(tmp_path, monkeypatch):
+    inner = {
+        "metric": "catalog_total_runtime",
+        "value": 10.0,
+        "queries": {"q": 1.0},
+        "sentinel_sec": 0.5,
+        "sf": 0.1,
+    }
+    # the driver wraps bench stdout (progress bars + the JSON line) in
+    # a "tail" field; earlier braces in the noise must not confuse the
+    # parser
+    wrapped = {
+        "n": 3,
+        "tail": "[Stage 1:>  ]\rnoise {\"metric\" broken\n"
+        + json.dumps(inner)
+        + "\n",
+    }
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps(wrapped))
+    # an older round with a DIRECT inner layout must lose to r03
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({**inner, "sentinel_sec": 9.9})
+    )
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    prev = bench._load_prev_bench()
+    assert prev == {
+        "round": 3,
+        "queries": {"q": 1.0},
+        "sentinel_sec": 0.5,
+        "sf": 0.1,
+    }
+
+
+def test_load_prev_bench_absent_or_malformed(tmp_path, monkeypatch):
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    assert bench._load_prev_bench() is None
+    (tmp_path / "BENCH_r02.json").write_text("{not json")
+    assert bench._load_prev_bench() is None
+    # artifact without the fields the comparison needs
+    (tmp_path / "BENCH_r04.json").write_text(json.dumps({"tail": "no json"}))
+    assert bench._load_prev_bench() is None
+
+
+def test_ab_flag_rule_is_sentinel_normalized():
+    """The trigger is the RATIO of sentinel-normalized ratios, not walls:
+    a query 2x slower on a 2x-slower host must not flag; a genuinely
+    1.5x-slower query must."""
+    prev = {"queries": {"a": 1.0, "b": 1.0}, "sentinel_sec": 0.5}
+    sentinel = 1.0  # host is 2x slower than prev round
+    timings = {"a": 2.0, "b": 3.0}  # a: unchanged normalized; b: 1.5x
+    flagged = [
+        n
+        for n, cur in sorted(timings.items())
+        if (cur / sentinel) / (prev["queries"][n] / prev["sentinel_sec"])
+        > bench.AB_FLAG_RATIO
+    ]
+    assert flagged == ["b"]

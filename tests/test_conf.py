@@ -124,3 +124,38 @@ def test_trainer_loops_restore_session_confs(spark, sf_smoke):
     classifier.train_logreg(feat, iters=2, lr=2.0)
     assert spark.conf.get("spark.sql.shuffle.partitions") == prior_sp
     assert spark.conf.get("spark.sql.adaptive.enabled") == prior_aqe
+
+
+def test_scoped_confs_rolls_back_on_setup_failure():
+    """r10 ADVICE: if a LATER key fails to set (e.g. non-runtime-settable),
+    the keys already overridden must be restored — the partial override
+    must not leak into the caller's session."""
+
+    class _Conf:
+        def __init__(self):
+            self.values = {"a": "1"}
+
+        def get(self, k):
+            if k in self.values:
+                return self.values[k]
+            raise KeyError(k)
+
+        def set(self, k, v):
+            if k == "boom":
+                raise RuntimeError("not runtime-settable")
+            self.values[k] = v
+
+        def unset(self, k):
+            self.values.pop(k, None)
+
+    class _Spark:
+        conf = _Conf()
+
+    fake = _Spark()
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        with scoped_confs(fake, {"a": "2", "b": "x", "boom": "y"}):
+            raise AssertionError("body must not run on setup failure")
+    # 'a' restored to its prior value, 'b' unset again (was never set)
+    assert fake.conf.values == {"a": "1"}
