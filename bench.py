@@ -91,10 +91,21 @@ def _load_prev_bench() -> dict | None:
                     continue
         if not inner or "queries" not in inner or "sentinel_sec" not in inner:
             return None
+        import statistics
+
+        # the FLAG statistic uses the median of the per-pass sentinels
+        # (host speed DURING the timed passes) when available — the
+        # start probe is a 3-shot minimum that can catch a momentarily
+        # fast window and make every normalized ratio look regressed
+        # (observed r11: start 0.53 vs pass median 0.81 → 42/50 false
+        # flags). Falls back to the start probe for pre-r10 artifacts.
+        per_pass = inner.get("sentinel_per_pass") or []
         return {
             "round": best_n,
             "queries": inner["queries"],
-            "sentinel_sec": inner["sentinel_sec"],
+            "sentinel_sec": statistics.median(per_pass)
+            if per_pass
+            else inner["sentinel_sec"],
             "sf": inner.get("sf"),
         }
     except Exception:
@@ -179,23 +190,40 @@ def main() -> None:
     # the run itself was drift-flagged (nothing to separate) or when the
     # env kill-switch is set (sf1 one-off runs where wall-clock matters).
     ab_checks: dict[str, dict] = {}
+    ab_flagged_total = 0
     prev = _load_prev_bench()
     sentinels_clean = drift_retries == 0 and sentinel_end <= 2.0 * sentinel
+    # flag statistic: host speed DURING the passes (median of the
+    # per-pass probes), on both sides — see _load_prev_bench. The
+    # published normalization stays the start probe (methodology
+    # continuity across rounds); only the flag rule uses the median.
+    import statistics
+
+    flag_sentinel = (
+        statistics.median(per_pass_sentinels) if per_pass_sentinels else sentinel
+    )
     if (
         prev
         and prev.get("sf") == infer_sf(SF_DIR)  # r-over-r only at same sf
         and sentinels_clean
         and not os.environ.get("SPARK_GRAFT_BENCH_NO_AB")
     ):
-        flagged = sorted(
-            name
-            for name, cur in timings.items()
-            if name in prev["queries"]
-            and prev["queries"][name] > 0
-            and (cur / sentinel)
+        ratios = {
+            name: (cur / flag_sentinel)
             / (prev["queries"][name] / prev["sentinel_sec"])
-            > AB_FLAG_RATIO
+            for name, cur in timings.items()
+            if name in prev["queries"] and prev["queries"][name] > 0
+        }
+        over = sorted(
+            (n for n, r in ratios.items() if r > AB_FLAG_RATIO),
+            key=lambda n: -ratios[n],
         )
+        ab_flagged_total = len(over)
+        # cap the interleave at the worst 8: a host-wide artifact that
+        # somehow clears the median statistic should not turn the bench
+        # into a 50-query A/B marathon; the count is published so a
+        # truncation is visible
+        flagged = over[:8]
         if flagged:
             from tools.ab_check import interleaved_check
 
@@ -209,7 +237,7 @@ def main() -> None:
                         prev["queries"][name] / prev["sentinel_sec"], 3
                     ),
                     "bench_ratio_vs_sentinel": round(
-                        timings[name] / sentinel, 3
+                        timings[name] / flag_sentinel, 3
                     ),
                     "ab": table["queries"][name],
                     "ab_sentinel": table["sentinel"],
@@ -243,6 +271,7 @@ def main() -> None:
                 "runs": len(per_pass_sentinels),
                 "configured_runs": N_RUNS,
                 "ab_checks": ab_checks,
+                "ab_flagged_total": ab_flagged_total,
             }
         )
     )

@@ -43,6 +43,24 @@ def test_load_prev_bench_parses_driver_wrapped_artifact(tmp_path, monkeypatch):
     }
 
 
+def test_load_prev_bench_prefers_per_pass_median(tmp_path, monkeypatch):
+    """The flag statistic normalizes by host speed DURING the passes —
+    the start probe is a 3-shot minimum that can catch a momentarily
+    fast window (observed: 42/50 false flags)."""
+    inner = {
+        "metric": "catalog_total_runtime",
+        "queries": {"q": 1.0},
+        "sentinel_sec": 0.5,
+        "sentinel_per_pass": [0.9, 0.7, 0.8],
+        "sf": 0.1,
+    }
+    (tmp_path / "BENCH_r05.json").write_text(json.dumps(inner))
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    assert bench._load_prev_bench()["sentinel_sec"] == 0.8
+
+
 def test_load_prev_bench_absent_or_malformed(tmp_path, monkeypatch):
     monkeypatch.setattr(
         bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
