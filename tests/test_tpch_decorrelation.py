@@ -102,3 +102,48 @@ GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
     m, l = _rows(manual), _rows(literal)
     assert len(m) > 0
     assert m == l
+
+
+def test_q21_aggregate_rewrite_equals_anti_join_form(spark, sf_correct):
+    """The OTHER standard decorrelation of the Q21 shape — per-order
+    supplier-count aggregates instead of self-joins (EXISTS other
+    supplier ⟺ countDistinct(supplier) ≥ 2 among the order's lines;
+    NOT EXISTS other late supplier ⟺ countDistinct(supplier) == 1 among
+    the order's LATE lines, since l1 itself is late) — must agree with
+    the vehicle's semi/anti form. Pins the equivalence an optimizer
+    would rely on to pick between the two at different cardinalities:
+    the aggregate form shuffles lineitem twice into order-grain rows
+    (better when lines-per-order is large), the semi/anti form keeps
+    line grain (better when the R-filter is very selective)."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_correct, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    orders = load_table(spark, sf_correct, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supplier = load_table(spark, sf_correct, "supplier")
+    nation = load_table(spark, sf_correct, "nation")
+    ordstats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    latestats = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_late_supp"))
+    )
+    agg_form = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(ordstats.filter("n_supp >= 2"), "l_orderkey")
+        .join(latestats.filter("n_late_supp = 1"), "l_orderkey")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+    a = _rows(agg_form)
+    b = _rows(q21_waiting_suppliers(spark, sf_correct))
+    assert len(a) > 0
+    assert a == b
