@@ -192,7 +192,18 @@ def _q17_rider(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+    # semi-join reduction BEFORE the aggregate (the classic Q17 plan):
+    # the per-part average is grouped by partkey, so restricting its
+    # input to the parts the probe side keeps (Brand#1, ~1/|brands| of
+    # parts) changes nothing semantically but shrinks the aggregate's
+    # combine state — Catalyst cannot infer this itself because the
+    # filter sits on the OTHER join input of the aggregate's consumer
+    pruned = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    avg_qty = pruned.groupBy(F.col("l_partkey").alias("pk")).agg(
         (F.sum(dec("l_quantity", 12)).cast("double") / F.count("l_quantity")).alias(
             "avg_qty"
         )
