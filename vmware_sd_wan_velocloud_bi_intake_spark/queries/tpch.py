@@ -279,7 +279,15 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    # the o_orderstatus filter commutes with the correlated probes, so
+    # join it FIRST: l1 shrinks ~3x before the self-joins, and all three
+    # joins (orders, semi, anti) key on l_orderkey — at scale one
+    # exchange partitions l1 once and the whole chain reuses it
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .alias("l1")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+    )
     l2 = li.alias("l2")
     l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
     exists_other = l1.join(
@@ -295,8 +303,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        sole_late.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey)
-        .join(supplier, F.col("l1.l_suppkey") == supplier.s_suppkey)
+        sole_late.join(supplier, F.col("l1.l_suppkey") == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy("s_name", "n_name")
         .agg(F.count("*").alias("numwait"))
