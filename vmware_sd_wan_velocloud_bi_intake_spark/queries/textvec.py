@@ -330,8 +330,6 @@ def _ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     daily-run shape: batch-side work + two equi-joins against persisted
     tables. Returns the index table name (summary is ``name + "_summary"``).
     """
-    import tempfile
-
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _LSH_INDEX_CACHE:
         from ..sinks.bucketed import write_lsh_index
@@ -342,7 +340,8 @@ def _ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
             corpus, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3
         )
         table = f"dedup_lsh_index_{len(_LSH_INDEX_CACHE)}"
-        path = tempfile.mkdtemp(prefix="spark_graft_lsh_") + "/index"
+        # under the shared atexit-removed scratch root (r11 /tmp hygiene)
+        path = _stream_scratch_dir("spark_graft_lsh_") + "/index"
         write_lsh_index(band_rows, table, path, n_buckets=8)
         _LSH_INDEX_CACHE[key] = table
     return _LSH_INDEX_CACHE[key]
@@ -658,12 +657,14 @@ _INC_STATS_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 def inc_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..operators.incstats import merged_stats, write_stats_parts_split
 
     docs = load_table(spark, sf_dir, "documents")
-    parts_dir = os.path.join(tempfile.mkdtemp(prefix="inc_stats_"), "parts")
+    # per-run scratch under the shared atexit-removed root (the same
+    # /tmp-litter fix as the streamed vehicles); the parts must be
+    # REWRITTEN each run — the write path is part of what the hash gates
+    parts_dir = os.path.join(_stream_scratch_dir("inc_stats_"), "parts")
     # the one-pass backfill writer: both batch parts from one grouped
     # aggregation (identical parts table to two write_stats_part calls —
     # grouped aggregates ≡ per-group global aggregates; the per-batch
