@@ -60,7 +60,7 @@ def sentinel_sec(spark) -> float:
 
 def _load_prev_bench() -> dict | None:
     """Latest BENCH_r{N}.json next to this file, reduced to
-    {"round": N, "queries": {...}, "sentinel_sec": x}. Driver bench
+    {"round", "queries", "flag_sentinel_sec", "sf"}. Driver bench
     artifacts wrap the bench stdout in a "tail" field; the JSON line is
     the last '{"metric"...' in it. Returns None when no prior round or
     the artifact is unparseable (first round, stripped checkout)."""
@@ -103,7 +103,9 @@ def _load_prev_bench() -> dict | None:
         return {
             "round": best_n,
             "queries": inner["queries"],
-            "sentinel_sec": statistics.median(per_pass)
+            # named for what it is: the FLAG-rule normalizer, not the
+            # round's published start-probe sentinel
+            "flag_sentinel_sec": statistics.median(per_pass)
             if per_pass
             else inner["sentinel_sec"],
             "sf": inner.get("sf"),
@@ -210,7 +212,7 @@ def main() -> None:
     ):
         ratios = {
             name: (cur / flag_sentinel)
-            / (prev["queries"][name] / prev["sentinel_sec"])
+            / (prev["queries"][name] / prev["flag_sentinel_sec"])
             for name, cur in timings.items()
             if name in prev["queries"] and prev["queries"][name] > 0
         }
@@ -233,10 +235,13 @@ def main() -> None:
             for name in flagged:
                 ab_checks[name] = {
                     "prev_round": prev["round"],
-                    "prev_ratio_vs_sentinel": round(
-                        prev["queries"][name] / prev["sentinel_sec"], 3
+                    # both ratios below are normalized by the FLAG
+                    # sentinel (per-pass median), not the published
+                    # start probe — they are the trigger's own inputs
+                    "prev_ratio_vs_flag_sentinel": round(
+                        prev["queries"][name] / prev["flag_sentinel_sec"], 3
                     ),
-                    "bench_ratio_vs_sentinel": round(
+                    "bench_ratio_vs_flag_sentinel": round(
                         timings[name] / flag_sentinel, 3
                     ),
                     "ab": table["queries"][name],

@@ -38,7 +38,7 @@ def test_load_prev_bench_parses_driver_wrapped_artifact(tmp_path, monkeypatch):
     assert prev == {
         "round": 3,
         "queries": {"q": 1.0},
-        "sentinel_sec": 0.5,
+        "flag_sentinel_sec": 0.5,
         "sf": 0.1,
     }
 
@@ -58,7 +58,7 @@ def test_load_prev_bench_prefers_per_pass_median(tmp_path, monkeypatch):
     monkeypatch.setattr(
         bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
     )
-    assert bench._load_prev_bench()["sentinel_sec"] == 0.8
+    assert bench._load_prev_bench()["flag_sentinel_sec"] == 0.8
 
 
 def test_load_prev_bench_absent_or_malformed(tmp_path, monkeypatch):
@@ -77,13 +77,13 @@ def test_ab_flag_rule_is_sentinel_normalized():
     """The trigger is the RATIO of sentinel-normalized ratios, not walls:
     a query 2x slower on a 2x-slower host must not flag; a genuinely
     1.5x-slower query must."""
-    prev = {"queries": {"a": 1.0, "b": 1.0}, "sentinel_sec": 0.5}
+    prev = {"queries": {"a": 1.0, "b": 1.0}, "flag_sentinel_sec": 0.5}
     sentinel = 1.0  # host is 2x slower than prev round
     timings = {"a": 2.0, "b": 3.0}  # a: unchanged normalized; b: 1.5x
     flagged = [
         n
         for n, cur in sorted(timings.items())
-        if (cur / sentinel) / (prev["queries"][n] / prev["sentinel_sec"])
+        if (cur / sentinel) / (prev["queries"][n] / prev["flag_sentinel_sec"])
         > bench.AB_FLAG_RATIO
     ]
     assert flagged == ["b"]
