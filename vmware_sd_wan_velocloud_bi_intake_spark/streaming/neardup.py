@@ -423,6 +423,7 @@ def make_near_dup_ingest(
         # write on this driver (e.g. a re-export with fewer shards would
         # keep stale shard partitions)
         novel = novel.withColumn("_batch_id", F.lit(int(batch_id))).persist()
+        rows = None
         try:
             (
                 novel.write.mode("overwrite")
@@ -481,7 +482,7 @@ def make_near_dup_ingest(
         finally:
             novel.unpersist()
             band_rows_all.unpersist()
-            if "rows" in locals():
+            if rows is not None:
                 rows.unpersist()
 
     return ingest
