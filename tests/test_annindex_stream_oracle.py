@@ -57,10 +57,19 @@ _TRAIN_WHERE = (
 )
 
 
-def _codebook_replay_sql(m: int, ksub: int, iters: int, dsub: int) -> str:
+def _codebook_replay_sql(
+    m: int, ksub: int, iters: int, dsub: int, residual: bool = False
+) -> str:
     """Unrolled quantized per-subspace Lloyd + frozen-quantizer encode,
     appended to the coarse ``_lloyd_replay_prefix`` (which ends at the
-    ``assigned`` CTE). Emits ``codes_l (vec_id, codes)``."""
+    ``assigned`` CTE). Emits ``codes_l (vec_id, codes)``.
+
+    ``residual=True`` replays the faiss-default IVF-PQ refinement: the
+    encoded vector is x̂ − centroid(cell) (operators/pq._residualize),
+    trained and encoded with ``normalize=False`` — the subspace source
+    switches from the normalized vector to the residual at the FROZEN
+    replayed coarse centroids; everything downstream (init, rounded-d2
+    argmin, rounded-mean recentring, empty-code carry) is identical."""
     steps = []
     prev = "cb0"
     for i in range(iters):
@@ -88,10 +97,23 @@ def _codebook_replay_sql(m: int, ksub: int, iters: int, dsub: int) -> str:
   ) lm USING (s, c)
 )""")
         prev = nxt
-    return f""", xh AS (
+    if residual:
+        src = """, xh0 AS (
+  SELECT vec_id, list_transform(e, x -> x / nrm) AS xh FROM v
+), xh AS (
+  -- residual at the FROZEN replayed coarse centroids: x̂ − cv(cell)
+  SELECT a.vec_id,
+         list_transform(list_zip(x.xh, c.cv), p -> p[1] - p[2]) AS xh
+  FROM assigned a
+  JOIN xh0 x USING (vec_id)
+  JOIN cents c ON c.cell = a.cell
+)"""
+    else:
+        src = """, xh AS (
   -- normalized vectors (the spherical-corpus contract train/encode share)
   SELECT vec_id, list_transform(e, x -> x / nrm) AS xh FROM v
-), sub AS (
+)"""
+    return f"""{src}, sub AS (
   -- per-subspace slices of EVERY vector (encode input)
   SELECT vec_id, sp.s,
          xh[sp.s * {dsub} + 1 : (sp.s + 1) * {dsub}] AS sv
@@ -127,10 +149,10 @@ def _codebook_replay_sql(m: int, ksub: int, iters: int, dsub: int) -> str:
 )"""
 
 
-def _members_oracle_sql() -> str:
+def _members_oracle_sql(residual: bool = False) -> str:
     return (
         _lloyd_replay_prefix(_ITERS, _TRAIN_WHERE)
-        + _codebook_replay_sql(_M, _KSUB, _ITERS, 64 // _M)
+        + _codebook_replay_sql(_M, _KSUB, _ITERS, 64 // _M, residual=residual)
         + f"""
 SELECT a.vec_id, a.cell, cl.codes, ROUND(v.nrm, {_RD}) AS nrm_r6,
        CASE WHEN a.vec_id <= (SELECT CAST(MAX(vec_id) // 2 AS BIGINT)
@@ -143,7 +165,13 @@ JOIN v USING (vec_id)
     )
 
 
-def test_streamed_ann_index_matches_two_phase_sql_replay(spark, sf_correct):
+import pytest
+
+
+def _run_streamed_index(spark, sf_correct, residual: bool):
+    """Real 2-batch stream at the quantized contract; returns (index_dir,
+    canonical member rows). The arrival split is input-only, so both
+    variants share the cached split."""
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_correct, "embeddings").select(
@@ -164,6 +192,7 @@ def test_streamed_ann_index_matches_two_phase_sql_replay(spark, sf_correct):
             ksub=_KSUB,
             train_iters=_ITERS,
             round_decimals=_RD,
+            residual=residual,
         ),
         os.path.join(root, "ckpt"),
         max_files_per_trigger=1,
@@ -185,13 +214,21 @@ def test_streamed_ann_index_matches_two_phase_sql_replay(spark, sf_correct):
         )
         for r in members.collect()
     )
+    return idx, srows
+
+
+@pytest.mark.parametrize("residual", [False, True], ids=["flat", "residual"])
+def test_streamed_ann_index_matches_two_phase_sql_replay(
+    spark, sf_correct, residual
+):
+    idx, srows = _run_streamed_index(spark, sf_correct, residual)
 
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW embeddings AS "
         f"SELECT * FROM '{sf_correct}/embeddings.parquet'"
     )
-    od = con.execute(_members_oracle_sql()).fetchall()
+    od = con.execute(_members_oracle_sql(residual=residual)).fetchall()
     orows = sorted(
         (
             int(vec_id),
