@@ -96,3 +96,50 @@ def test_two_phase_oracle_matches_stream_where_batch_diverges(
     batch_survivors = {0, 5, 10} - batch_losers
     assert batch_survivors == {0}
     assert batch_survivors != {d for d, _ in streamed}
+
+
+@pytest.mark.parametrize("seed", [7, 23, 41])
+def test_two_phase_oracle_matches_stream_on_random_corpora(
+    spark, tmp_path, seed
+):
+    """Seeded random corpora dense with near-dup clusters and exact
+    duplicates (mutation chains over a tiny vocabulary, ids scattered so
+    chains straddle the split arbitrarily): the streamed vehicle and the
+    two-phase oracle must agree on every one — the 'green at any
+    fixture/sf' claim, exercised beyond the shipped fixtures."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"t{i}" for i in range(14)]
+    docs: list[list[str]] = []
+    for _ in range(8):  # seed docs
+        docs.append(list(rng.choice(vocab, size=12)))
+    for _ in range(22):  # mutations of earlier docs → near-dup chains
+        base = list(docs[rng.randint(len(docs))])
+        for _ in range(rng.randint(0, 4)):  # 0 mutations = exact dup
+            base[rng.randint(len(base))] = vocab[rng.randint(len(vocab))]
+        docs.append(base)
+    ids = rng.permutation(len(docs)) * 5  # the vehicle's %5 subset rule
+    rows = [(int(i), " ".join(d)) for i, d in zip(ids, docs)]
+
+    sf = tmp_path / f"sf_rand{seed}"
+    sf.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    streamed = {
+        (r["doc_id"], r["arrived_batch"])
+        for r in dedup_stream_snapshot(spark, str(sf)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM parquet_scan('{sf}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        (int(doc_id), int(arr))
+        for doc_id, _len, arr in con.execute(DEDUP_STREAM_ORACLE).fetchall()
+    }
+    assert len(streamed) > 0
+    assert streamed == oracle
