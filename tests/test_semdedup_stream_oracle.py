@@ -50,3 +50,58 @@ def test_streamed_semdedup_matches_two_phase_sql_replay(spark, sf_correct):
     # (and with it the incremental path) was never exercised
     batches = {r[scols.index("arrived_batch")] for r in srows}
     assert batches == {"0", "1"}
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_streamed_semdedup_matches_replay_on_random_corpora(
+    spark, tmp_path, seed
+):
+    """Seeded random embedding corpora (Gaussian clusters + exact and
+    near-duplicate vectors, ids scattered so duplicate pairs straddle
+    the arrival split arbitrarily): the streamed ingest and the
+    two-phase replay must agree on every one — the oracle is a function
+    of the stream's semantics, not of the shipped fixtures."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    d = 16
+    centers = rng.randn(4, d) * 2.0
+    vecs: list[np.ndarray] = []
+    for _ in range(24):
+        vecs.append(centers[rng.randint(4)] + rng.randn(d) * 0.3)
+    for _ in range(12):  # near/exact duplicates of earlier vectors
+        base = vecs[rng.randint(len(vecs))].copy()
+        if rng.rand() < 0.4:
+            vecs.append(base)  # exact duplicate
+        else:
+            vecs.append(base + rng.randn(d) * 0.01)
+    ids = rng.permutation(len(vecs))
+    rows = [
+        (int(i), [float(x) for x in v.astype(np.float32)])
+        for i, v in zip(ids, vecs)
+    ]
+    sf = tmp_path / f"sf_semrand{seed}"
+    sf.mkdir()
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.parquet(str(sf / "embeddings.parquet"))
+
+    sdf = dedup_semantic_stream(spark, str(sf))
+    srows, scols = _rows(sdf)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM parquet_scan('{sf}/embeddings.parquet/*.parquet')"
+    )
+    od = con.execute(SEMDEDUP_STREAM_ORACLE).fetch_df()
+    ocols = sorted(od.columns)
+    orows = sorted(
+        tuple(str(od[c][i]) for c in ocols) for i in range(len(od))
+    )
+    assert scols == ocols
+    assert len(srows) > 0
+    assert srows == orows
