@@ -265,3 +265,88 @@ GROUP BY a.cell
     got = {int(c): int(n) for c, n in stored["counts"].items()}
     assert got == want
     assert stored["n_vectors"] == sum(want.values())
+
+
+def test_streamed_ann_index_matches_replay_on_random_corpus(
+    spark, tmp_path
+):
+    """One seeded random embedding corpus (Gaussian clusters + duplicate
+    vectors, d=32 so the m=4 subspaces slice differently than the
+    fixture's d=64): streamed members == replay — the oracle generalizes
+    past the shipped fixtures. Flat path (the residual variant differs
+    only in the already-parametrized subspace source)."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    d = 32
+    centers = rng.randn(3, d) * 2.0
+    vecs = [centers[rng.randint(3)] + rng.randn(d) * 0.4 for _ in range(30)]
+    vecs += [vecs[rng.randint(len(vecs))].copy() for _ in range(6)]
+    ids = rng.permutation(len(vecs))
+    rows = [
+        (int(i), [float(x) for x in v.astype(np.float32)])
+        for i, v in zip(ids, vecs)
+    ]
+    sf = tmp_path / "sf_annrand"
+    sf.mkdir()
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.parquet(str(sf / "embeddings.parquet"))
+
+    from pyspark.sql import functions as F
+
+    src = _arrival_split_src(emb := load_table(spark, str(sf), "embeddings"),
+                             "vec_id", "ann_stream_oracle_rand_")
+    root = _stream_scratch_dir("ann_stream_oracle_rand_run_")
+    idx = os.path.join(root, "idx")
+    run_file_ingest(
+        spark,
+        os.path.join(src, "arr=*"),
+        "vec_id long, embedding array<float>",
+        make_ann_index_ingest(
+            idx, m=_M, ksub=_KSUB, train_iters=_ITERS, round_decimals=_RD
+        ),
+        os.path.join(root, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    members = spark.read.parquet(os.path.join(idx, "members")).select(
+        F.col("vid").alias("vec_id"),
+        "cell",
+        "codes",
+        F.round("nrm", _RD).alias("nrm_r6"),
+        F.col("_batch_id").cast("long").alias("arrived_batch"),
+    )
+    srows = sorted(
+        (
+            int(r["vec_id"]),
+            int(r["cell"]),
+            tuple(int(c) for c in r["codes"]),
+            float(r["nrm_r6"]),
+            int(r["arrived_batch"]),
+        )
+        for r in members.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM parquet_scan('{sf}/embeddings.parquet/*.parquet')"
+    )
+    od = con.execute(
+        _lloyd_replay_prefix(_ITERS, _TRAIN_WHERE)
+        + _codebook_replay_sql(_M, _KSUB, _ITERS, d // _M)
+        + f"""
+SELECT a.vec_id, a.cell, cl.codes, ROUND(v.nrm, {_RD}) AS nrm_r6,
+       CASE WHEN a.vec_id <= (SELECT CAST(MAX(vec_id) // 2 AS BIGINT)
+                              FROM v)
+            THEN 0 ELSE 1 END AS arrived_batch
+FROM assigned a
+JOIN codes_l cl USING (vec_id)
+JOIN v USING (vec_id)
+"""
+    ).fetchall()
+    orows = sorted(
+        (int(v), int(c), tuple(int(x) for x in codes), float(n), int(a))
+        for v, c, codes, n, a in od
+    )
+    assert len(srows) > 0
+    assert srows == orows
