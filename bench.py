@@ -58,16 +58,17 @@ def sentinel_sec(spark) -> float:
     return round(min(_sentinel_once(spark) for _ in range(3)), 3)
 
 
-def _load_prev_bench() -> dict | None:
-    """Latest BENCH_r{N}.json next to this file, reduced to
-    {"round", "queries", "flag_sentinel_sec", "sf"}. Driver bench
-    artifacts wrap the bench stdout in a "tail" field; the JSON line is
-    the last '{"metric"...' in it. Returns None when no prior round or
-    the artifact is unparseable (first round, stripped checkout)."""
+def _load_prev_bench(bench_dir: str | None = None) -> dict | None:
+    """Latest BENCH_r{N}.json next to this file (or in ``bench_dir``),
+    reduced to {"round", "queries", "flag_sentinel_sec", "sf"}. Driver
+    bench artifacts wrap the bench stdout in a "tail" field; the JSON
+    line is the last '{"metric"...' in it. Returns None when no prior
+    round or the artifact is unparseable (first round, stripped
+    checkout)."""
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = bench_dir or os.path.dirname(os.path.abspath(__file__))
     best, best_n = None, -1
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)

@@ -9,7 +9,7 @@ import json
 import bench
 
 
-def test_load_prev_bench_parses_driver_wrapped_artifact(tmp_path, monkeypatch):
+def test_load_prev_bench_parses_driver_wrapped_artifact(tmp_path):
     inner = {
         "metric": "catalog_total_runtime",
         "value": 10.0,
@@ -31,10 +31,7 @@ def test_load_prev_bench_parses_driver_wrapped_artifact(tmp_path, monkeypatch):
     (tmp_path / "BENCH_r01.json").write_text(
         json.dumps({**inner, "sentinel_sec": 9.9})
     )
-    monkeypatch.setattr(
-        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
-    )
-    prev = bench._load_prev_bench()
+    prev = bench._load_prev_bench(str(tmp_path))
     assert prev == {
         "round": 3,
         "queries": {"q": 1.0},
@@ -43,7 +40,7 @@ def test_load_prev_bench_parses_driver_wrapped_artifact(tmp_path, monkeypatch):
     }
 
 
-def test_load_prev_bench_prefers_per_pass_median(tmp_path, monkeypatch):
+def test_load_prev_bench_prefers_per_pass_median(tmp_path):
     """The flag statistic normalizes by host speed DURING the passes —
     the start probe is a 3-shot minimum that can catch a momentarily
     fast window (observed: 42/50 false flags)."""
@@ -55,22 +52,16 @@ def test_load_prev_bench_prefers_per_pass_median(tmp_path, monkeypatch):
         "sf": 0.1,
     }
     (tmp_path / "BENCH_r05.json").write_text(json.dumps(inner))
-    monkeypatch.setattr(
-        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
-    )
-    assert bench._load_prev_bench()["flag_sentinel_sec"] == 0.8
+    assert bench._load_prev_bench(str(tmp_path))["flag_sentinel_sec"] == 0.8
 
 
-def test_load_prev_bench_absent_or_malformed(tmp_path, monkeypatch):
-    monkeypatch.setattr(
-        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
-    )
-    assert bench._load_prev_bench() is None
+def test_load_prev_bench_absent_or_malformed(tmp_path):
+    assert bench._load_prev_bench(str(tmp_path)) is None
     (tmp_path / "BENCH_r02.json").write_text("{not json")
-    assert bench._load_prev_bench() is None
+    assert bench._load_prev_bench(str(tmp_path)) is None
     # artifact without the fields the comparison needs
     (tmp_path / "BENCH_r04.json").write_text(json.dumps({"tail": "no json"}))
-    assert bench._load_prev_bench() is None
+    assert bench._load_prev_bench(str(tmp_path)) is None
 
 
 def test_ab_flag_rule_is_sentinel_normalized():
