@@ -78,3 +78,26 @@ def test_ab_flag_rule_is_sentinel_normalized():
         > bench.AB_FLAG_RATIO
     ]
     assert flagged == ["b"]
+
+
+def test_ab_check_family_expansion():
+    from tools.ab_check import expand_names
+
+    cat = ["dedup_semantic", "dedup_survivors", "txt_bpe", "q18_large_orders"]
+    assert expand_names(cat, [], ["dedup"]) == [
+        "dedup_semantic",
+        "dedup_survivors",
+    ]
+    # positional first, family de-duplicates against it
+    assert expand_names(cat, ["dedup_survivors"], ["dedup"]) == [
+        "dedup_survivors",
+        "dedup_semantic",
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        expand_names(cat, [], ["nope"])
+    with _pytest.raises(SystemExit):
+        expand_names(cat, [], [])
+    with _pytest.raises(SystemExit):
+        expand_names(cat, ["unknown_query"], [])

@@ -93,6 +93,27 @@ def interleaved_check(
     }
 
 
+def expand_names(
+    catalog_names, positional: list[str], families: list[str]
+) -> list[str]:
+    """Resolve CLI inputs to an ordered, de-duplicated query list:
+    positional names first, then each ``--family`` prefix expanded to
+    every catalog query it matches (sorted). Raises SystemExit on an
+    empty selection, a family with no matches, or an unknown name."""
+    names = list(positional)
+    for prefix in families:
+        expanded = sorted(q for q in catalog_names if q.startswith(prefix))
+        if not expanded:
+            raise SystemExit(f"--family {prefix}: no catalog query matches")
+        names.extend(q for q in expanded if q not in names)
+    if not names:
+        raise SystemExit("no queries given (positional names or --family)")
+    unknown = [q for q in names if q not in catalog_names]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown} (see queries/catalog.py)")
+    return names
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("queries", nargs="*", help="catalog query names")
@@ -109,17 +130,7 @@ def main() -> None:
     args = ap.parse_args()
 
     catalog = all_queries()
-    names = list(args.queries)
-    for prefix in args.family:
-        expanded = sorted(q for q in catalog if q.startswith(prefix))
-        if not expanded:
-            raise SystemExit(f"--family {prefix}: no catalog query matches")
-        names.extend(q for q in expanded if q not in names)
-    if not names:
-        raise SystemExit("no queries given (positional names or --family)")
-    unknown = [q for q in names if q not in catalog]
-    if unknown:
-        raise SystemExit(f"unknown queries: {unknown} (see queries/catalog.py)")
+    names = expand_names(catalog, args.queries, args.family)
 
     spark = get_spark(app_name="ab_check")
     summary = interleaved_check(spark, catalog, names, args.sf, runs=args.runs)
