@@ -92,6 +92,14 @@ def _load_prev_bench(bench_dir: str | None = None) -> dict | None:
                     continue
         if not inner or "queries" not in inner or "sentinel_sec" not in inner:
             return None
+        if inner.get("drift_retries"):
+            # a drift-retried round is not a stable baseline: its pass
+            # medians include slow-window probes while its query MINIMA
+            # come from the fast passes, so every ratio against it would
+            # be inflated by the prior round's drift factor — exactly the
+            # false-flag mode the median statistic exists to prevent,
+            # reintroduced from the prev side. Skip auto-A/B that round.
+            return None
         import statistics
 
         # the FLAG statistic uses the median of the per-pass sentinels
@@ -119,6 +127,21 @@ def _load_prev_bench(bench_dir: str | None = None) -> dict | None:
 # automatic interleaved A/B (tools/ab_check.py discipline) whose table is
 # published in the bench JSON — VERDICT r10 "Next round" #7
 AB_FLAG_RATIO = 1.3
+
+
+def flag_ratios(
+    timings: dict[str, float], flag_sentinel: float, prev: dict
+) -> dict[str, float]:
+    """Sentinel-normalized round-over-round ratio per query — the auto-A/B
+    trigger's exact formula, extracted so the unit test exercises the
+    SHIPPED logic instead of a re-implementation:
+    (cur / flag_sentinel) / (prev_query / prev_flag_sentinel)."""
+    return {
+        name: (cur / flag_sentinel)
+        / (prev["queries"][name] / prev["flag_sentinel_sec"])
+        for name, cur in timings.items()
+        if name in prev["queries"] and prev["queries"][name] > 0
+    }
 
 
 def infer_sf(path: str) -> float:
@@ -211,12 +234,7 @@ def main() -> None:
         and sentinels_clean
         and not os.environ.get("SPARK_GRAFT_BENCH_NO_AB")
     ):
-        ratios = {
-            name: (cur / flag_sentinel)
-            / (prev["queries"][name] / prev["flag_sentinel_sec"])
-            for name, cur in timings.items()
-            if name in prev["queries"] and prev["queries"][name] > 0
-        }
+        ratios = flag_ratios(timings, flag_sentinel, prev)
         over = sorted(
             (n for n, r in ratios.items() if r > AB_FLAG_RATIO),
             key=lambda n: -ratios[n],
@@ -231,7 +249,8 @@ def main() -> None:
             from tools.ab_check import interleaved_check
 
             table = interleaved_check(
-                spark, catalog, flagged, SF_DIR, runs=3, echo=False
+                spark, catalog, flagged, SF_DIR, runs=3, echo=False,
+                warm=False,  # 5+ catalog passes just ran in this session
             )
             for name in flagged:
                 ab_checks[name] = {

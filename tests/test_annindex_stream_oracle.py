@@ -53,8 +53,17 @@ _KSUB = 8
 _ITERS = 3
 _RD = 6
 _TRAIN_WHERE = (
-    "WHERE vec_id <= (SELECT CAST(MAX(vec_id) // 2 AS BIGINT) FROM v)"
+    # OR arm: the degenerate split (no id clears the midpoint) delivers
+    # everything as micro-batch 0, so the build/training population is
+    # the whole table (same guard as the production stream oracles)
+    "WHERE vec_id <= (SELECT CAST(MAX(vec_id) // 2 AS BIGINT) FROM v) "
+    "OR NOT EXISTS (SELECT 1 FROM v v2 WHERE v2.vec_id <= "
+    "(SELECT CAST(MAX(vec_id) // 2 AS BIGINT) FROM v))"
 )
+_ARR_CASE = """CASE WHEN NOT EXISTS (SELECT 1 FROM v v2 WHERE v2.vec_id <=
+                (SELECT CAST(MAX(vec_id) // 2 AS BIGINT) FROM v)) THEN 0
+            WHEN a.vec_id <= (SELECT CAST(MAX(vec_id) // 2 AS BIGINT) FROM v)
+            THEN 0 ELSE 1 END"""
 
 
 def _codebook_replay_sql(
@@ -155,9 +164,7 @@ def _members_oracle_sql(residual: bool = False) -> str:
         + _codebook_replay_sql(_M, _KSUB, _ITERS, 64 // _M, residual=residual)
         + f"""
 SELECT a.vec_id, a.cell, cl.codes, ROUND(v.nrm, {_RD}) AS nrm_r6,
-       CASE WHEN a.vec_id <= (SELECT CAST(MAX(vec_id) // 2 AS BIGINT)
-                              FROM v)
-            THEN 0 ELSE 1 END AS arrived_batch
+       {_ARR_CASE} AS arrived_batch
 FROM assigned a
 JOIN codes_l cl USING (vec_id)
 JOIN v USING (vec_id)
@@ -258,6 +265,8 @@ def test_streamed_ann_index_matches_two_phase_sql_replay(
 SELECT a.cell, COUNT(*) AS n
 FROM assigned a
 WHERE a.vec_id <= (SELECT CAST(MAX(vec_id) // 2 AS BIGINT) FROM v)
+   OR NOT EXISTS (SELECT 1 FROM v v2 WHERE v2.vec_id <=
+        (SELECT CAST(MAX(vec_id) // 2 AS BIGINT) FROM v))
 GROUP BY a.cell
 """
         ).fetchall()
@@ -336,9 +345,7 @@ def test_streamed_ann_index_matches_replay_on_random_corpus(
         + _codebook_replay_sql(_M, _KSUB, _ITERS, d // _M)
         + f"""
 SELECT a.vec_id, a.cell, cl.codes, ROUND(v.nrm, {_RD}) AS nrm_r6,
-       CASE WHEN a.vec_id <= (SELECT CAST(MAX(vec_id) // 2 AS BIGINT)
-                              FROM v)
-            THEN 0 ELSE 1 END AS arrived_batch
+       {_ARR_CASE} AS arrived_batch
 FROM assigned a
 JOIN codes_l cl USING (vec_id)
 JOIN v USING (vec_id)
@@ -349,4 +356,80 @@ JOIN v USING (vec_id)
         for v, c, codes, n, a in od
     )
     assert len(srows) > 0
+    assert srows == orows
+
+
+def test_degenerate_split_single_batch_agrees(spark, tmp_path):
+    """No vec_id clears the midpoint: ONE file → one micro-batch → the
+    whole table is the build batch; members labeled batch 0 and the
+    replay's guard folds its training population and labels the same
+    way."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (int(30 + 2 * i), [float(x) for x in rng.randn(32).astype(np.float32)])
+        for i in range(15)
+    ]  # ids 30..58, mid = 58//2 = 29 → no id ≤ 29
+    sf = tmp_path / "sf_anndegen"
+    sf.mkdir()
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.parquet(str(sf / "embeddings.parquet"))
+
+    src = _arrival_split_src(
+        load_table(spark, str(sf), "embeddings"), "vec_id", "ann_degen_"
+    )
+    root = _stream_scratch_dir("ann_degen_run_")
+    idx = os.path.join(root, "idx")
+    run_file_ingest(
+        spark,
+        os.path.join(src, "arr=*"),
+        "vec_id long, embedding array<float>",
+        make_ann_index_ingest(
+            idx, m=_M, ksub=_KSUB, train_iters=_ITERS, round_decimals=_RD
+        ),
+        os.path.join(root, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    members = spark.read.parquet(os.path.join(idx, "members")).select(
+        F.col("vid").alias("vec_id"),
+        "cell",
+        "codes",
+        F.round("nrm", _RD).alias("nrm_r6"),
+        F.col("_batch_id").cast("long").alias("arrived_batch"),
+    )
+    srows = sorted(
+        (
+            int(r["vec_id"]),
+            int(r["cell"]),
+            tuple(int(c) for c in r["codes"]),
+            float(r["nrm_r6"]),
+            int(r["arrived_batch"]),
+        )
+        for r in members.collect()
+    )
+    assert {r[4] for r in srows} == {0}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM parquet_scan('{sf}/embeddings.parquet/*.parquet')"
+    )
+    od = con.execute(
+        _lloyd_replay_prefix(_ITERS, _TRAIN_WHERE)
+        + _codebook_replay_sql(_M, _KSUB, _ITERS, 32 // _M)
+        + f"""
+SELECT a.vec_id, a.cell, cl.codes, ROUND(v.nrm, {_RD}) AS nrm_r6,
+       {_ARR_CASE} AS arrived_batch
+FROM assigned a
+JOIN codes_l cl USING (vec_id)
+JOIN v USING (vec_id)
+"""
+    ).fetchall()
+    orows = sorted(
+        (int(v), int(c), tuple(int(x) for x in codes), float(n), int(a))
+        for v, c, codes, n, a in od
+    )
     assert srows == orows

@@ -67,17 +67,32 @@ def test_load_prev_bench_absent_or_malformed(tmp_path):
 def test_ab_flag_rule_is_sentinel_normalized():
     """The trigger is the RATIO of sentinel-normalized ratios, not walls:
     a query 2x slower on a 2x-slower host must not flag; a genuinely
-    1.5x-slower query must."""
+    1.5x-slower query must. Exercises the SHIPPED formula
+    (bench.flag_ratios), not a re-implementation."""
     prev = {"queries": {"a": 1.0, "b": 1.0}, "flag_sentinel_sec": 0.5}
     sentinel = 1.0  # host is 2x slower than prev round
     timings = {"a": 2.0, "b": 3.0}  # a: unchanged normalized; b: 1.5x
-    flagged = [
-        n
-        for n, cur in sorted(timings.items())
-        if (cur / sentinel) / (prev["queries"][n] / prev["flag_sentinel_sec"])
-        > bench.AB_FLAG_RATIO
-    ]
+    ratios = bench.flag_ratios(timings, sentinel, prev)
+    flagged = sorted(n for n, r in ratios.items() if r > bench.AB_FLAG_RATIO)
     assert flagged == ["b"]
+    # a query absent from prev (new vehicle) never flags
+    assert "c" not in bench.flag_ratios({"c": 9.0}, sentinel, prev)
+
+
+def test_load_prev_bench_skips_drift_retried_rounds(tmp_path):
+    """A drift-retried prior round is not a stable flag baseline (its pass
+    medians include slow-window probes while its minima came from fast
+    passes) — auto-A/B must sit that round out."""
+    inner = {
+        "metric": "catalog_total_runtime",
+        "queries": {"q": 1.0},
+        "sentinel_sec": 0.5,
+        "sentinel_per_pass": [0.5, 2.1, 2.3],
+        "drift_retries": 2,
+        "sf": 0.1,
+    }
+    (tmp_path / "BENCH_r06.json").write_text(json.dumps(inner))
+    assert bench._load_prev_bench(str(tmp_path)) is None
 
 
 def test_ab_check_family_expansion():

@@ -143,3 +143,34 @@ def test_two_phase_oracle_matches_stream_on_random_corpora(
     }
     assert len(streamed) > 0
     assert streamed == oracle
+
+
+def test_degenerate_split_single_batch_agrees(spark, tmp_path):
+    """No id clears the midpoint (min(id) > max(id)//2): the split writes
+    ONE file, the stream delivers everything as micro-batch 0, and the
+    oracle's has0 guard labels (and phases) identically — the 'any
+    fixture' claim at the split rule's own edge."""
+    rows = [(35, "alpha beta gamma delta epsilon zeta"),
+            (40, "alpha beta gamma delta epsilon zeta"),  # exact dup
+            (45, "totally different words here entirely now")]
+    sf = tmp_path / "sf_degen"
+    sf.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    streamed = {
+        (r["doc_id"], r["arrived_batch"])
+        for r in dedup_stream_snapshot(spark, str(sf)).collect()
+    }
+    assert streamed == {(35, 0), (45, 0)}, streamed
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM parquet_scan('{sf}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        (int(doc_id), int(arr))
+        for doc_id, _len, arr in con.execute(DEDUP_STREAM_ORACLE).fetchall()
+    }
+    assert oracle == streamed

@@ -105,3 +105,42 @@ def test_streamed_semdedup_matches_replay_on_random_corpora(
     assert scols == ocols
     assert len(srows) > 0
     assert srows == orows
+
+
+def test_degenerate_split_single_batch_agrees(spark, tmp_path):
+    """No vec_id clears the midpoint: ONE file → one micro-batch → the
+    build batch (and the oracle's training population) is the whole
+    table; everything is labeled batch 0 on both sides."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vecs = [rng.randn(16) for _ in range(10)]
+    vecs.append(vecs[0].copy())  # one exact duplicate
+    rows = [
+        (int(30 + 2 * i), [float(x) for x in v.astype(np.float32)])
+        for i, v in enumerate(vecs)
+    ]  # ids 30..50, mid = 50//2 = 25 → no id ≤ 25
+    sf = tmp_path / "sf_semdegen"
+    sf.mkdir()
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.parquet(str(sf / "embeddings.parquet"))
+
+    sdf = dedup_semantic_stream(spark, str(sf))
+    srows, scols = _rows(sdf)
+    arr_idx = scols.index("arrived_batch")
+    assert {r[arr_idx] for r in srows} == {"0"}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM parquet_scan('{sf}/embeddings.parquet/*.parquet')"
+    )
+    od = con.execute(SEMDEDUP_STREAM_ORACLE).fetch_df()
+    ocols = sorted(od.columns)
+    orows = sorted(
+        tuple(str(od[c][i]) for c in ocols) for i in range(len(od))
+    )
+    assert scols == ocols
+    assert len(srows) > 0
+    assert srows == orows

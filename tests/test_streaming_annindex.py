@@ -325,3 +325,36 @@ def test_end_to_end_readstream_wiring(spark, emb, tmp_path):
     members = spark.read.parquet(idx + "/members")
     assert members.count() == emb.count()
     assert not needs_retrain(spark, idx)
+
+
+def test_quantized_contract_cannot_be_claimed_onto_legacy_index(
+    spark, emb, tmp_path
+):
+    """round_decimals is part of the index's identity (r11): a pre-r11
+    knobs file lacks the key, and the legacy-claim path must refuse to
+    record a QUANTIZED contract onto an index whose quantizers were
+    trained without it — while the honest legacy value (None) claims
+    freely and the stream continues."""
+    import json
+
+    idx = str(tmp_path / "ann_legacy")
+    ingest = make_ann_index_ingest(idx, **_KNOBS)  # round_decimals=None
+    ingest(emb.where("vec_id % 2 = 0"), 0)
+    # simulate the pre-r11 fingerprint: the key does not exist
+    knobs_path = idx + "_knobs.json"
+    with open(knobs_path) as f:
+        stored = json.load(f)
+    stored.pop("round_decimals")
+    with open(knobs_path, "w") as f:
+        json.dump(stored, f)
+    quantized = make_ann_index_ingest(idx, **_KNOBS, round_decimals=6)
+    with pytest.raises(ValueError, match="round_decimals"):
+        quantized(emb.where("vec_id % 2 = 1"), 1)
+    # nothing was recorded by the refused claim
+    with open(knobs_path) as f:
+        assert "round_decimals" not in json.load(f)
+    # the honest legacy value claims and the stream proceeds
+    legacy = make_ann_index_ingest(idx, **_KNOBS)
+    legacy(emb.where("vec_id % 2 = 1"), 1)
+    with open(knobs_path) as f:
+        assert json.load(f)["round_decimals"] is None

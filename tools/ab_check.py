@@ -45,12 +45,21 @@ from vmware_sd_wan_velocloud_bi_intake_spark.session import get_spark
 
 
 def interleaved_check(
-    spark, catalog, names, sf_dir: str, runs: int = 5, echo: bool = True
+    spark,
+    catalog,
+    names,
+    sf_dir: str,
+    runs: int = 5,
+    echo: bool = True,
+    warm: bool = True,
 ) -> dict:
     """One interleaved sentinel-normalized A/B table over ``names``:
     per pass, one sentinel probe then each query once, so a host burst
     hits all arms equally. Returns the summary dict (the same shape the
-    CLI prints). Shared by the CLI below and bench.py's auto-flag path."""
+    CLI prints). Shared by the CLI below and bench.py's auto-flag path —
+    which passes ``warm=False``: its session just ran 5+ full catalog
+    passes, so the warm lap would only re-execute the flagged (slowest)
+    queries once more for no statistical benefit."""
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
@@ -59,10 +68,11 @@ def interleaved_check(
         ).save()
         return round(time.perf_counter() - t0, 3)
 
-    # warm pass (unrecorded): JVM, parquet footers, Python worker pool
-    _sentinel_once(spark)
-    for q in names:
-        run(q)
+    if warm:
+        # warm pass (unrecorded): JVM, parquet footers, Python worker pool
+        _sentinel_once(spark)
+        for q in names:
+            run(q)
 
     sents: list[float] = []
     walls: dict[str, list[float]] = {q: [] for q in names}

@@ -796,6 +796,11 @@ def semantic_dedup_incremental(
     )
 
 
+# the layout train_centroids (and its distributed twin) publishes — the
+# ingests' per-batch centroid reads declare it instead of re-inferring
+TRAINED_CENTROIDS_SCHEMA = "cell long, cv array<double>, cnrm double"
+
+
 def train_centroids(
     emb: DataFrame,
     n_cells: int,

@@ -558,10 +558,16 @@ WITH sub AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
 ), mid AS (
   SELECT CAST(MAX(doc_id) // 2 AS BIGINT) AS m FROM sub
+), has0 AS (
+  -- degenerate split: when NO id clears the midpoint the split writes a
+  -- single file, which becomes micro-batch 0 — everything then arrives
+  -- (and is labeled) batch 0 on both sides
+  SELECT COUNT(*) > 0 AS h FROM sub WHERE doc_id <= (SELECT m FROM mid)
 ), norm AS (
   -- arrival batch from the vehicle's id-range split rule
   SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t,
-         CASE WHEN doc_id <= (SELECT m FROM mid) THEN 0 ELSE 1 END AS arr
+         CASE WHEN NOT (SELECT h FROM has0) THEN 0
+              WHEN doc_id <= (SELECT m FROM mid) THEN 0 ELSE 1 END AS arr
   FROM sub
 ), exact_keep AS (
   -- phase 1, per batch: WITHIN-batch exact dedup (min-id per content)
@@ -1232,16 +1238,26 @@ def dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_STREAM_TRAIN_WHERE = (
-    "WHERE vec_id <= (SELECT CAST(MAX(vec_id) // 2 AS BIGINT) FROM v)"
+    # the OR arm covers the degenerate split (no id clears the midpoint):
+    # the single file becomes micro-batch 0, so the BUILD batch — and the
+    # training population — is the whole table
+    "WHERE vec_id <= (SELECT CAST(MAX(vec_id) // 2 AS BIGINT) FROM v) "
+    "OR NOT EXISTS (SELECT 1 FROM v v2 WHERE v2.vec_id <= "
+    "(SELECT CAST(MAX(vec_id) // 2 AS BIGINT) FROM v))"
 )
 
 SEMDEDUP_STREAM_ORACLE = f"""{
     _lloyd_replay_prefix(_IVF_TRAIN_ITERS, _SEMDEDUP_STREAM_TRAIN_WHERE)
 }, batchd AS (
   -- every vector at the FROZEN build-batch centroids, tagged with its
-  -- arrival micro-batch (the id-range split rule the vehicle writes)
+  -- arrival micro-batch (the id-range split rule the vehicle writes;
+  -- the NOT EXISTS arm folds the degenerate no-batch-0 split to a
+  -- single batch 0, mirroring the stream)
   SELECT a.vec_id, a.cell, a.ccos,
-         CASE WHEN a.vec_id <= (SELECT CAST(MAX(vec_id) // 2 AS BIGINT)
+         CASE WHEN NOT EXISTS (SELECT 1 FROM v v2 WHERE v2.vec_id <=
+                (SELECT CAST(MAX(vec_id) // 2 AS BIGINT) FROM v))
+              THEN 0
+              WHEN a.vec_id <= (SELECT CAST(MAX(vec_id) // 2 AS BIGINT)
                                 FROM v)
               THEN 0 ELSE 1 END AS arr
   FROM assigned a

@@ -117,6 +117,31 @@ def make_ann_index_ingest(
         "round_decimals": round_decimals,
     }
 
+    def _on_claim(keys: list[str]) -> None:
+        # the key is newer than some indexes (r11): a legacy knobs file
+        # lacks it, and check_knobs' claim path would otherwise record
+        # whatever the redeploy passed. Claiming the honest legacy value
+        # (None) is fine; claiming a QUANTIZED contract onto an index
+        # whose quantizers were trained without it would encode new
+        # batches under a rounding rule the build never used AND make
+        # the fingerprint assert a replayability the members don't have.
+        # Discriminator is index CONTENT, not file age: before the
+        # codebooks exist nothing was trained, so a fresh index (or a
+        # mid-build crash replay) claims freely and trains quantized.
+        if (
+            "round_decimals" in keys
+            and round_decimals is not None
+            and os.path.exists(p["codebooks"])
+        ):
+            raise ValueError(
+                "ann ingest: cannot claim round_decimals="
+                f"{round_decimals!r} onto an already-built index — its "
+                "quantizers were trained WITHOUT the quantized contract, "
+                "so tie-margin codes would diverge from the index's own "
+                "build rule; rebuild under the quantized configuration "
+                "(rebuild_ann_index) or keep round_decimals=None"
+            )
+
     def _publish_parts(spark, members: DataFrame, batch_id: int) -> None:
         """Members partition + its drift part, each a batch-keyed
         per-WRITE dynamic overwrite (sinks/merge.py discipline — scoped
@@ -190,6 +215,7 @@ def make_ann_index_ingest(
                 "a different vector column — are not interchangeable; "
                 "rebuild the index or restore the original configuration"
             ),
+            on_claim=_on_claim,
         )
         fp = batch_fingerprint(batch_df, vec_id)
         check_sequence(p["knobs"], "annindex-knobs/v1", batch_id, fp)
@@ -256,7 +282,12 @@ def make_ann_index_ingest(
             return
         # ---- append batch: encode at frozen quantizers -----------------
         books = pqops.load_pq_codebooks(p["codebooks"])
-        cents = spark.read.parquet(p["centroids"])
+        # declared schema on the per-batch centroid read (the
+        # ingestbase.read_engine_parts rationale)
+        from ..operators.similarity import TRAINED_CENTROIDS_SCHEMA
+        from .ingestbase import read_engine_parts
+
+        cents = read_engine_parts(spark, p["centroids"], TRAINED_CENTROIDS_SCHEMA)
         members = pqops.ivf_pq_append(
             batch_df,
             cents,

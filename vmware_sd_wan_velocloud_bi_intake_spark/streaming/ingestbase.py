@@ -42,6 +42,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def read_engine_parts(spark, path: str, schema) -> DataFrame:
+    """Read an ENGINE-OWNED parquet layout with its DECLARED schema.
+
+    Schema inference lists the tree and reads a parquet footer on every
+    call — a per-MICRO-BATCH cost on a long-lived stream, paid for
+    information the writer already knows. Every ingest's hot-loop read
+    of a layout it wrote itself (band-row index, summary parts, members,
+    trained centroids) goes through here; the reader/maintenance
+    utilities OUTSIDE the loop keep inference — one-off cost, and a
+    safety net while inspecting a layout by hand."""
+    return spark.read.schema(schema).parquet(path)
+
+
 def batch_fingerprint(batch_df: DataFrame, id_col: str) -> str:
     """Order-independent, multiplicity-sensitive content id of a
     micro-batch (see module doc for why sum beats XOR here)."""

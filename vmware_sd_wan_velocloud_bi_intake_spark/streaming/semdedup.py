@@ -201,7 +201,14 @@ def make_semantic_dedup_ingest(
                 round_decimals=round_decimals,
             )
             cents.write.mode("overwrite").parquet(centroids_dir)
-        cents = spark.read.parquet(centroids_dir)
+        # declared engine-owned schemas on the per-batch reads (the
+        # ingestbase.read_engine_parts rationale: inference lists +
+        # footer-reads on EVERY micro-batch for layouts this module wrote)
+        from .ingestbase import read_engine_parts
+
+        cents = read_engine_parts(
+            spark, centroids_dir, sim.TRAINED_CENTROIDS_SCHEMA
+        )
         # ---- in-batch SemDeDup at the frozen quantizer ------------------
         kept_ids = sim.semantic_dedup_survivors(
             batch_df,
@@ -217,9 +224,28 @@ def make_semantic_dedup_ingest(
         # would self-match and the batch's partitions would empty out) ----
         novel = kept
         if os.path.isdir(members_dir):
-            members = spark.read.parquet(members_dir).where(
-                F.col("_batch_id") != F.lit(int(batch_id))
+            from pyspark.sql.types import (
+                ArrayType,
+                DoubleType,
+                IntegerType,
+                LongType,
+                StructField,
+                StructType,
             )
+
+            members_schema = StructType(
+                [
+                    StructField("cell", LongType()),
+                    # the id type follows the source — from the live batch
+                    StructField("vid", batch_df.schema[vec_id].dataType),
+                    StructField("v", ArrayType(DoubleType())),
+                    StructField("nrm", DoubleType()),
+                    StructField("_batch_id", IntegerType()),
+                ]
+            )
+            members = read_engine_parts(
+                spark, members_dir, members_schema
+            ).where(F.col("_batch_id") != F.lit(int(batch_id)))
             pairs = sim.semantic_dedup_incremental(
                 kept,
                 cents,
