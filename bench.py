@@ -287,6 +287,12 @@ def main() -> None:
                 "sentinel_per_pass": per_pass_sentinels,
                 "drift_retries": drift_retries,
                 "total_over_sentinel": round(total / sentinel, 3),
+                # the host-weather-stable comparator (SCALE.md r11 note:
+                # two same-tree runs 20% apart raw agree within 3% on
+                # this) — published so the artifact carries the right
+                # statistic, not just the raw total
+                "pass_median_sentinel": round(flag_sentinel, 3),
+                "total_over_pass_median": round(total / flag_sentinel, 3),
                 "r6_host_equivalent_total": round(
                     total / sentinel * R6_SENTINEL, 3
                 ),
