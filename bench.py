@@ -128,6 +128,51 @@ def _load_prev_bench(bench_dir: str | None = None) -> dict | None:
 # published in the bench JSON — VERDICT r10 "Next round" #7
 AB_FLAG_RATIO = 1.3
 
+# --- whole-run hot-host gating (VERDICT r11 "Next round" #1) -------------
+# The published bar is evaluated on the RAW total, but the recorded
+# artifact is whatever host weather the driver's run caught: r11's
+# recorded pass-median sentinel was 0.784-1.087 while same-tree clean
+# runs sat at 0.72-0.78 and swung the raw total 44.8→53.8 s with zero
+# code change. The per-pass drift retry only fires on a >2× END-probe
+# collapse; a UNIFORMLY hot window sails through it. This gate extends
+# the defense to the whole run: when the median of the per-pass
+# sentinels says the host never gave a clean pass, run bounded extra
+# passes (minima keep absorbing) until either a clean window is caught
+# or the budget is spent — the attempt count is published either way.
+# Band: clean-host pass sentinels on this box are 0.72-0.78 (r10 0.721,
+# r11 clean runs 0.774; SCALE.md "host weather" table).
+CLEAN_HOST_SENTINEL_BAND = float(
+    os.environ.get("SPARK_GRAFT_CLEAN_SENTINEL_BAND", "0.80")
+)
+MAX_HOT_EXTRA_PASSES = int(os.environ.get("SPARK_GRAFT_MAX_HOT_EXTRA", "4"))
+
+
+def needs_hot_host_pass(
+    per_pass_sentinels: list[float],
+    extra_done: int,
+    band: float = CLEAN_HOST_SENTINEL_BAND,
+    max_extra: int = MAX_HOT_EXTRA_PASSES,
+) -> bool:
+    """True when the recorded minima have not yet seen a clean-host pass
+    and the extra-pass budget remains. Two exits besides the budget:
+    (a) the run's pass-median sentinel is inside the clean band — the
+    majority of passes ran on a clean host, the minima are trustworthy;
+    (b) at least TWO individual passes probed clean — the minima were
+    refreshed on a clean window even if the median stays hot (a median
+    over a mostly-hot history needs more clean passes than the budget
+    allows to move, but the MINIMA only need the clean passes
+    themselves). Single-shot probes can catch a momentary idle gap
+    mid-burst, hence two, not one."""
+    import statistics
+
+    if extra_done >= max_extra:
+        return False
+    if statistics.median(per_pass_sentinels) <= band:
+        return False
+    if sum(1 for s in per_pass_sentinels if s <= band) >= 2:
+        return False
+    return True
+
 
 def flag_ratios(
     timings: dict[str, float], flag_sentinel: float, prev: dict
@@ -206,6 +251,18 @@ def main() -> None:
             timings[name] = min(timings.get(name, elapsed), elapsed)
         per_pass_sentinels.append(_sentinel_once(spark))
         sentinel_end = sentinel_sec(spark)
+
+    # whole-run hot-host gate (VERDICT r11 #1): bounded extra passes until
+    # the minima have seen a clean-host window — see needs_hot_host_pass
+    hot_extra_passes = 0
+    while needs_hot_host_pass(per_pass_sentinels, hot_extra_passes):
+        hot_extra_passes += 1
+        for name, q in sorted(catalog.items()):
+            t0 = time.perf_counter()
+            q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
+        per_pass_sentinels.append(_sentinel_once(spark))
 
     # auto A/B (VERDICT r10 #7): at CLEAN sentinels (no drift retries,
     # end probe within 2× of start), a query whose sentinel-normalized
@@ -301,6 +358,11 @@ def main() -> None:
                 # consumer pairing the two fields stays consistent
                 "runs": len(per_pass_sentinels),
                 "configured_runs": N_RUNS,
+                # whole-run hot-host gate: extra passes spent chasing a
+                # clean window (0 = the configured passes already probed
+                # clean) and the band they were judged against
+                "hot_extra_passes": hot_extra_passes,
+                "clean_host_band": CLEAN_HOST_SENTINEL_BAND,
                 "ab_checks": ab_checks,
                 "ab_flagged_total": ab_flagged_total,
             }

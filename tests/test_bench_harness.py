@@ -116,3 +116,34 @@ def test_ab_check_family_expansion():
         expand_names(cat, [], [])
     with _pytest.raises(SystemExit):
         expand_names(cat, ["unknown_query"], [])
+
+
+def test_hot_host_gate_decision_table():
+    """Whole-run hot-host gate (VERDICT r11 #1): extra passes run only
+    while the minima have seen no clean window AND budget remains."""
+    need = bench.needs_hot_host_pass
+    band, mx = 0.80, 4
+    # uniformly hot run: gate fires
+    assert need([0.9, 0.95, 1.0, 0.9, 0.92], 0, band, mx)
+    # budget exhausted: stop even if still hot
+    assert not need([0.9] * 9, 4, band, mx)
+    # median inside the clean band: minima are trustworthy, no gate
+    assert not need([0.75, 0.78, 0.79, 0.9, 0.95], 0, band, mx)
+    # two individual clean passes refresh the minima even when the
+    # median stays hot (a mostly-hot history can't move its median
+    # inside the budget, but the minima only need the clean passes)
+    assert not need([0.95, 0.9, 0.76, 1.0, 0.74], 0, band, mx)
+    # ONE clean probe is not enough (momentary idle gap mid-burst)
+    assert need([0.95, 0.9, 0.76, 1.0, 0.96], 0, band, mx)
+
+
+def test_hot_host_gate_converges_as_host_cools():
+    """Simulated hot start that cools: the gate stops requesting passes
+    as soon as two extra passes probe clean, well inside the budget."""
+    sentinels = [1.1, 1.0, 1.05, 0.98, 1.02]  # the 5 configured passes
+    cooled = iter([0.75, 0.74, 0.73, 0.72])  # host recovers
+    extra = 0
+    while bench.needs_hot_host_pass(sentinels, extra, 0.80, 4):
+        extra += 1
+        sentinels.append(next(cooled))
+    assert extra == 2
