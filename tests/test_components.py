@@ -115,3 +115,31 @@ def test_unconverged_graph_raises(spark):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="no convergence"):
         dedup.duplicate_components(df, max_iters=1)
+
+
+def test_dedup_survivors_component_riders_match_union_find(spark, sf_smoke):
+    """The catalog vehicle's r12 rider columns (component_id /
+    component_size) against the union-find oracle over the same
+    verified-pair graph — the in-catalog DuckDB recursive CTE and this
+    test pin the rider from two independent directions."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.queries.textvec import (
+        dedup_survivors,
+    )
+    from vmware_sd_wan_velocloud_bi_intake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    pairs = dedup.near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.4, num_hashes=4, bands=2, shingle_n=3
+    )
+    comp = union_find_components(
+        [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    )
+    sizes: dict[int, int] = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    out = dedup_survivors(spark, sf_smoke).collect()
+    assert any(r["component_size"] > 1 for r in out), "fixture has clusters"
+    for r in out:
+        d = r["doc_id"]
+        assert r["component_id"] == comp.get(d, d)
+        assert r["component_size"] == sizes.get(comp.get(d, d), 1)

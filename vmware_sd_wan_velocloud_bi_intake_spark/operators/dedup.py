@@ -538,7 +538,7 @@ def duplicate_components(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nbr = sym.join(
             labels.select(F.col("id").alias("v"), "label"), "v"
         ).select(F.col("u").alias("id"), "label")
@@ -557,12 +557,21 @@ def duplicate_components(
             )
             .localCheckpoint(eager=True)
         )
+        # round 1 always changes when any edge exists (every edge (u, v)
+        # with u < v relabels v), so its convergence probe is a wasted
+        # job — skip it. On an EMPTY edge set this trades the old round-1
+        # early exit for one extra trivial round; every non-degenerate
+        # input saves a driver round-trip per call.
         changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            1
+            if it == 0
+            else (
+                jumped.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
         )
         labels = jumped
         if changed == 0:

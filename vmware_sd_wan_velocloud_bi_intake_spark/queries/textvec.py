@@ -1320,10 +1320,31 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_keep = exact.select(
         F.col("keep_id").alias("doc_id"), "dedup_key", "dup_count"
     )
+    # materialize the verified pair list once: it now has two consumers
+    # (the loser anti-join and the component rider) and
+    # duplicate_components additionally ITERATES over it — left lazy,
+    # each would re-run the whole shingle/minhash/bucket pipeline
     near = dedup.near_dup_pairs(
         docs, "doc_id", "text", threshold=0.4, num_hashes=4, bands=2, shingle_n=3
-    )
+    ).localCheckpoint(eager=True)
     near_losers = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    # r12 rider: transitive duplicate CLUSTERS over the verified-pair
+    # graph (operators.dedup.duplicate_components — hash-min + pointer
+    # jumping, the survivor-selection grain of every large-scale dedup
+    # pipeline: A~B and B~C cluster {A,B,C} even when A~C misses the
+    # threshold). component_id = min doc_id of the survivor's cluster
+    # (itself when graph-untouched), component_size = cluster vertex
+    # count. The DuckDB side replays it as a recursive-CTE transitive
+    # closure — an independent algorithm agreeing on the fixpoint.
+    comp = dedup.duplicate_components(near)
+    comp_sz = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("component_size")
+    )
+    comp_full = comp.join(comp_sz, "component").select(
+        "doc_id",
+        F.col("component").alias("component_id"),
+        "component_size",
+    )
     surv = exact_keep.join(near_losers, "doc_id", "left_anti")
     # span pass over the WHOLE corpus (owner election is corpus-wide — a
     # survivor's passage may be owned by a dropped doc). ONE call carries
@@ -1338,18 +1359,26 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_spans",
         "span_tokens_cut",
     )
-    return surv.join(clean, "doc_id", "left").select(
-        "doc_id",
-        "dedup_key",
-        "dup_count",
-        "n_dup_spans",
-        "span_tokens_cut",
-        "clean_len",
+    return (
+        surv.join(clean, "doc_id", "left")
+        .join(comp_full, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dedup_key",
+            "dup_count",
+            F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+            F.coalesce("component_size", F.lit(1).cast("long")).alias(
+                "component_size"
+            ),
+            "n_dup_spans",
+            "span_tokens_cut",
+            "clean_len",
+        )
     )
 
 
 DEDUP_SURVIVORS_ORACLE_TMPL = r"""
-WITH norm AS (
+WITH RECURSIVE norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
   FROM documents
 ), exact_keep AS (
@@ -1383,13 +1412,33 @@ WITH norm AS (
   JOIN ok_buckets ob ON ob.bucket = a.bucket
 ), shl AS (
   SELECT doc_id, list(shingle) AS sl FROM sh GROUP BY doc_id
-), near_losers AS (
-  SELECT DISTINCT doc_b AS doc_id
+), vpairs AS MATERIALIZED (
+  -- Jaccard-verified pairs: the loser set AND the component rider's edge
+  -- list both read these
+  SELECT cand.doc_a, cand.doc_b
   FROM cand
   JOIN shl x ON x.doc_id = cand.doc_a
   JOIN shl y ON y.doc_id = cand.doc_b
   WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
         / len(list_distinct(list_concat(x.sl, y.sl))) >= 0.4
+), near_losers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM vpairs
+), csym AS (
+  SELECT doc_a AS u, doc_b AS v FROM vpairs
+  UNION
+  SELECT doc_b, doc_a FROM vpairs
+), creach AS (
+  -- transitive closure per vertex, component = MIN reachable: an
+  -- INDEPENDENT algorithm from the engine's hash-min + pointer-jump
+  -- label propagation, agreeing on the same fixpoint. Bounded by
+  -- sum(|component|^2) rows — duplicate clusters are tiny
+  SELECT u AS id, u AS r FROM csym
+  UNION
+  SELECT s.u, creach.r FROM csym s JOIN creach ON creach.id = s.v
+), comp AS (
+  SELECT id AS doc_id, MIN(r) AS component FROM creach GROUP BY id
+), compsz AS (
+  SELECT component, COUNT(*) AS component_size FROM comp GROUP BY component
 )
 , sptoks AS MATERIALIZED (
   -- passage pass: raw \S+ tokens (training text keeps casing), k-gram
@@ -1438,6 +1487,8 @@ WITH norm AS (
   GROUP BY tk.doc_id
 )
 SELECT ek.doc_id, ek.dedup_key, ek.dup_count,
+       COALESCE(c.component, ek.doc_id) AS component_id,
+       CAST(COALESCE(cz.component_size, 1) AS BIGINT) AS component_size,
        COALESCE(sa.n_dup_spans, 0) AS n_dup_spans,
        COALESCE(sa.span_tokens_cut, 0) AS span_tokens_cut,
        CASE WHEN sa.doc_id IS NULL THEN length(d.text)
@@ -1445,6 +1496,8 @@ SELECT ek.doc_id, ek.dedup_key, ek.dup_count,
        END AS clean_len
 FROM exact_keep ek
 JOIN documents d ON d.doc_id = ek.doc_id
+LEFT JOIN comp c ON c.doc_id = ek.doc_id
+LEFT JOIN compsz cz ON cz.component = c.component
 LEFT JOIN spagg sa ON sa.doc_id = ek.doc_id
 LEFT JOIN spkept sk ON sk.doc_id = ek.doc_id
 WHERE ek.doc_id NOT IN (SELECT doc_id FROM near_losers)
@@ -1679,9 +1732,14 @@ QUERIES: dict[str, Q] = {
         DEDUP_SURVIVORS_ORACLE,
         ("beyond:dedup", "S9"),
         "survivor set after exact + LSH/Jaccard near-dup removal, carrying "
-        "the passage-grain span-dedup stats + cleaned-text length",
+        "the passage-grain span-dedup stats + cleaned-text length + the "
+        "transitive duplicate-cluster labels",
         folds=("r7: dedup_exact (dedup_key/dup_count columns on every "
-               "survivor)",),
+               "survivor)",
+               "r12: duplicate_components rider (component_id/"
+               "component_size — hash-min + pointer-jump cluster labels "
+               "over the verified-pair graph, replayed by the oracle as a "
+               "recursive-CTE transitive closure)"),
     ),
     "txt_bpe": Q(
         txt_bpe,
