@@ -161,3 +161,32 @@ def test_lm_context_broadcast_is_statistics_driven(spark, sf_smoke):
         smoothing_k=model.smoothing_k,
     )
     assert n_hints(big_vocab) == 1
+
+
+def test_lm_materialize_and_complete_flags(spark):
+    """materialize=True must not change the model; complete=False drops
+    exactly the zero-bigram docs and keeps identical scores elsewhere."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")], ["doc_id", "text"]
+    )
+    m_lazy = lm.train_bigram_lm(docs, min_count=2, smoothing_k=0.5)
+    m_ckpt = lm.train_bigram_lm(
+        docs, min_count=2, smoothing_k=0.5, materialize=True
+    )
+    assert sorted(map(tuple, m_lazy.bigrams.collect())) == sorted(
+        map(tuple, m_ckpt.bigrams.collect())
+    )
+    assert sorted(map(tuple, m_lazy.contexts.collect())) == sorted(
+        map(tuple, m_ckpt.contexts.collect())
+    )
+    assert m_lazy.vocab_size == m_ckpt.vocab_size
+
+    full = {r["doc_id"]: r for r in lm.score_bigram_logprob(docs, m_ckpt).collect()}
+    part = {
+        r["doc_id"]: r
+        for r in lm.score_bigram_logprob(docs, m_ckpt, complete=False).collect()
+    }
+    assert set(part) == {1, 2}  # doc 3 has no bigrams -> absent
+    for d in part:
+        assert part[d]["avg_log2p"] == full[d]["avg_log2p"]
+        assert part[d]["n_bigrams"] == full[d]["n_bigrams"]

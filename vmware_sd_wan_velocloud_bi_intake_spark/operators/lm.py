@@ -82,6 +82,7 @@ def train_bigram_lm(
     *,
     min_count: int = 2,
     smoothing_k: float = 0.5,
+    materialize: bool = False,
 ) -> BigramLM:
     """Count bigrams/contexts over the corpus; prune bigrams below
     ``min_count``. Context totals stay unpruned so the smoothed conditional
@@ -92,12 +93,20 @@ def train_bigram_lm(
     with that first word), so contexts aggregate from the pre-pruning
     bigram counts — |bigram-vocab| rows — instead of re-exploding the
     corpus. The vocabulary size still needs its own token pass (last
-    tokens and single-token docs never appear as w1)."""
+    tokens and single-token docs never appear as w1).
+
+    ``materialize=True`` localCheckpoints the shared pre-pruning counts
+    (|bigram vocab| rows, the already-aggregated relation): a scorer
+    broadcasts ``bigrams`` AND ``contexts``, and each broadcast build
+    left lazy would re-run the corpus explode — with the checkpoint the
+    corpus is exploded exactly once per model."""
     big_counts = (
         _doc_bigrams(df, doc_id, text_col)
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("n_big"))
     )
+    if materialize:
+        big_counts = big_counts.localCheckpoint(eager=True)
     bigrams = big_counts.filter(F.col("n_big") >= min_count)
     contexts = big_counts.groupBy("w1").agg(F.sum("n_big").alias("n_ctx"))
     toks = F.explode(F.split(text.normalize_text(F.col(text_col)), " "))
@@ -120,11 +129,18 @@ def score_bigram_logprob(
     *,
     broadcast_bigrams: bool = True,
     broadcast_contexts: bool | None = None,
+    complete: bool = True,
 ) -> DataFrame:
     """(doc_id, n_bigrams, avg_log2p, perplexity) per scored document.
 
     Documents with zero bigrams (≤1 token) score NULL avg/perplexity rather
     than a fake 0 — absence of evidence, surfaced as such.
+
+    ``complete=False`` skips the distinct-ids join that backfills those
+    ≤1-token documents (they are simply absent from the result) — for
+    callers that LEFT-join the scores onto a relation already carrying
+    one row per document (e.g. the txt_profile rider), where the
+    backfill would be a redundant corpus-wide distinct + join.
 
     Join strategy is decided PER RELATION (an all-or-nothing flag would
     force-broadcast the unpruned contexts table alongside the small pruned
@@ -167,6 +183,8 @@ def score_bigram_logprob(
         )
         .withColumn("perplexity", F.pow(F.lit(2.0), -F.col("avg_log2p")))
     )
+    if not complete:
+        return scored
     # explode drops ≤1-token docs from `occ`; join them back so every input
     # document gets a row (n_bigrams=0, NULL score)
     ids = df.select(F.col(doc_id).alias("doc_id")).distinct()

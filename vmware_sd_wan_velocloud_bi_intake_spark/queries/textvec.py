@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import bpe, classifier, dedup, similarity, spans, text
+from ..operators import bpe, classifier, dedup, lm, similarity, spans, text
 from ..sources.tables import load_table
 from .base import Q, micro_batch_confs
 
@@ -27,6 +27,19 @@ _SW = {
     "de": r"\b(der|die|und|das|ist|ein|zu)\b",
     "fr": r"\b(le|la|et|de|un|est|que)\b",
 }
+
+# r12 rider (VERDICT r11 #3): the corpus bigram-LM perplexity gate
+# (operators/lm.py — the CCNet/KenLM-style curation signal) rides the
+# profile vehicle: train on a DETERMINISTIC corpus slice (doc_id ≡ 0
+# mod 5 — the CCNet shape: the model comes from a reference slice, the
+# whole corpus gets scored; at 100 TB this bounds model-build cost at
+# O(slice) while scoring stays one pass), score every document, carry
+# the rounded per-doc log-probability under the same hash. Same
+# min_count/smoothing knobs as the tests/test_lm.py full-corpus oracle
+# so the two replays pin identical arithmetic.
+_LM_MIN_COUNT = 2
+_LM_K = 0.5
+_LM_TRAIN_MOD = 5
 
 
 def txt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,6 +79,23 @@ def txt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection boundaries — measured 0.84 s staged vs 0.58 s unstaged
     # on the sf0.1 documents (the staging rule pays only for compute-heavy
     # intermediates, not mostly-no-op string passes).
+    # LM rider: one trained model (shared pre-pruning counts checkpointed
+    # once + the vocab statistic), scores LEFT-joined per doc_id.
+    # complete=False — the profile row set already covers every document,
+    # so the score relation's own ≤1-token backfill join would be
+    # redundant.
+    model = lm.train_bigram_lm(
+        docs.where((F.col("doc_id") % _LM_TRAIN_MOD) == 0),
+        min_count=_LM_MIN_COUNT,
+        smoothing_k=_LM_K,
+        materialize=True,
+    )
+    lm_scores = lm.score_bigram_logprob(docs, model, complete=False).select(
+        "doc_id",
+        F.col("n_bigrams").alias("lm_n_bigrams"),
+        F.round("avg_log2p", 6).alias("lm_avg_log2p_r6"),
+        F.round("perplexity", 6).alias("lm_ppl_r6"),
+    )
     norm, toks, g = F.col("_norm"), F.col("_toks"), F.col("_bigrams")
     return staged.select(
         "doc_id",
@@ -88,6 +118,8 @@ def txt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(text.redact_pii(t)).alias("pii_md5"),
         F.round(text.dup_token_fraction_from(toks), 6).alias("dup_tok_frac_r6"),
         F.round(text.top_bigram_fraction_from(g), 6).alias("top2_frac_r6"),
+    ).join(lm_scores, "doc_id", "left").withColumn(
+        "lm_n_bigrams", F.coalesce("lm_n_bigrams", F.lit(0).cast("long"))
     )
 
 
@@ -129,6 +161,37 @@ WITH base AS (
   SELECT *, list_transform(generate_series(1, GREATEST(len(w) - 1, 0)),
                            i -> w[i] || ' ' || w[i + 1]) AS g
   FROM red4
+), lmocc AS (
+  -- bigram-LM rider: train-then-score replay (operators/lm.py semantics,
+  -- same CTE shape as the tests/test_lm.py oracle), reusing base.w (the
+  -- normalized token array the profile already computes)
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+  WHERE len(w) > 1
+), lmbig AS (
+  -- the model trains on the deterministic doc_id % {_LM_TRAIN_MOD} = 0
+  -- reference slice; the score pass (lmocc, unfiltered) covers everything
+  SELECT w1, w2, COUNT(*) AS n_big FROM lmocc
+  WHERE doc_id % {_LM_TRAIN_MOD} = 0 GROUP BY 1, 2
+  HAVING COUNT(*) >= {_LM_MIN_COUNT}
+), lmctx AS (
+  SELECT w1, COUNT(*) AS n_ctx FROM lmocc
+  WHERE doc_id % {_LM_TRAIN_MOD} = 0 GROUP BY 1
+), lmvocab AS (
+  SELECT COUNT(DISTINCT x) AS v
+  FROM (SELECT unnest(w) AS x FROM base WHERE doc_id % {_LM_TRAIN_MOD} = 0)
+), lmprobs AS (
+  SELECT o.doc_id,
+         (COALESCE(b.n_big, 0)::DOUBLE + {_LM_K})
+           / (COALESCE(c.n_ctx, 0)::DOUBLE + {_LM_K} * lmvocab.v) AS p
+  FROM lmocc o
+  LEFT JOIN lmbig b USING (w1, w2)
+  LEFT JOIN lmctx c USING (w1)
+  CROSS JOIN lmvocab
+), lms AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, AVG(log2(p)) AS avg_log2p
+  FROM lmprobs GROUP BY doc_id
 )
 SELECT
   doc_id,
@@ -160,8 +223,12 @@ SELECT
   ROUND((len(w) - len(list_distinct(w)))::DOUBLE / len(w), 6) AS dup_tok_frac_r6,
   ROUND(COALESCE(list_max(list_transform(list_distinct(g),
             d -> len(list_filter(g, y -> y = d)))), 0)::DOUBLE
-        / GREATEST(len(g), 1), 6) AS top2_frac_r6
+        / GREATEST(len(g), 1), 6) AS top2_frac_r6,
+  CAST(COALESCE(lms.n_bigrams, 0) AS BIGINT) AS lm_n_bigrams,
+  ROUND(lms.avg_log2p, 6) AS lm_avg_log2p_r6,
+  ROUND(POWER(2.0, -lms.avg_log2p), 6) AS lm_ppl_r6
 FROM grams
+LEFT JOIN lms USING (doc_id)
 """
 
 # --------------------------------------------------------------------------
@@ -1719,7 +1786,11 @@ QUERIES: dict[str, Q] = {
         TXT_PROFILE_ORACLE,
         ("F1", "F3", "F8", "F23", "beyond:text"),
         "per-doc text profile: tokens/chars/punct, BPE budget, quality, "
-        "langID, fingerprint (one scan)",
+        "langID, fingerprint (one scan) + the corpus bigram-LM "
+        "perplexity gate",
+        folds=("r12: bigram-LM logprob rider (operators/lm.py train + "
+               "score — lm_n_bigrams/lm_avg_log2p_r6/lm_ppl_r6, the "
+               "CCNet-style curation signal, oracle-replayed in-CTE)",),
     ),
     "dedup_signatures": Q(
         dedup_signatures,
