@@ -11,6 +11,12 @@ Usage:
 
 With no names, a default sample of recently-risky vehicles is checked;
 pass --all for the full 50 (≈ the oracle-parity suite, minutes).
+
+--plans additionally diffs every catalog query's structural plan
+features against tests/plans_snapshot.json (VERDICT r11 #7: a plan
+regression — new Exchange, broadcast→SMJ flip, a Python UDF — should
+surface in the same verify run as a hash regression, not 37 minutes
+later in the full suite). ~50 s at sf0.001.
 """
 
 from __future__ import annotations
@@ -90,6 +96,37 @@ def main() -> None:
         print(f"{name}: rows={len(sp)} match={ok}")
         if not ok:
             bad.append(name)
+
+    if "--plans" in sys.argv:
+        sys.path.insert(0, _REPO)
+        import json
+
+        from tools.gen_plan_snapshot import SNAPSHOT_PATH, plan_features
+        from vmware_sd_wan_velocloud_bi_intake_spark.queries import (
+            all_queries,
+        )
+
+        with open(SNAPSHOT_PATH) as f:
+            want = json.load(f)
+        cat = all_queries()
+        plan_diffs = 0
+        if sorted(want) != sorted(cat):
+            print("plans: snapshot STALE (catalog changed) — regenerate")
+            bad.append("plan-snapshot-stale")
+        else:
+            for qname, q in sorted(cat.items()):
+                got = plan_features(spark, q.fn)
+                if got != want[qname]:
+                    d = {
+                        k: (want[qname].get(k), got.get(k))
+                        for k in set(want[qname]) | set(got)
+                        if want[qname].get(k) != got.get(k)
+                    }
+                    print(f"plans: {qname} DRIFTED (want, got): {d}")
+                    bad.append(f"plan:{qname}")
+                    plan_diffs += 1
+            print(f"plans: {len(cat)} checked, {plan_diffs} drifted")
+
     spark.stop()
     if bad:
         raise SystemExit(f"MISMATCH: {bad}")
