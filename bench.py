@@ -197,9 +197,27 @@ def infer_sf(path: str) -> float:
         return -1.0
 
 
+def skip_list(catalog: dict) -> list[str]:
+    """Documented exclusion hook for one-off scale points (SCALE.md 30×:
+    the by-design O(n²) recall yardstick sim_cosine_topk is skipped
+    there — ~9× its 10× wall for no new information; its scale path
+    sim_ann_ivf stays in). Never set for round artifacts: the driver
+    runs a clean env, and the published "skipped" list makes any use
+    visible in the JSON. Unknown names are ignored (not an error — the
+    env var may outlive a catalog fold)."""
+    return sorted(
+        n
+        for n in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",")
+        if n and n in catalog
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     catalog = all_queries()
+    skipped = skip_list(catalog)
+    for n in skipped:
+        catalog.pop(n)
 
     # warm the JVM + parquet footers + Python worker pool once so per-query
     # numbers measure the queries, not session/pool spin-up
@@ -365,6 +383,7 @@ def main() -> None:
                 "clean_host_band": CLEAN_HOST_SENTINEL_BAND,
                 "ab_checks": ab_checks,
                 "ab_flagged_total": ab_flagged_total,
+                "skipped": skipped,
             }
         )
     )

@@ -147,3 +147,13 @@ def test_hot_host_gate_converges_as_host_cools():
         extra += 1
         sentinels.append(next(cooled))
     assert extra == 2
+
+
+def test_bench_skip_env(monkeypatch):
+    """SPARK_GRAFT_BENCH_SKIP drops named queries (unknown names ignored)
+    and the selection is what the JSON publishes as `skipped`."""
+    cat = {"a": 1, "b": 2, "c": 3}
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_SKIP", raising=False)
+    assert bench.skip_list(cat) == []
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SKIP", "c,nope,a,")
+    assert bench.skip_list(cat) == ["a", "c"]
