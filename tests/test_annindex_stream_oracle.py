@@ -224,7 +224,17 @@ def _run_streamed_index(spark, sf_correct, residual: bool):
     return idx, srows
 
 
-@pytest.mark.parametrize("residual", [False, True], ids=["flat", "residual"])
+@pytest.mark.parametrize(
+    "residual",
+    [
+        pytest.param(False, id="flat"),
+        # the residual-path unrolled-Lloyd SQL replay is the suite's
+        # single largest test (~6 min); slow tier — the residual path
+        # itself stays default-covered by test_pq recall/parity tests
+        # and test_streaming_annindex end-to-ends
+        pytest.param(True, id="residual", marks=pytest.mark.slow),
+    ],
+)
 def test_streamed_ann_index_matches_two_phase_sql_replay(
     spark, sf_correct, residual
 ):

@@ -98,7 +98,17 @@ def test_two_phase_oracle_matches_stream_where_batch_diverges(
     assert batch_survivors != {d for d, _ in streamed}
 
 
-@pytest.mark.parametrize("seed", [7, 23, 41])
+@pytest.mark.parametrize(
+    "seed",
+    [
+        7,
+        # extra seeds = slow-tier replications (pytest.ini two-tier rule):
+        # one random corpus stays in the default run, the rest run once
+        # per round via `-m slow`
+        pytest.param(23, marks=pytest.mark.slow),
+        pytest.param(41, marks=pytest.mark.slow),
+    ],
+)
 def test_two_phase_oracle_matches_stream_on_random_corpora(
     spark, tmp_path, seed
 ):

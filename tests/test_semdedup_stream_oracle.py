@@ -55,7 +55,10 @@ def test_streamed_semdedup_matches_two_phase_sql_replay(spark, sf_correct):
 import pytest
 
 
-@pytest.mark.parametrize("seed", [11, 29])
+@pytest.mark.parametrize(
+    "seed",
+    [11, pytest.param(29, marks=pytest.mark.slow)],  # two-tier rule
+)
 def test_streamed_semdedup_matches_replay_on_random_corpora(
     spark, tmp_path, seed
 ):

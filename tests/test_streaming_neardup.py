@@ -4,6 +4,8 @@ and the end-to-end readStream → foreachBatch wiring."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from vmware_sd_wan_velocloud_bi_intake_spark.operators import dedup
@@ -420,6 +422,8 @@ def test_knob_fingerprint_blocks_mismatched_ingest(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(idx).collect())) == before
 
 
+@pytest.mark.slow  # two-tier rule: rows-compaction parity stays default-
+# covered by the annindex and semdedup ingests' twins of this test
 def test_rows_compaction_bounds_partitions_preserves_results(spark, tmp_path):
     """The auto-compaction also folds the band-row index and the
     survivors table into the base partition: results stay identical to
@@ -462,6 +466,9 @@ def test_rows_compaction_bounds_partitions_preserves_results(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(surv).collect())) == before
 
 
+@pytest.mark.slow  # two-tier rule: the randomized schedule sweep is a
+# replication; the deterministic crash-window/replay/restoration tests
+# above keep every crash class in the default run
 def test_randomized_crash_replay_schedules_converge(spark, tmp_path):
     """Schedule fuzz over the at-least-once state machine: each batch may
     publish cleanly, crash after any prefix of its write sequence
