@@ -328,7 +328,13 @@ def main() -> None:
                 warm=False,  # 5+ catalog passes just ran in this session
             )
             for name in flagged:
+                # a vehicle that absorbed new rider work this round
+                # (declared in Q.folds) flags against its pre-fold
+                # baseline by construction — carry the declaration so
+                # the artifact attributes the move without archaeology
+                folds = list(getattr(catalog[name], "folds", ()) or ())
                 ab_checks[name] = {
+                    **({"folds": folds} if folds else {}),
                     "prev_round": prev["round"],
                     # both ratios below are normalized by the FLAG
                     # sentinel (per-pass median), not the published
