@@ -165,6 +165,8 @@ def needs_hot_host_pass(
     mid-burst, hence two, not one."""
     import statistics
 
+    if not per_pass_sentinels:  # zero-pass smoke run: nothing to judge
+        return False
     if extra_done >= max_extra:
         return False
     if statistics.median(per_pass_sentinels) <= band:
@@ -172,6 +174,18 @@ def needs_hot_host_pass(
     if sum(1 for s in per_pass_sentinels if s <= band) >= 2:
         return False
     return True
+
+
+def _catalog_pass(spark, catalog, timings: dict[str, float]) -> None:
+    """One full catalog pass through the noop sink; per-query minima keep
+    absorbing. The single timing body shared by the configured passes,
+    the drift retries, and the hot-host gate — so a change to how a
+    query is timed cannot silently diverge between the three loops."""
+    for name, q in sorted(catalog.items()):
+        t0 = time.perf_counter()
+        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        elapsed = round(time.perf_counter() - t0, 3)
+        timings[name] = min(timings.get(name, elapsed), elapsed)
 
 
 def flag_ratios(
@@ -220,10 +234,10 @@ def main() -> None:
         catalog.pop(n)
 
     # warm the JVM + parquet footers + Python worker pool once so per-query
-    # numbers measure the queries, not session/pool spin-up
-    catalog["a08_pricing_summary"].fn(spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # numbers measure the queries, not session/pool spin-up (any vehicle
+    # works if the usual one was skipped via SPARK_GRAFT_BENCH_SKIP)
+    warm_q = catalog.get("a08_pricing_summary") or next(iter(catalog.values()))
+    warm_q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     spark.range(64).repartition(8).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
@@ -237,11 +251,7 @@ def main() -> None:
     # instead of only start-vs-end
     per_pass_sentinels: list[float] = []
     for _ in range(N_RUNS):
-        for name, q in sorted(catalog.items()):
-            t0 = time.perf_counter()
-            q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+        _catalog_pass(spark, catalog, timings)
         per_pass_sentinels.append(_sentinel_once(spark))
 
     # a second probe AFTER the passes: host drift during the run (the box
@@ -262,11 +272,7 @@ def main() -> None:
     drift_retries = 0
     while sentinel_end > 2.0 * sentinel and drift_retries < 2:
         drift_retries += 1
-        for name, q in sorted(catalog.items()):
-            t0 = time.perf_counter()
-            q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+        _catalog_pass(spark, catalog, timings)
         per_pass_sentinels.append(_sentinel_once(spark))
         sentinel_end = sentinel_sec(spark)
 
@@ -275,12 +281,13 @@ def main() -> None:
     hot_extra_passes = 0
     while needs_hot_host_pass(per_pass_sentinels, hot_extra_passes):
         hot_extra_passes += 1
-        for name, q in sorted(catalog.items()):
-            t0 = time.perf_counter()
-            q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+        _catalog_pass(spark, catalog, timings)
         per_pass_sentinels.append(_sentinel_once(spark))
+    if hot_extra_passes:
+        # the end probe above predates these passes; re-probe so
+        # sentinel_end_sec describes the actual end of the run and the
+        # sentinels_clean A/B gate certifies a window it measured
+        sentinel_end = sentinel_sec(spark)
 
     # auto A/B (VERDICT r10 #7): at CLEAN sentinels (no drift retries,
     # end probe within 2× of start), a query whose sentinel-normalized
@@ -378,8 +385,9 @@ def main() -> None:
                     total / sentinel * R6_SENTINEL, 3
                 ),
                 # effective full passes the mins absorbed (configured +
-                # drift retries) — always == len(sentinel_per_pass), so a
-                # consumer pairing the two fields stays consistent
+                # drift retries + hot-host extras) — always ==
+                # len(sentinel_per_pass), so a consumer pairing the two
+                # fields stays consistent
                 "runs": len(per_pass_sentinels),
                 "configured_runs": N_RUNS,
                 # whole-run hot-host gate: extra passes spent chasing a

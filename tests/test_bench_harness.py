@@ -157,3 +157,9 @@ def test_bench_skip_env(monkeypatch):
     assert bench.skip_list(cat) == []
     monkeypatch.setenv("SPARK_GRAFT_BENCH_SKIP", "c,nope,a,")
     assert bench.skip_list(cat) == ["a", "c"]
+
+
+def test_hot_host_gate_empty_pass_list_is_noop():
+    """SPARK_GRAFT_BENCH_RUNS=0 smoke runs reach the gate with no pass
+    sentinels; it must decline rather than raise (review finding r12)."""
+    assert not bench.needs_hot_host_pass([], 0, 0.80, 4)

@@ -143,3 +143,17 @@ def test_dedup_survivors_component_riders_match_union_find(spark, sf_smoke):
         d = r["doc_id"]
         assert r["component_id"] == comp.get(d, d)
         assert r["component_size"] == sizes.get(comp.get(d, d), 1)
+
+
+def test_trivially_converged_graphs_at_max_iters_one(spark):
+    """The round-1 probe skip must not manufacture a 'no convergence'
+    error for graphs that converge in zero rounds when there is no
+    round 2 to catch them (review finding r12)."""
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.duplicate_components(empty, max_iters=1).count() == 0
+    selfp = spark.createDataFrame([(3, 3), (9, 9)], "doc_a long, doc_b long")
+    out = {
+        r["doc_id"]: r["component"]
+        for r in dedup.duplicate_components(selfp, max_iters=1).collect()
+    }
+    assert out == {3: 3, 9: 9}

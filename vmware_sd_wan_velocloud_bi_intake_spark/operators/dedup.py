@@ -561,10 +561,12 @@ def duplicate_components(
         # with u < v relabels v), so its convergence probe is a wasted
         # job — skip it. On an EMPTY edge set this trades the old round-1
         # early exit for one extra trivial round; every non-degenerate
-        # input saves a driver round-trip per call.
+        # input saves a driver round-trip per call. At max_iters == 1
+        # there is no round 2 to catch a trivially-converged graph
+        # (empty/self-pair edge sets), so the probe must run.
         changed = (
             1
-            if it == 0
+            if it == 0 and max_iters > 1
             else (
                 jumped.alias("n")
                 .join(labels.alias("o"), "id")

@@ -1403,6 +1403,12 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (itself when graph-untouched), component_size = cluster vertex
     # count. The DuckDB side replays it as a recursive-CTE transitive
     # closure — an independent algorithm agreeing on the fixpoint.
+    # The comp joins below stay UNhinted deliberately: the initial plan
+    # shows them as SMJs (pinned in the snapshot), and AQE converts both
+    # to broadcasts at runtime from the checkpointed table's exact sizes
+    # (verified: final adaptive plan = 0 SMJ / 10 BHJ). A forced
+    # F.broadcast would bake in an assumption the label table cannot
+    # honor at corpus scale — it has one row per dup-graph vertex.
     comp = dedup.duplicate_components(near)
     comp_sz = comp.groupBy("component").agg(
         F.count("*").cast("long").alias("component_size")
