@@ -157,3 +157,68 @@ def test_trivially_converged_graphs_at_max_iters_one(spark):
         for r in dedup.duplicate_components(selfp, max_iters=1).collect()
     }
     assert out == {3: 3, 9: 9}
+
+
+@pytest.mark.parametrize(
+    "seed",
+    [13, pytest.param(37, marks=pytest.mark.slow)],  # two-tier rule
+)
+def test_dedup_survivors_oracle_on_random_corpora(spark, tmp_path, seed):
+    """The full vehicle (exact keys + near-dup losers + span stats + the
+    r12 component riders) against its recursive-CTE DuckDB oracle on
+    seeded random corpora dense with exact dups and mutation chains —
+    the 'green at any fixture' claim for the rider's transitive-closure
+    replay, same discipline as the stream-oracle random corpora."""
+    import duckdb
+    import numpy as np
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.queries.textvec import (
+        DEDUP_SURVIVORS_ORACLE,
+        dedup_survivors,
+    )
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    docs: list[list[str]] = []
+    for _ in range(10):  # seed docs
+        docs.append(list(rng.choice(vocab, size=14)))
+    for _ in range(30):  # mutation chains -> transitive clusters
+        base = list(docs[rng.randint(len(docs))])
+        for _ in range(rng.randint(0, 4)):  # 0 mutations = exact dup
+            base[rng.randint(len(base))] = vocab[rng.randint(len(vocab))]
+        docs.append(base)
+    ids = rng.permutation(len(docs)) * 3 + 1
+    rows = [(int(i), " ".join(d)) for i, d in zip(ids, docs)]
+    sf = tmp_path / f"sf_comp{seed}"
+    sf.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    got = {
+        tuple(r)
+        for r in dedup_survivors(spark, str(sf))
+        .select(
+            "doc_id", "dedup_key", "dup_count", "component_id",
+            "component_size", "n_dup_spans", "span_tokens_cut", "clean_len",
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM parquet_scan('{sf}/documents.parquet/*.parquet')"
+    )
+    cols = ("doc_id, dedup_key, dup_count, component_id, component_size, "
+            "n_dup_spans, span_tokens_cut, clean_len")
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"SELECT {cols} FROM ({DEDUP_SURVIVORS_ORACLE})"
+        ).fetchall()
+    }
+    assert len(got) > 0
+    # the corpus must actually exercise the rider: some multi-vertex
+    # cluster and some surviving doc labeled by a different min vertex
+    assert any(r[4] > 1 for r in got), "no transitive cluster generated"
+    assert got == want
