@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from vmware_sd_wan_velocloud_bi_intake_spark.operators import lm
@@ -190,3 +191,53 @@ def test_lm_materialize_and_complete_flags(spark):
     for d in part:
         assert part[d]["avg_log2p"] == full[d]["avg_log2p"]
         assert part[d]["n_bigrams"] == full[d]["n_bigrams"]
+
+
+@pytest.mark.parametrize(
+    "seed",
+    [19, pytest.param(43, marks=pytest.mark.slow)],  # two-tier rule
+)
+def test_txt_profile_oracle_on_random_corpora(spark, tmp_path, seed):
+    """The full profile vehicle — including the r12 slice-trained LM
+    rider columns — against its in-CTE DuckDB oracle on seeded random
+    corpora (repeated-phrase chains so the trained slice actually prunes
+    and scores non-uniformly): the 'green at any fixture' claim for the
+    train-then-score replay."""
+    import duckdb
+    import numpy as np
+
+    from vmware_sd_wan_velocloud_bi_intake_spark.queries.textvec import (
+        TXT_PROFILE_ORACLE,
+        txt_profile,
+    )
+
+    from .oracle_util import canonical_rows
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = []
+    for i in range(40):
+        n = rng.randint(3, 16)
+        toks = list(rng.choice(vocab, size=n))
+        if i % 4 == 0:  # repeated bigram runs -> pruned-vs-kept coverage
+            toks += ["the", "net", "the", "net"]
+        rows.append((i + 1, "xx", "rand", " ".join(toks)))
+    sf = tmp_path / f"sf_lm{seed}"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    spdf = txt_profile(spark, str(sf)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM parquet_scan('{sf}/documents.parquet/*.parquet')"
+    )
+    odf = con.execute(TXT_PROFILE_ORACLE).fetchdf()
+    assert sorted(spdf.columns) == sorted(odf.columns)
+    assert len(spdf) == len(odf) == 40
+    # the slice must have trained a non-trivial model: at least one doc
+    # scored by surviving (min-count) bigrams, i.e. scores vary
+    assert spdf["lm_avg_log2p_r6"].nunique() > 1
+    assert canonical_rows(spdf) == canonical_rows(odf)
