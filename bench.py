@@ -139,10 +139,15 @@ AB_FLAG_RATIO = 1.3
 # sentinels says the host never gave a clean pass, run bounded extra
 # passes (minima keep absorbing) until either a clean window is caught
 # or the budget is spent — the attempt count is published either way.
-# Band: clean-host pass sentinels on this box are 0.72-0.78 (r10 0.721,
-# r11 clean runs 0.774; SCALE.md "host weather" table).
+# Band: truly clean pass sentinels on this box are ~0.67-0.72 (r10
+# 0.721; the r12 preview's gate-added clean passes probed 0.674-0.714).
+# The band started at 0.80 and was TIGHTENED to 0.75 after a same-tree
+# preview pair: a run whose probes read 0.758/0.759 (inside 0.80) still
+# carried catalog walls ~20% over the gated run's minima (54.1 vs
+# 45.1 s total) — single-shot probes can dip below the minute's real
+# load, so the band must sit near the clean floor, not at the hot edge.
 CLEAN_HOST_SENTINEL_BAND = float(
-    os.environ.get("SPARK_GRAFT_CLEAN_SENTINEL_BAND", "0.80")
+    os.environ.get("SPARK_GRAFT_CLEAN_SENTINEL_BAND", "0.75")
 )
 MAX_HOT_EXTRA_PASSES = int(os.environ.get("SPARK_GRAFT_MAX_HOT_EXTRA", "4"))
 
