@@ -237,6 +237,11 @@ def main() -> None:
     skipped = skip_list(catalog)
     for n in skipped:
         catalog.pop(n)
+    if not catalog:
+        raise SystemExit(
+            "SPARK_GRAFT_BENCH_SKIP removed every catalog query — "
+            "nothing to bench (unset it or keep at least one name)"
+        )
 
     # warm the JVM + parquet footers + Python worker pool once so per-query
     # numbers measure the queries, not session/pool spin-up (any vehicle

@@ -123,6 +123,16 @@ def test_lm_unseen_context_uniform_floor(spark):
     assert abs(score["avg_log2p"] - math.log2(1 / 2)) < 1e-12
 
 
+def test_lm_empty_training_corpus_raises(spark):
+    """vocab_size == 0 would zero the smoothing denominator for unseen
+    contexts — Spark's non-ANSI division NULLs where DuckDB's IEEE float
+    path gives -inf via log2, a silent cross-engine divergence. Training
+    must fail loudly instead (ADVICE r12)."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="vocab_size == 0"):
+        lm.train_bigram_lm(empty, min_count=1, smoothing_k=0.5)
+
+
 def test_lm_score_broadcasts_model(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents")
     model = lm.train_bigram_lm(docs)

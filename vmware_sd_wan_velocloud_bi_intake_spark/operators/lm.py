@@ -113,6 +113,16 @@ def train_bigram_lm(
     vocab_size = (
         df.select(toks.alias("w")).agg(F.countDistinct("w")).collect()[0][0]
     )
+    if not vocab_size:
+        # an empty training corpus would make the smoothing denominator
+        # (n_ctx + k·V) zero for unseen contexts — Spark's non-ANSI division
+        # returns NULL there while an IEEE engine (DuckDB) yields ±inf
+        # through log2, so train/score would silently diverge across
+        # engines instead of failing loudly here at train time
+        raise ValueError(
+            "train_bigram_lm: training corpus is empty (vocab_size == 0) — "
+            "scoring with k-smoothing needs at least one observed token"
+        )
     return BigramLM(
         bigrams=bigrams,
         contexts=contexts,

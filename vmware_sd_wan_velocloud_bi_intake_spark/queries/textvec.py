@@ -1792,8 +1792,9 @@ QUERIES: dict[str, Q] = {
         TXT_PROFILE_ORACLE,
         ("F1", "F3", "F8", "F23", "beyond:text"),
         "per-doc text profile: tokens/chars/punct, BPE budget, quality, "
-        "langID, fingerprint (one scan) + the corpus bigram-LM "
-        "perplexity gate",
+        "langID, fingerprint (the profile columns share one scan) + the "
+        "corpus bigram-LM perplexity gate (its own slice-train scan + "
+        "score join)",
         folds=("r12: bigram-LM logprob rider (operators/lm.py train + "
                "score — lm_n_bigrams/lm_avg_log2p_r6/lm_ppl_r6, the "
                "CCNet-style curation signal, oracle-replayed in-CTE)",),
