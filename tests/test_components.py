@@ -33,12 +33,18 @@ def union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {v: find(v) for v in parent}
 
 
-def spark_components(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+def spark_components(
+    spark, edges: list[tuple[int, int]], cap: int = 100_000
+) -> dict[int, int]:
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    out = dedup.duplicate_components(df).collect()
+    out = dedup.duplicate_components(df, small_graph_cap=cap).collect()
     return {r["doc_id"]: r["component"] for r in out}
 
 
+# cap=100_000 exercises the r13 collected union-find arm at these sizes;
+# cap=0 forces the distributed label-propagation loop — both must agree
+# with the oracle on every shape
+@pytest.mark.parametrize("cap", [100_000, 0], ids=["small-graph", "forced-dist"])
 @pytest.mark.parametrize(
     "edges",
     [
@@ -50,8 +56,8 @@ def spark_components(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
         [(7, 7), (8, 9)],  # self-loop degenerate
     ],
 )
-def test_components_match_union_find(spark, edges):
-    assert spark_components(spark, edges) == union_find_components(edges)
+def test_components_match_union_find(spark, edges, cap):
+    assert spark_components(spark, edges, cap) == union_find_components(edges)
 
 
 def test_components_random_graph_matches_union_find(spark):
@@ -60,15 +66,24 @@ def test_components_random_graph_matches_union_find(spark):
     edges = [
         (rng.choice(nodes), rng.choice(nodes)) for _ in range(300)
     ]
-    assert spark_components(spark, edges) == union_find_components(edges)
+    want = union_find_components(edges)
+    # both physical strategies, same fixpoint: the collected arm, the
+    # forced-distributed loop, and a cap BELOW the edge count (truncated
+    # size probe → honest fallback to the distributed loop)
+    assert spark_components(spark, edges) == want
+    assert spark_components(spark, edges, cap=0) == want
+    assert spark_components(spark, edges, cap=5) == want
 
 
 def test_long_chain_converges_within_log_rounds(spark):
     # pointer jumping must handle a diameter-100 path without O(diameter)
     # rounds: max_iters=12 > log2(101) + slack, far below 100
+    # (small_graph_cap=0 forces the distributed loop this test pins)
     edges = [(i, i + 1) for i in range(100)]
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    out = dedup.duplicate_components(df, max_iters=12).collect()
+    out = dedup.duplicate_components(
+        df, max_iters=12, small_graph_cap=0
+    ).collect()
     assert {r["component"] for r in out} == {0}
     assert len(out) == 101
 
@@ -111,10 +126,11 @@ def test_survivors_over_real_near_dup_pairs(spark, sf_smoke):
 
 
 def test_unconverged_graph_raises(spark):
+    # the cap guard only exists on the distributed loop — force it
     edges = [(i, i + 1) for i in range(40)]
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="no convergence"):
-        dedup.duplicate_components(df, max_iters=1)
+        dedup.duplicate_components(df, max_iters=1, small_graph_cap=0)
 
 
 def test_dedup_survivors_component_riders_match_union_find(spark, sf_smoke):
@@ -150,13 +166,21 @@ def test_trivially_converged_graphs_at_max_iters_one(spark):
     error for graphs that converge in zero rounds when there is no
     round 2 to catch them (review finding r12)."""
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
-    assert dedup.duplicate_components(empty, max_iters=1).count() == 0
     selfp = spark.createDataFrame([(3, 3), (9, 9)], "doc_a long, doc_b long")
-    out = {
-        r["doc_id"]: r["component"]
-        for r in dedup.duplicate_components(selfp, max_iters=1).collect()
-    }
-    assert out == {3: 3, 9: 9}
+    for cap in (100_000, 0):  # collected arm AND the probe-skip loop guard
+        assert (
+            dedup.duplicate_components(
+                empty, max_iters=1, small_graph_cap=cap
+            ).count()
+            == 0
+        )
+        out = {
+            r["doc_id"]: r["component"]
+            for r in dedup.duplicate_components(
+                selfp, max_iters=1, small_graph_cap=cap
+            ).collect()
+        }
+        assert out == {3: 3, 9: 9}
 
 
 @pytest.mark.parametrize(

@@ -489,11 +489,45 @@ def contamination_ratios(
     )
 
 
+def _components_union_find(
+    spark, edges: list[tuple], id_type
+) -> DataFrame:
+    """Driver-side union-find over a SIZE-CHECKED collected edge list —
+    the small-graph arm of :func:`duplicate_components`. Union-by-min
+    keeps the invariant "every root is the minimum id of its tree", so
+    after path compression each vertex's root IS its component label
+    (the same algorithm the test oracle runs)."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    rows = [(v, find(v)) for v in parent]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type, False),
+            T.StructField("component", id_type, False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def duplicate_components(
     pairs: DataFrame,
     doc_a: str = "doc_a",
     doc_b: str = "doc_b",
     max_iters: int = 25,
+    small_graph_cap: int = 100_000,
 ) -> DataFrame:
     """Connected components over a duplicate-pair graph.
 
@@ -522,7 +556,33 @@ def duplicate_components(
     Returns (doc_id, component) for every vertex that appears in ``pairs``;
     ``component`` is the minimum doc_id of the cluster. Vertices that occur
     in no pair are absent (they are their own singleton components).
+
+    **Adaptive small-graph arm** (r13): duplicate-pair graphs are usually
+    MUCH smaller than their corpus (edges exist only where near-dups do),
+    and the distributed loop's cost on a small graph is pure fixed driver
+    overhead — 2 checkpoints + per-round checkpoint/probe jobs for data
+    that fits in one task. When the distinct undirected edge count is
+    ≤ ``small_graph_cap`` (size-checked via a capped ``limit(cap+1)``
+    collect — never an unbounded funnel, the same legitimacy class as the
+    guarded block-matrix kNN), the labels come from one driver-side
+    union-find pass over the collected edges instead. Above the cap —
+    or with ``small_graph_cap=0``, which tests use to force it — the
+    distributed loop runs unchanged. This is the AQE posture applied to
+    an iterative operator: pick the physical strategy from the measured
+    size of the actual input, keep the scale path for scale.
     """
+    und = pairs.select(
+        F.least(F.col(doc_a), F.col(doc_b)).alias("u"),
+        F.greatest(F.col(doc_a), F.col(doc_b)).alias("v"),
+    ).distinct()
+    if small_graph_cap:
+        head = und.limit(small_graph_cap + 1).collect()
+        if len(head) <= small_graph_cap:
+            return _components_union_find(
+                pairs.sparkSession,
+                [(r["u"], r["v"]) for r in head],
+                und.schema["u"].dataType,
+            )
     # checkpoint the edge list too: it is joined in EVERY round, and
     # `pairs` is typically the whole LSH near-dup pipeline — left lazy, each
     # round would re-run shingling/minhash/bucket-join from scratch

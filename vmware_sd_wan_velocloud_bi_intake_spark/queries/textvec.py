@@ -1387,10 +1387,11 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_keep = exact.select(
         F.col("keep_id").alias("doc_id"), "dedup_key", "dup_count"
     )
-    # materialize the verified pair list once: it now has two consumers
-    # (the loser anti-join and the component rider) and
-    # duplicate_components additionally ITERATES over it — left lazy,
-    # each would re-run the whole shingle/minhash/bucket pipeline
+    # materialize the verified pair list once: it has two consumers
+    # (the loser anti-join and the component rider) — left lazy, each
+    # would re-run the whole shingle/minhash/bucket pipeline (and above
+    # duplicate_components' small-graph cap the distributed loop
+    # additionally ITERATES over it)
     near = dedup.near_dup_pairs(
         docs, "doc_id", "text", threshold=0.4, num_hashes=4, bands=2, shingle_n=3
     ).localCheckpoint(eager=True)
@@ -1403,12 +1404,14 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (itself when graph-untouched), component_size = cluster vertex
     # count. The DuckDB side replays it as a recursive-CTE transitive
     # closure — an independent algorithm agreeing on the fixpoint.
-    # The comp joins below stay UNhinted deliberately: the initial plan
-    # shows them as SMJs (pinned in the snapshot), and AQE converts both
-    # to broadcasts at runtime from the checkpointed table's exact sizes
-    # (verified: final adaptive plan = 0 SMJ / 10 BHJ). A forced
-    # F.broadcast would bake in an assumption the label table cannot
-    # honor at corpus scale — it has one row per dup-graph vertex.
+    # r13: duplicate_components is ADAPTIVE — at this fixture's graph
+    # size (≤1e5 edges) the labels come from one size-checked collected
+    # union-find pass (a LocalTableScan below), with the distributed
+    # label-propagation loop unchanged above the cap. The comp joins
+    # below stay UNhinted deliberately: AQE picks the join strategy from
+    # the label table's measured size at runtime. A forced F.broadcast
+    # would bake in an assumption the label table cannot honor at corpus
+    # scale — it has one row per dup-graph vertex.
     comp = dedup.duplicate_components(near)
     comp_sz = comp.groupBy("component").agg(
         F.count("*").cast("long").alias("component_size")
