@@ -37,6 +37,7 @@ import duckdb
 
 from vmware_sd_wan_velocloud_bi_intake_spark.queries.textvec import (
     _arrival_split_src,
+    _codebook_replay_sql,
     _lloyd_replay_prefix,
     _stream_scratch_dir,
 )
@@ -66,102 +67,17 @@ _ARR_CASE = """CASE WHEN NOT EXISTS (SELECT 1 FROM v v2 WHERE v2.vec_id <=
             THEN 0 ELSE 1 END"""
 
 
-def _codebook_replay_sql(
-    m: int, ksub: int, iters: int, dsub: int, residual: bool = False
-) -> str:
-    """Unrolled quantized per-subspace Lloyd + frozen-quantizer encode,
-    appended to the coarse ``_lloyd_replay_prefix`` (which ends at the
-    ``assigned`` CTE). Emits ``codes_l (vec_id, codes)``.
-
-    ``residual=True`` replays the faiss-default IVF-PQ refinement: the
-    encoded vector is x̂ − centroid(cell) (operators/pq._residualize),
-    trained and encoded with ``normalize=False`` — the subspace source
-    switches from the normalized vector to the residual at the FROZEN
-    replayed coarse centroids; everything downstream (init, rounded-d2
-    argmin, rounded-mean recentring, empty-code carry) is identical."""
-    steps = []
-    prev = "cb0"
-    for i in range(iters):
-        nxt = f"cb{i + 1}"
-        steps.append(f"""pd{i} AS (
-  SELECT p.vec_id, p.s, c.c,
-         ROUND(list_dot_product(p.sv, p.sv)
-               - 2 * list_dot_product(p.sv, c.cv)
-               + list_dot_product(c.cv, c.cv), {_RD}) AS d2
-  FROM psub p JOIN {prev} c ON c.s = p.s
-), pa{i} AS (
-  SELECT vec_id, s, c FROM (
-    SELECT vec_id, s, c,
-           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
-    FROM pd{i}) WHERE rn = 1
-), pm{i} AS (
-  SELECT a.s, a.c, dim.j, ROUND(AVG(p.sv[dim.j]), {_RD}) AS mval
-  FROM pa{i} a JOIN psub p ON p.vec_id = a.vec_id AND p.s = a.s,
-       LATERAL (SELECT unnest(generate_series(1, {dsub})) AS j) dim
-  GROUP BY a.s, a.c, dim.j
-), {nxt} AS (
-  SELECT c.s, c.c, COALESCE(lm.cv2, c.cv) AS cv
-  FROM {prev} c LEFT JOIN (
-    SELECT s, c, list(mval ORDER BY j) AS cv2 FROM pm{i} GROUP BY s, c
-  ) lm USING (s, c)
-)""")
-        prev = nxt
-    if residual:
-        src = """, xh0 AS (
-  SELECT vec_id, list_transform(e, x -> x / nrm) AS xh FROM v
-), xh AS (
-  -- residual at the FROZEN replayed coarse centroids: x̂ − cv(cell)
-  SELECT a.vec_id,
-         list_transform(list_zip(x.xh, c.cv), p -> p[1] - p[2]) AS xh
-  FROM assigned a
-  JOIN xh0 x USING (vec_id)
-  JOIN cents c ON c.cell = a.cell
-)"""
-    else:
-        src = """, xh AS (
-  -- normalized vectors (the spherical-corpus contract train/encode share)
-  SELECT vec_id, list_transform(e, x -> x / nrm) AS xh FROM v
-)"""
-    return f"""{src}, sub AS (
-  -- per-subspace slices of EVERY vector (encode input)
-  SELECT vec_id, sp.s,
-         xh[sp.s * {dsub} + 1 : (sp.s + 1) * {dsub}] AS sv
-  FROM xh, LATERAL (SELECT unnest(generate_series(0, {m - 1})) AS s) sp
-), psub AS (
-  -- the trainer's bounded deterministic sample: build half, md5 order
-  SELECT sub.vec_id, sub.s, sub.sv, so.ord
-  FROM sub JOIN (
-    SELECT vec_id,
-           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-                              vec_id) AS ord
-    FROM v {_TRAIN_WHERE}
-    QUALIFY ord <= 16384
-  ) so USING (vec_id)
-), cb0 AS (
-  -- first-ksub init, rounded (train_pq_codebooks' quantized contract)
-  SELECT s, ord - 1 AS c, list_transform(sv, y -> ROUND(y, {_RD})) AS cv
-  FROM psub WHERE ord <= {ksub}
-), {", ".join(steps)}, ed AS (
-  -- encode EVERY vector at the frozen books (build + append batches)
-  SELECT b.vec_id, b.s, c.c,
-         ROUND(list_dot_product(b.sv, b.sv)
-               - 2 * list_dot_product(b.sv, c.cv)
-               + list_dot_product(c.cv, c.cv), {_RD}) AS d2
-  FROM sub b JOIN {prev} c ON c.s = b.s
-), ecodes AS (
-  SELECT vec_id, s, c FROM (
-    SELECT vec_id, s, c,
-           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
-    FROM ed) WHERE rn = 1
-), codes_l AS (
-  SELECT vec_id, list(c ORDER BY s) AS codes FROM ecodes GROUP BY vec_id
-)"""
+# the unrolled per-subspace Lloyd replay builder now lives in
+# queries/textvec.py (_codebook_replay_sql — r13 ported it in-catalog for
+# the sim_ann_ivf PQ/ADC riders); this test imports it so the streamed
+# ingest and the catalog oracle pin ONE replay definition.
 
 
 def _members_oracle_sql(residual: bool = False) -> str:
     return (
         _lloyd_replay_prefix(_ITERS, _TRAIN_WHERE)
-        + _codebook_replay_sql(_M, _KSUB, _ITERS, 64 // _M, residual=residual)
+        + _codebook_replay_sql(_M, _KSUB, _ITERS, 64 // _M, residual=residual,
+                             train_where=_TRAIN_WHERE)
         + f"""
 SELECT a.vec_id, a.cell, cl.codes, ROUND(v.nrm, {_RD}) AS nrm_r6,
        {_ARR_CASE} AS arrived_batch
@@ -352,7 +268,7 @@ def test_streamed_ann_index_matches_replay_on_random_corpus(
     )
     od = con.execute(
         _lloyd_replay_prefix(_ITERS, _TRAIN_WHERE)
-        + _codebook_replay_sql(_M, _KSUB, _ITERS, d // _M)
+        + _codebook_replay_sql(_M, _KSUB, _ITERS, d // _M, train_where=_TRAIN_WHERE)
         + f"""
 SELECT a.vec_id, a.cell, cl.codes, ROUND(v.nrm, {_RD}) AS nrm_r6,
        {_ARR_CASE} AS arrived_batch
@@ -429,7 +345,7 @@ def test_degenerate_split_single_batch_agrees(spark, tmp_path):
     )
     od = con.execute(
         _lloyd_replay_prefix(_ITERS, _TRAIN_WHERE)
-        + _codebook_replay_sql(_M, _KSUB, _ITERS, 32 // _M)
+        + _codebook_replay_sql(_M, _KSUB, _ITERS, 32 // _M, train_where=_TRAIN_WHERE)
         + f"""
 SELECT a.vec_id, a.cell, cl.codes, ROUND(v.nrm, {_RD}) AS nrm_r6,
        {_ARR_CASE} AS arrived_batch

@@ -468,3 +468,59 @@ def test_occupancy_drift_survives_json_manifest_roundtrip(spark, emb):
     assert all(isinstance(k, str) for k in stored["counts"])  # the hazard
     d = pq.occupancy_drift(stored, prof)
     assert d["tv_distance"] == 0.0 and not d["retrain"], d
+
+
+@pytest.mark.parametrize(
+    "seed",
+    [23, pytest.param(47, marks=pytest.mark.slow)],  # two-tier rule
+)
+def test_sim_ann_ivf_pq_riders_oracle_on_random_corpus(
+    spark, tmp_path, seed
+):
+    """The r13 catalog riders (nbr_pq_codes / adc_cos_r6) against the full
+    in-catalog DuckDB replay on a seeded random d=64 corpus (Gaussian
+    clusters + exact-duplicate vectors) — the 'green at any fixture' claim
+    for the ported per-subspace Lloyd replay, same discipline as the r12
+    component/LM rider random-corpus tests."""
+    from vmware_sd_wan_velocloud_bi_intake_spark.queries.textvec import (
+        SIM_IVF_ORACLE,
+        sim_ann_ivf,
+    )
+
+    import duckdb
+
+    rng = np.random.RandomState(seed)
+    d = 64  # the catalog oracle replays the fixture dimension
+    centers = rng.randn(4, d) * 2.0
+    vecs = [centers[rng.randint(4)] + rng.randn(d) * 0.5 for _ in range(40)]
+    vecs += [vecs[rng.randint(len(vecs))].copy() for _ in range(8)]
+    ids = rng.permutation(len(vecs)) * 2 + 1
+    rows = [
+        (int(i), [float(x) for x in v.astype(np.float32)])
+        for i, v in zip(ids, vecs)
+    ]
+    sf = tmp_path / f"sf_pqrider{seed}"
+    sf.mkdir()
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.parquet(str(sf / "embeddings.parquet"))
+
+    got = {
+        tuple(r)
+        for r in sim_ann_ivf(spark, str(sf))
+        .select(
+            "query_id", "neighbor_id", "cos_sim_r6", "rk",
+            "nbr_pq_codes", "adc_cos_r6",
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM parquet_scan('{sf}/embeddings.parquet/*.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(SIM_IVF_ORACLE).fetchall()}
+    assert len(got) > 0
+    # the corpus must exercise the rider: multiple distinct code words
+    assert len({r[4] for r in got}) > 1, "degenerate single-code corpus"
+    assert got == want

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import bpe, classifier, dedup, lm, similarity, spans, text
+from ..operators import bpe, classifier, dedup, lm, pq, similarity, spans, text
 from ..sources.tables import load_table
 from .base import Q, micro_batch_confs
 
@@ -1072,6 +1072,42 @@ def _trained_centroids(spark: SparkSession, sf_dir: str, emb: DataFrame) -> Data
     return _IVF_CENTROID_CACHE[key]
 
 
+# r13 rider (VERDICT r12 #1): the IVF-PQ/ADC scale path rides the IVF
+# vehicle — the 100× ladder point showed the exact in-cell search growing
+# candidate volume ~k^1.5 at adaptive √n cells, and PQ/ADC (operators/
+# pq.py) is the named next-decade design: m one-byte codes per vector
+# instead of d floats, per-candidate scoring = m table lookups. The rider
+# carries, per result row, the NEIGHBOR's frozen-codebook PQ codes and the
+# query→neighbor ADC approximate cosine under the same hash; the oracle
+# replays the per-subspace quantized Lloyd training as unrolled CTEs (the
+# replay proven in tests/test_annindex_stream_oracle.py, ported here) and
+# recomputes the ADC sum from the replayed books. Same quantized contract
+# as the coarse quantizer: round_decimals=6 at every argmin/mean step.
+_PQ_M = 4
+_PQ_KSUB = 8
+_PQ_ITERS = 3
+_PQ_RD = 6
+_PQ_BOOKS_CACHE: dict[tuple[str, str], list[list[list[float]]]] = {}
+
+
+def _trained_pq_books(
+    spark: SparkSession, sf_dir: str, emb: DataFrame
+) -> list[list[list[float]]]:
+    """The session's trained PQ codebooks for this sf_dir — a build-once
+    index artifact like :func:`_trained_centroids` (m·ksub·dsub doubles,
+    driver-held, trained on the md5-ordered bounded sample)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_BOOKS_CACHE:
+        _PQ_BOOKS_CACHE[key] = pq.train_pq_codebooks(
+            emb,
+            m=_PQ_M,
+            ksub=_PQ_KSUB,
+            iters=_PQ_ITERS,
+            round_decimals=_PQ_RD,
+        )
+    return _PQ_BOOKS_CACHE[key]
+
+
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     out = similarity.ann_ivf_topk_trained(
@@ -1079,8 +1115,39 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_iters=_IVF_TRAIN_ITERS, round_decimals=6,
         cents=_trained_centroids(spark, sf_dir, emb),
     )
-    return out.select(
-        "query_id", "neighbor_id", F.round(F.col("cos_sim"), 6).alias("cos_sim_r6"), "rk"
+    # PQ riders at FROZEN books: one Arrow-batched encode pass over the
+    # corpus (codes for the neighbor side), one LUT pass (per-query ADC
+    # tables); the per-(query, neighbor) ADC score itself stays JVM-side
+    # (m nested array lookups — pq.pq_score_expr). Joins stay unhinted:
+    # both sides are corpus-sized relations, AQE picks the strategy.
+    books = _trained_pq_books(spark, sf_dir, emb)
+    base = emb.select(
+        F.col("vec_id").alias("_pid"),
+        similarity.as_double_array(F.col("embedding")).alias("_pv"),
+    )
+    codes = base.select(
+        F.col("_pid").alias("_nid"),
+        pq.pq_encode_expr("_pv", books, round_decimals=_PQ_RD).alias("_codes"),
+    )
+    luts = base.select(
+        F.col("_pid").alias("_qid"),
+        pq.pq_lut_expr("_pv", books).alias("_lut"),
+    )
+    return (
+        out.join(codes, out["neighbor_id"] == codes["_nid"])
+        .join(luts, out["query_id"] == luts["_qid"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos_sim"), 6).alias("cos_sim_r6"),
+            "rk",
+            F.concat_ws("-", F.col("_codes").cast("array<string>")).alias(
+                "nbr_pq_codes"
+            ),
+            F.round(
+                pq.pq_score_expr("_codes", "_lut", _PQ_M), _PQ_RD
+            ).alias("adc_cos_r6"),
+        )
     )
 
 
@@ -1163,9 +1230,122 @@ cents AS (
 )"""
 
 
+def _codebook_replay_sql(
+    m: int,
+    ksub: int,
+    iters: int,
+    dsub: int,
+    residual: bool = False,
+    train_where: str = "",
+    rd: int = 6,
+) -> str:
+    """Unrolled quantized per-subspace Lloyd + frozen-quantizer encode,
+    appended to the coarse ``_lloyd_replay_prefix`` (which ends at the
+    ``assigned`` CTE). Emits ``codes_l (vec_id, codes, codes_str)`` and
+    leaves the final codebook CTE ``cb{iters}`` in scope for ADC replay.
+
+    Mirrors operators/pq.train_pq_codebooks(round_decimals=rd) step for
+    step: md5-ordered bounded sample (restricted by ``train_where`` —
+    empty trains on the whole table, the batch-vehicle shape; the stream
+    oracles pass their build-half predicate), first-ksub init, ROUND(d2,
+    rd) argmin with first-min ties, ROUND(mean, rd) recentring, empty
+    codes keep their centroid. ``residual=True`` replays the faiss-default
+    IVF-PQ refinement: the encoded vector is x̂ − centroid(cell)
+    (operators/pq._residualize), trained and encoded with
+    ``normalize=False`` — the subspace source switches from the
+    normalized vector to the residual at the FROZEN replayed coarse
+    centroids; everything downstream is identical. Proven exact against
+    the real streamed ingest in tests/test_annindex_stream_oracle.py
+    (which imports this builder)."""
+    steps = []
+    prev = "cb0"
+    for i in range(iters):
+        nxt = f"cb{i + 1}"
+        steps.append(f"""pd{i} AS (
+  SELECT p.vec_id, p.s, c.c,
+         ROUND(list_dot_product(p.sv, p.sv)
+               - 2 * list_dot_product(p.sv, c.cv)
+               + list_dot_product(c.cv, c.cv), {rd}) AS d2
+  FROM psub p JOIN {prev} c ON c.s = p.s
+), pa{i} AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+    FROM pd{i}) WHERE rn = 1
+), pm{i} AS (
+  SELECT a.s, a.c, dim.j, ROUND(AVG(p.sv[dim.j]), {rd}) AS mval
+  FROM pa{i} a JOIN psub p ON p.vec_id = a.vec_id AND p.s = a.s,
+       LATERAL (SELECT unnest(generate_series(1, {dsub})) AS j) dim
+  GROUP BY a.s, a.c, dim.j
+), {nxt} AS (
+  SELECT c.s, c.c, COALESCE(lm.cv2, c.cv) AS cv
+  FROM {prev} c LEFT JOIN (
+    SELECT s, c, list(mval ORDER BY j) AS cv2 FROM pm{i} GROUP BY s, c
+  ) lm USING (s, c)
+)""")
+        prev = nxt
+    if residual:
+        src = """, xh0 AS (
+  SELECT vec_id, list_transform(e, x -> x / nrm) AS xh FROM v
+), xh AS (
+  -- residual at the FROZEN replayed coarse centroids: x̂ − cv(cell)
+  SELECT a.vec_id,
+         list_transform(list_zip(x.xh, c.cv), p -> p[1] - p[2]) AS xh
+  FROM assigned a
+  JOIN xh0 x USING (vec_id)
+  JOIN cents c ON c.cell = a.cell
+)"""
+    else:
+        src = """, xh AS (
+  -- normalized vectors (the spherical-corpus contract train/encode share)
+  SELECT vec_id, list_transform(e, x -> x / nrm) AS xh FROM v
+)"""
+    return f"""{src}, sub AS (
+  -- per-subspace slices of EVERY vector (encode input; query LUT source)
+  SELECT vec_id, sp.s,
+         xh[sp.s * {dsub} + 1 : (sp.s + 1) * {dsub}] AS sv
+  FROM xh, LATERAL (SELECT unnest(generate_series(0, {m - 1})) AS s) sp
+), psub AS (
+  -- the trainer's bounded deterministic sample, md5 order
+  SELECT sub.vec_id, sub.s, sub.sv, so.ord
+  FROM sub JOIN (
+    SELECT vec_id,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS ord
+    FROM v {train_where}
+    QUALIFY ord <= 16384
+  ) so USING (vec_id)
+), cb0 AS (
+  -- first-ksub init, rounded (train_pq_codebooks' quantized contract)
+  SELECT s, ord - 1 AS c, list_transform(sv, y -> ROUND(y, {rd})) AS cv
+  FROM psub WHERE ord <= {ksub}
+), {", ".join(steps)}, ed AS (
+  -- encode EVERY vector at the frozen books (build + append batches)
+  SELECT b.vec_id, b.s, c.c,
+         ROUND(list_dot_product(b.sv, b.sv)
+               - 2 * list_dot_product(b.sv, c.cv)
+               + list_dot_product(c.cv, c.cv), {rd}) AS d2
+  FROM sub b JOIN {prev} c ON c.s = b.s
+), ecodes AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+    FROM ed) WHERE rn = 1
+), codes_l AS (
+  SELECT vec_id, list(c ORDER BY s) AS codes,
+         string_agg(CAST(c AS VARCHAR), '-' ORDER BY s) AS codes_str
+  FROM ecodes GROUP BY vec_id
+)"""
+
+
 def _ivf_oracle(iters: int) -> str:
-    """Lloyd replay + cell-restricted exact top-3 search (see prefix doc)."""
-    return f"""{_lloyd_replay_prefix(iters)}, pairs AS (
+    """Lloyd replay + cell-restricted exact top-3 search (see prefix doc),
+    plus the r13 PQ/ADC rider replay: per-subspace quantized Lloyd →
+    frozen-book encode of every vector → ADC sum Σ_s ⟨q̂_s, book_s[code]⟩
+    per surviving (query, neighbor) row, rounded like the engine."""
+    return f"""{_lloyd_replay_prefix(iters)}{
+        _codebook_replay_sql(_PQ_M, _PQ_KSUB, _PQ_ITERS, 64 // _PQ_M)
+    }, pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
   FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
 ), scored AS (
@@ -1180,9 +1360,24 @@ def _ivf_oracle(iters: int) -> str:
            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
          ) AS rk
   FROM scored
+  QUALIFY rk <= 3
+), adc AS (
+  -- ADC replay: the neighbor's replayed codes index the replayed books;
+  -- the query side contributes its normalized subspace slices (sub) —
+  -- the same Σ_m lut[s][code_s] the engine computes JVM-side
+  SELECT r.query_id, r.neighbor_id,
+         ROUND(SUM(list_dot_product(qs.sv, cb.cv)), {_PQ_RD}) AS adc_cos_r6
+  FROM ranked r
+  JOIN ecodes ec ON ec.vec_id = r.neighbor_id
+  JOIN cb{_PQ_ITERS} cb ON cb.s = ec.s AND cb.c = ec.c
+  JOIN sub qs ON qs.vec_id = r.query_id AND qs.s = ec.s
+  GROUP BY r.query_id, r.neighbor_id
 )
-SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim_r6, rk
-FROM ranked WHERE rk <= 3
+SELECT r.query_id, r.neighbor_id, ROUND(r.cos_sim, 6) AS cos_sim_r6, r.rk,
+       cs.codes_str AS nbr_pq_codes, a.adc_cos_r6
+FROM ranked r
+JOIN codes_l cs ON cs.vec_id = r.neighbor_id
+JOIN adc a ON a.query_id = r.query_id AND a.neighbor_id = r.neighbor_id
 """
 
 
@@ -1872,7 +2067,12 @@ QUERIES: dict[str, Q] = {
         sim_ann_ivf,
         SIM_IVF_ORACLE,
         ("beyond:similarity",),
-        "IVF-style ANN: coarse quantizer + cell-restricted exact search",
+        "IVF-style ANN: coarse quantizer + cell-restricted exact search "
+        "+ frozen-codebook PQ codes and ADC approximate cosine riders",
+        folds=("r13: IVF-PQ/ADC rider (operators/pq.py frozen-codebook "
+               "encode + ADC — nbr_pq_codes/adc_cos_r6, the next-decade "
+               "ANN scale path; per-subspace quantized Lloyd replayed "
+               "in-CTE via _codebook_replay_sql)",),
     ),
     "dedup_semantic": Q(
         dedup_semantic,
