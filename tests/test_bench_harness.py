@@ -163,3 +163,16 @@ def test_hot_host_gate_empty_pass_list_is_noop():
     """SPARK_GRAFT_BENCH_RUNS=0 smoke runs reach the gate with no pass
     sentinels; it must decline rather than raise (review finding r12)."""
     assert not bench.needs_hot_host_pass([], 0, 0.80, 4)
+
+
+def test_gate_satisfied_is_budgetless_gate_predicate():
+    """gate_satisfied (VERDICT r12 #4) must report whether the clean-window
+    CONDITIONS were met, independent of the extra-pass budget."""
+    from bench import needs_hot_host_pass
+
+    sat = lambda s: not needs_hot_host_pass(s, extra_done=0, max_extra=10**9)
+    assert sat([])  # zero-pass smoke: nothing to judge
+    assert sat([0.7, 0.71, 1.4])  # two clean passes
+    assert sat([0.74, 0.74, 0.9])  # median inside the band
+    assert not sat([1.0, 1.1, 0.9, 1.2])  # uniformly hot: budget-exit shape
+    assert not sat([0.7, 1.1, 1.2, 1.3])  # ONE clean pass is not enough
