@@ -128,6 +128,29 @@ def _load_prev_bench(bench_dir: str | None = None) -> dict | None:
 # published in the bench JSON — VERDICT r10 "Next round" #7
 AB_FLAG_RATIO = 1.3
 
+# r13: the sentinel-normalized trigger over-fires on probe-clean/wall-hot
+# windows (both r13 previews: 4–5 flags whose same-session A/B minima sat
+# within 1–6 % of the prev round's RAW walls — weather, not regression;
+# the normalization divides two different hosts' probe medians, which the
+# documented probe-vs-wall divergence can skew either way). The embedded
+# A/B already contains the exculpating evidence, so publish the verdict
+# machine-readably: an entry whose interleaved A/B min lands within this
+# factor of the previous round's raw wall is marked cleared.
+AB_CLEAR_FACTOR = 1.10
+
+
+def ab_cleared(ab_min, prev_raw) -> bool:
+    """Weather-vs-regression verdict for a flagged entry: the interleaved
+    A/B min landing at (or within AB_CLEAR_FACTOR of) last round's RAW
+    wall says the code path did not regress, whatever the cross-round
+    sentinel arithmetic claimed. Fold-carrying vehicles read False by
+    construction (honest new work); their attribution is the published
+    folds declaration."""
+    return bool(
+        ab_min is not None and prev_raw and ab_min <= AB_CLEAR_FACTOR * prev_raw
+    )
+
+
 # --- whole-run hot-host gating (VERDICT r11 "Next round" #1) -------------
 # The published bar is evaluated on the RAW total, but the recorded
 # artifact is whatever host weather the driver's run caught: r11's
@@ -376,6 +399,9 @@ def main() -> None:
                     "ab": table["queries"][name],
                     "ab_sentinel": table["sentinel"],
                 }
+                ab_checks[name]["ab_cleared_vs_prev_raw"] = ab_cleared(
+                    table["queries"][name].get("min"), prev["queries"][name]
+                )
 
     total = round(sum(timings.values()), 3)
     # r6 recorded the first sentinel (1.498 s, BENCH_r06.json) — publishing
@@ -442,6 +468,11 @@ def main() -> None:
                 ),
                 "ab_checks": ab_checks,
                 "ab_flagged_total": ab_flagged_total,
+                "ab_cleared_total": sum(
+                    1
+                    for v in ab_checks.values()
+                    if v.get("ab_cleared_vs_prev_raw")
+                ),
                 "skipped": skipped,
             }
         )

@@ -176,3 +176,15 @@ def test_gate_satisfied_is_budgetless_gate_predicate():
     assert sat([0.74, 0.74, 0.9])  # median inside the band
     assert not sat([1.0, 1.1, 0.9, 1.2])  # uniformly hot: budget-exit shape
     assert not sat([0.7, 1.1, 1.2, 1.3])  # ONE clean pass is not enough
+
+
+def test_ab_cleared_verdict_rule():
+    """A flagged entry whose interleaved A/B min sits within
+    AB_CLEAR_FACTOR of the previous round's RAW wall is cleared as
+    weather (both r13 previews: flags at +1-6% raw); a genuinely slower
+    min is not; missing evidence never clears."""
+    assert bench.ab_cleared(1.05, 1.0)           # within 10% of prev raw
+    assert bench.ab_cleared(0.9, 1.0)            # faster than prev
+    assert not bench.ab_cleared(1.2, 1.0)        # real slowdown
+    assert not bench.ab_cleared(None, 1.0)       # A/B produced no min
+    assert not bench.ab_cleared(1.0, 0.0)        # no prev baseline
