@@ -78,13 +78,54 @@ def docs(spark, sf_smoke):
 
 
 def test_trainer_matches_python_reference(spark, docs):
+    # small_vocab_cap=0 pins the DISTRIBUTED loop to the reference; the
+    # driver-side arm is pinned to the distributed one (and hence
+    # transitively to this reference) in test_small_vocab_arm below
     texts = [r["text"] for r in docs.select("text").collect()]
     expected = _ref_train(texts, num_merges=12)
     got = [
         (r["rank"], r["left"], r["right"], r["pair_count"])
-        for r in bpe.train_bpe(docs, num_merges=12).orderBy("rank").collect()
+        for r in bpe.train_bpe(docs, num_merges=12, small_vocab_cap=0)
+        .orderBy("rank")
+        .collect()
     ]
     assert got == expected
+
+
+def test_small_vocab_arm_matches_distributed(spark, docs):
+    """r13 adaptive arm: the driver-side merge loop (default — the
+    fixture vocab sits far under SMALL_VOCAB_CAP) and the forced
+    distributed loop (small_vocab_cap=0) must produce the identical
+    merge table, on the fixture and on seeded random corpora whose
+    larger vocabs carry count ties and multibyte symbols (tie-break
+    parity: Python code-point order == Spark UTF8 binary order)."""
+    import random
+
+    def table(df, cap, n=14):
+        return [
+            tuple(r)
+            for r in bpe.train_bpe(df, num_merges=n, small_vocab_cap=cap)
+            .orderBy("rank")
+            .collect()
+        ]
+
+    got = table(docs, bpe.SMALL_VOCAB_CAP)
+    assert got == table(docs, 0)
+    assert len(got) > 0
+    for seed in (7, 41):
+        rng = random.Random(seed)
+        alphabet = "abcdefghé中"
+        texts = [
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 12))
+            )
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        assert table(df, bpe.SMALL_VOCAB_CAP) == table(df, 0)
 
 
 def test_first_iteration_pair_counts_match_duckdb(spark, docs, sf_smoke):
@@ -184,9 +225,10 @@ def test_checkpoint_cadence_does_not_change_training(spark, docs):
     """checkpoint_every only truncates lineage; the merge table must be
     identical at any cadence (r7: per-merge eager checkpoints were a full
     vocab materialization JOB each — half the trainer's wall time)."""
-    a = [tuple(r) for r in bpe.train_bpe(docs, num_merges=6, checkpoint_every=1).orderBy("rank").collect()]
-    b = [tuple(r) for r in bpe.train_bpe(docs, num_merges=6, checkpoint_every=4).orderBy("rank").collect()]
-    c = [tuple(r) for r in bpe.train_bpe(docs, num_merges=6, checkpoint_every=100).orderBy("rank").collect()]
+    # cadence exists only on the distributed loop — force it (cap=0)
+    a = [tuple(r) for r in bpe.train_bpe(docs, num_merges=6, checkpoint_every=1, small_vocab_cap=0).orderBy("rank").collect()]
+    b = [tuple(r) for r in bpe.train_bpe(docs, num_merges=6, checkpoint_every=4, small_vocab_cap=0).orderBy("rank").collect()]
+    c = [tuple(r) for r in bpe.train_bpe(docs, num_merges=6, checkpoint_every=100, small_vocab_cap=0).orderBy("rank").collect()]
     assert a == b == c
     with pytest.raises(ValueError, match="checkpoint_every"):
         bpe.train_bpe(docs, num_merges=2, checkpoint_every=0)

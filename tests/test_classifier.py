@@ -45,13 +45,41 @@ def feat(spark, sf_smoke):
 
 
 def test_gd_matches_numpy_replay_bit_exactly(spark, feat):
-    w, b = classifier.train_logreg(feat, iters=8, lr=2.0)
+    # small_n_cap=0 pins the DISTRIBUTED loop to the replay; the driver
+    # arm is pinned to the distributed one in test_small_n_arm below
+    w, b = classifier.train_logreg(feat, iters=8, lr=2.0, small_n_cap=0)
     pdf = feat.toPandas()
     X = np.stack(pdf["features"].to_numpy())
     y = pdf["label"].to_numpy(dtype="float64")
     ref = _replay_gd(X, y, iters=8, lr=2.0)
     assert w == [float(v) for v in ref[:-1]]
     assert b == float(ref[-1])
+
+
+def test_small_n_arm_matches_distributed(spark, feat):
+    """r13 adaptive arm: driver-side GD (default — the fixture sits far
+    under SMALL_TRAIN_CAP) and the forced distributed loop
+    (small_n_cap=0) must produce bit-identical weights: both round
+    gradient and update through spark_round_array each step, so each
+    step depends only on rounded values and accumulation-order ulps
+    stay below the quantum. Checked at the vehicle's rd=6 and the
+    default rd=9, plus non-fixture random features."""
+    for rd in (6, 9):
+        a = classifier.train_logreg(feat, iters=8, lr=2.0, round_decimals=rd)
+        b = classifier.train_logreg(
+            feat, iters=8, lr=2.0, round_decimals=rd, small_n_cap=0
+        )
+        assert a == b
+    rng = np.random.RandomState(3)
+    X = rng.normal(size=(700, 3))
+    y = (X[:, 0] - X[:, 2] > 0.2).astype("int64")
+    df = spark.createDataFrame(
+        [([float(v) for v in row], int(t)) for row, t in zip(X, y)],
+        "features array<double>, label int",
+    )
+    assert classifier.train_logreg(df, iters=10, lr=1.5) == classifier.train_logreg(
+        df, iters=10, lr=1.5, small_n_cap=0
+    )
 
 
 def test_learns_separable_plane(spark):

@@ -67,7 +67,11 @@ def test_train_bpe_partitioning_invariant(spark, sf_smoke):
     for mode in ("auto", 2, None):
         rows = (
             bpe.train_bpe(
-                docs, num_merges=6, min_count=2, loop_partitions=mode
+                docs,
+                num_merges=6,
+                min_count=2,
+                loop_partitions=mode,
+                small_vocab_cap=0,  # loop sizing exists only distributed
             )
             .orderBy("rank")
             .collect()
@@ -87,7 +91,9 @@ def test_train_logreg_partitioning_invariant(spark, sf_smoke):
         (F.col("source") == "src0").cast("int").alias("label"),
     )
     models = [
-        classifier.train_logreg(feat, iters=6, lr=2.0, loop_partitions=mode)
+        classifier.train_logreg(
+            feat, iters=6, lr=2.0, loop_partitions=mode, small_n_cap=0
+        )
         for mode in ("auto", 3, None)
     ]
     assert models[0] == models[1] == models[2]
@@ -116,12 +122,14 @@ def test_trainer_loops_restore_session_confs(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents")
     prior_sp = spark.conf.get("spark.sql.shuffle.partitions")
     prior_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    bpe.train_bpe(docs, num_merges=2, min_count=2)
+    # force the distributed loops (cap=0): the conf scopes under test
+    # only open on that arm
+    bpe.train_bpe(docs, num_merges=2, min_count=2, small_vocab_cap=0)
     feat = docs.select(
         classifier.text_features(F.col("text")).alias("features"),
         (F.col("source") == "src0").cast("int").alias("label"),
     )
-    classifier.train_logreg(feat, iters=2, lr=2.0)
+    classifier.train_logreg(feat, iters=2, lr=2.0, small_n_cap=0)
     assert spark.conf.get("spark.sql.shuffle.partitions") == prior_sp
     assert spark.conf.get("spark.sql.adaptive.enabled") == prior_aqe
 

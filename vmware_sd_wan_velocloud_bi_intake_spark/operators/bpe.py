@@ -40,6 +40,14 @@ from .text import normalize_text
 
 END = "</w>"
 
+# Exact-trainer small-vocab arm (r13): distinct-word vocabularies at or
+# under this row count are trained driver-side (see train_bpe). A vocab
+# row is a word's symbol array + a count — ~100 bytes-scale — so the
+# size-checked collect is bounded at a few MB; the distributed loop at
+# this size is pure per-iteration scheduler floor (~0.25 s/argmax job on
+# the bench box) for data that fits in one task.
+SMALL_VOCAB_CAP = 65_536
+
 
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over the corpus — the single corpus-sized shuffle."""
@@ -347,6 +355,89 @@ def _loop_sized_vocab(vocab: DataFrame, loop_partitions):
     return vocab, p
 
 
+def _train_bpe_driver(
+    vocab: list[tuple[int, tuple[str, ...]]],
+    num_merges: int,
+    min_count: int,
+) -> list[tuple[int, str, str, int]]:
+    """Exact BPE merge loop over a collected (freq, symbols) vocab —
+    the small-vocab arm of :func:`train_bpe`.
+
+    Identical spec to the distributed loop (all-adjacent pair counts
+    weighted by freq; winner = count DESC, left ASC, right ASC; one
+    left-to-right non-overlapping sweep per merge) — equality with the
+    distributed arm is pinned on seeded random corpora in
+    tests/test_bpe.py. Tie-break parity holds because Python's str
+    comparison (code points) and Spark's UTF8String comparison (UTF-8
+    bytes) induce the same total order — UTF-8 is order-preserving.
+
+    Argmax is a lazy max-heap keyed (-count, left, right): stale entries
+    (count changed since push) are skipped on pop, so each merge costs
+    O(affected words + log #pairs) instead of a full recount — the merge
+    updates only words that contain the winning pair (tracked in a
+    stale-tolerant pair → word-index map), applying the count delta of
+    each rewritten word's before/after pair multisets.
+    """
+    import heapq
+    from collections import Counter, defaultdict
+
+    words: list[tuple[int, tuple[str, ...]]] = [
+        (int(f), tuple(s)) for f, s in vocab
+    ]
+    pc: Counter = Counter()
+    where: defaultdict = defaultdict(set)  # pair -> word idxs (stale-tolerant)
+    for idx, (f, syms) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pc[p] += f
+            where[p].add(idx)
+    heap = [(-c, l, r) for (l, r), c in pc.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        best = None
+        while heap:
+            negc, l, r = heap[0]
+            if pc.get((l, r), 0) == -negc:
+                best = (l, r, -negc)
+                break
+            heapq.heappop(heap)  # stale: count changed since push
+        if best is None or best[2] < min_count:
+            break
+        l, r, c = best
+        merges.append((rank, l, r, c))
+        touched: set = set()
+        for idx in where.pop((l, r), ()):
+            f, syms = words[idx]
+            out: list[str] = []
+            i, m = 0, len(syms)
+            while i < m:
+                if i + 1 < m and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new = tuple(out)
+            if new == syms:  # stale index entry: pair no longer adjacent
+                continue
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] -= f
+                touched.add((a, b))
+            for a, b in zip(new, new[1:]):
+                pc[(a, b)] += f
+                touched.add((a, b))
+                where[(a, b)].add(idx)
+            words[idx] = (f, new)
+        for p in touched:
+            if pc[p] <= 0:
+                del pc[p]
+                continue
+            heapq.heappush(heap, (-pc[p], p[0], p[1]))
+    return merges
+
+
 def train_bpe(
     docs: DataFrame,
     text_col: str = "text",
@@ -354,6 +445,7 @@ def train_bpe(
     min_count: int = 2,
     checkpoint_every: int = 4,
     loop_partitions: int | str | None = "auto",
+    small_vocab_cap: int = SMALL_VOCAB_CAP,
 ) -> DataFrame:
     """Train a BPE merge table on the corpus.
 
@@ -376,6 +468,24 @@ def train_bpe(
     see :func:`_loop_sized_vocab`. Merge selection is exact integer
     arithmetic with a total-order tie-break, so the result is
     partitioning-invariant (property-tested).
+
+    **Adaptive small-vocab arm** (r13): the merge loop iterates over the
+    DISTINCT-WORD table, which is orders of magnitude smaller than the
+    corpus — and often small outright. Each distributed iteration is one
+    argmax job whose cost on a small vocab is pure driver floor (Py4J +
+    scheduling, ~0.25 s/job on the bench box — SCALE.md), so N merges
+    pay N floors for data that fits in one task. When the checkpointed
+    vocab holds ≤ ``small_vocab_cap`` rows (size-checked via a capped
+    ``limit(cap+1)`` collect off the checkpoint — never an unbounded
+    funnel, the ``duplicate_components`` small-graph discipline), the
+    merge loop runs driver-side over the collected vocab instead
+    (:func:`_train_bpe_driver` — same spec, same tie-break; cross-arm
+    equality pinned on seeded random corpora in tests/test_bpe.py).
+    Above the cap — or with ``small_vocab_cap=0``, which tests use to
+    force it — the distributed loop runs unchanged. The corpus-sized
+    word count and the encode pass stay distributed in both arms; at a
+    32k-merge production vocabulary the scale path remains
+    :func:`train_bpe_batched`.
     """
     if checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
@@ -387,6 +497,16 @@ def train_bpe(
         .select("freq", _init_symbols(F.col("word")).alias("sym"))
         .localCheckpoint(eager=True)
     )
+    if small_vocab_cap:
+        head = vocab.limit(small_vocab_cap + 1).collect()
+        if len(head) <= small_vocab_cap:
+            merges = _train_bpe_driver(
+                [(r["freq"], r["sym"]) for r in head], num_merges, min_count
+            )
+            vocab.unpersist()
+            return spark.createDataFrame(
+                merges, "rank long, left string, right string, pair_count long"
+            )
     vocab, p = _loop_sized_vocab(vocab, loop_partitions)
     last_ckpt = vocab
     merges: list[tuple[int, str, str, int]] = []

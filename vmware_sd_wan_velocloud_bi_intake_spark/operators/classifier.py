@@ -34,6 +34,14 @@ from .similarity import spark_round_array
 
 N_FEATURES = 5
 
+# Full-batch-GD small-input arm (r13): feature tables at or under this
+# row count train driver-side (see train_logreg). A row is d doubles +
+# a label (~50 bytes at d=5), so the capped collect is bounded at tens
+# of MB; the distributed loop at this size is pure per-iteration driver
+# floor (~0.25 s/aggregation job on the bench box) for a gradient one
+# numpy pass computes in microseconds.
+SMALL_TRAIN_CAP = 262_144
+
 
 def text_features(t: Column) -> Column:
     """Bounded, scale-free per-document feature vector (pure expression).
@@ -76,8 +84,27 @@ def train_logreg(
     round_decimals: int = 9,
     cache: bool = True,
     loop_partitions: int | str | None = "auto",
+    small_n_cap: int = SMALL_TRAIN_CAP,
 ) -> tuple[list[float], float]:
     """Full-batch GD. Returns (weights, bias).
+
+    **Adaptive small-input arm** (r13): each distributed GD iteration is
+    one global-aggregation job whose cost on a small feature table is
+    pure driver floor (Py4J + scheduling, ~0.25 s/job on the bench box),
+    so ``iters`` steps pay ``iters`` floors for arithmetic one vectorized
+    numpy pass performs in microseconds. The input size is probed with a
+    capped ``limit(cap+1).toPandas()`` (bounded by construction — the
+    ``duplicate_components`` small-graph discipline); when every row fits
+    under ``small_n_cap`` the whole GD loop runs driver-side on the
+    collected matrix with the IDENTICAL quantized contract — gradients
+    and updates round through ``spark_round_array`` (= Spark ``F.round``)
+    each step, so both arms depend only on rounded values and produce
+    bit-identical weights (the same argument that lets the DuckDB oracle
+    replay this trainer; ulp-level sum-order differences sit below the
+    rounding quantum, asserted cross-arm in tests/test_classifier.py).
+    Above the cap — or with ``small_n_cap=0``, which tests use to force
+    it — the distributed loop runs unchanged; featurization and scoring
+    stay distributed in both arms.
 
     ``cache`` persists the two-column (features, label) projection for the
     loop — ``iters`` scans of a narrow cached relation instead of
@@ -110,6 +137,23 @@ def train_logreg(
         F.col(features_col).alias("x"),
         F.col(label_col).cast("double").alias("y"),
     )
+    if small_n_cap:
+        pdf = proj.limit(small_n_cap + 1).toPandas()
+        if len(pdf) <= small_n_cap:
+            if not len(pdf):
+                raise ValueError("train_logreg: empty input")
+            X = np.stack(pdf["x"].to_numpy())
+            y = pdf["y"].to_numpy(dtype="float64")
+            d = X.shape[1]
+            wb = np.zeros(d + 1)
+            for _ in range(iters):
+                r = 1.0 / (1.0 + np.exp(-(X @ wb[:d] + wb[d]))) - y
+                g = spark_round_array(
+                    np.concatenate([(r[:, None] * X).mean(axis=0), [r.mean()]]),
+                    round_decimals,
+                )
+                wb = spark_round_array(wb - lr * g, round_decimals)
+            return [float(v) for v in wb[:d]], float(wb[d])
     p = proj.rdd.getNumPartitions()
     if cache and loop_partitions is not None:
         # the repartition amortizes only through the cache: uncached, its
