@@ -1910,11 +1910,20 @@ _CLF_POS_PATTERN = "^src1[0-9]$"  # deterministic provenance split
 
 def txt_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # r13: stage the featurized projection ONCE (eager localCheckpoint)
+    # — both consumers (the trainer's probe/loop and the scoring pass)
+    # previously re-ran the regex featurization from the parquet scan.
+    # The staged relation is doc_id + d doubles + a label (~60 B/row,
+    # 10-100x narrower than the documents it came from), so at corpus
+    # scale materializing it once beats a second full corpus scan +
+    # featurize — the guide's decide-with-small-rows shape; on a
+    # cluster with executor churn swap in a reliable checkpoint/staging
+    # table at the call site. Interleaved A/B at sf0.1: 1.35 -> 0.92 s.
     feat = docs.select(
         "doc_id",
         classifier.text_features(F.col("text")).alias("features"),
         F.col("source").rlike(_CLF_POS_PATTERN).cast("int").alias("label"),
-    )
+    ).localCheckpoint(eager=True)
     w, b = classifier.train_logreg(
         feat, iters=_CLF_ITERS, lr=_CLF_LR, round_decimals=_CLF_RD
     )
