@@ -524,3 +524,37 @@ def test_sim_ann_ivf_pq_riders_oracle_on_random_corpus(
     # the corpus must exercise the rider: multiple distinct code words
     assert len({r[4] for r in got}) > 1, "degenerate single-code corpus"
     assert got == want
+
+
+def test_encode_lut_fused_matches_standalone(spark, emb, books):
+    """r13: sim_ann_ivf's fused single-Arrow-pass rider expression
+    (pq_encode_lut_expr) must be BIT-identical, field by field, to the
+    standalone pq_encode_expr / pq_lut_expr pair it replaced — the fold
+    is an execution-shape optimization (2 Arrow passes + 2 broadcast
+    builds → 1 reused), never a semantics change."""
+    base = emb.select(
+        F.col("vec_id").alias("vid"),
+        similarity.as_double_array(F.col("embedding")).alias("v"),
+    )
+    fused = {
+        r["vid"]: (list(r["cl"]["codes"]), [list(t) for t in r["cl"]["lut"]])
+        for r in base.select(
+            "vid", pq.pq_encode_lut_expr("v", books, round_decimals=6).alias("cl")
+        ).collect()
+    }
+    codes = {
+        r["vid"]: list(r["c"])
+        for r in base.select(
+            "vid", pq.pq_encode_expr("v", books, round_decimals=6).alias("c")
+        ).collect()
+    }
+    luts = {
+        r["vid"]: [list(t) for t in r["l"]]
+        for r in base.select(
+            "vid", pq.pq_lut_expr("v", books).alias("l")
+        ).collect()
+    }
+    assert set(fused) == set(codes) == set(luts) and fused
+    for vid, (fc, fl) in fused.items():
+        assert fc == codes[vid], vid
+        assert fl == luts[vid], vid

@@ -207,6 +207,53 @@ def pq_lut_expr(v: str, codebooks: list[list[list[float]]]) -> Column:
     return lut(F.col(v))
 
 
+def pq_encode_lut_expr(
+    v: str,
+    codebooks: list[list[list[float]]],
+    round_decimals: int | None = None,
+) -> Column:
+    """struct<codes, lut> — :func:`pq_encode_expr` and :func:`pq_lut_expr`
+    fused into ONE Arrow pass over the vector column (r13 optimization:
+    a consumer that needs both — sim_ann_ivf enriches every corpus row
+    with its codes for the neighbor side AND its LUT for the query side —
+    previously built two scan→exchange→ArrowEvalPython→broadcast
+    subtrees over the same relation; one combined relation joined twice
+    lets Spark's exchange reuse build it once). The two fields are
+    bit-identical to the standalone expressions: same normalize, same
+    rounded-argmin encode, same per-subspace GEMM — pinned by
+    tests/test_pq.py::test_encode_lut_fused_matches_standalone."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .similarity import spark_round_array
+
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dsub = B[0].shape[1]
+    rd = round_decimals
+
+    @pandas_udf("struct<codes:array<int>,lut:array<array<double>>>")
+    def enc_lut(vs: pd.Series) -> pd.DataFrame:
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        codes = np.empty((len(X), len(B)), dtype=np.int32)
+        tables = []
+        for s, Cs in enumerate(B):
+            S = X[:, s * dsub : (s + 1) * dsub]
+            d2 = ((S[:, None, :] - Cs[None, :, :]) ** 2).sum(axis=2)
+            if rd is not None:
+                d2 = spark_round_array(d2, rd)
+            codes[:, s] = np.argmin(d2, axis=1)
+            tables.append(S @ Cs.T)
+        luts = np.stack(tables, axis=1)  # (n, m, ksub)
+        return pd.DataFrame(
+            {
+                "codes": list(codes),
+                "lut": [[list(row) for row in t] for t in luts],
+            }
+        )
+
+    return enc_lut(F.col(v))
+
+
 def pq_score_expr(codes: str, lut: str, m: int) -> Column:
     """Approximate cosine: Σ_m lut[m][codes[m]] — ``m`` unrolled nested
     array lookups per candidate, zero per-candidate float math and zero

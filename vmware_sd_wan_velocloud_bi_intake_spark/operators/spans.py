@@ -229,10 +229,17 @@ def remove_duplicate_spans(
     # txt_profile staging rule): the token array (a regex extraction over
     # the whole text) is consumed by every gap slice AND the tail slice
     # AND the size() bound, and the sorted span array by the gap transform
-    # and the tail lookup — unstaged, Catalyst re-evaluates each per use
+    # and the tail lookup — unstaged, Catalyst re-evaluates each per use.
+    # The token array is guarded on _spans: only span-carrying docs (a few
+    # percent of a web corpus) are rebuilt, so the untouched majority must
+    # not pay a second corpus-wide regex tokenization here — CaseWhen
+    # branches evaluate lazily, and every _toks consumer sits inside the
+    # rebuild's otherwise() branch, which those rows never reach.
     joined = joined.select(
         "*",
-        _tokens(text_col).alias("_toks"),
+        F.when(F.col("_spans").isNotNull(), _tokens(text_col)).alias(
+            "_toks"
+        ),
         F.array_sort(F.col("_spans")).alias("_sp"),  # disjoint → start_tok sorts
     )
     sp = F.col("_sp")

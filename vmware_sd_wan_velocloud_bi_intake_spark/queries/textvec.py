@@ -1115,9 +1115,20 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_iters=_IVF_TRAIN_ITERS, round_decimals=6,
         cents=_trained_centroids(spark, sf_dir, emb),
     )
-    # PQ riders at FROZEN books: one Arrow-batched encode pass over the
-    # corpus (codes for the neighbor side), one LUT pass (per-query ADC
-    # tables); the per-(query, neighbor) ADC score itself stays JVM-side
+    # PQ riders at FROZEN books: ONE fused Arrow pass builds (codes, lut)
+    # per corpus row (pq.pq_encode_lut_expr — r13: previously codes and
+    # LUTs were two separate scan→exchange→Arrow→broadcast subtrees over
+    # the same relation, so the corpus crossed the Python boundary
+    # twice). The fused relation is staged with an eager localCheckpoint
+    # — measured necessity, not style: left lazy, nested-field pruning
+    # specializes each join side (codes-only vs lut-only projections), the
+    # two subtrees stop being canonically equal, AQE's stage reuse cannot
+    # unify them, and the Arrow pass still runs twice (accumulator-
+    # verified 2n rows through Python; interleaved A/B min 1.70 s lazy vs
+    # 1.20 s staged vs 1.58 s two-pass at sf0.1). The staged relation is
+    # the PQ index itself (id, codes, lut — the same artifact a
+    # deployment persists), no larger per row than the embeddings it
+    # replaces. The per-(query, neighbor) ADC score stays JVM-side
     # (m nested array lookups — pq.pq_score_expr). Joins stay unhinted:
     # both sides are corpus-sized relations, AQE picks the strategy.
     books = _trained_pq_books(spark, sf_dir, emb)
@@ -1125,27 +1136,31 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("_pid"),
         similarity.as_double_array(F.col("embedding")).alias("_pv"),
     )
-    codes = base.select(
-        F.col("_pid").alias("_nid"),
-        pq.pq_encode_expr("_pv", books, round_decimals=_PQ_RD).alias("_codes"),
+    enriched = base.select(
+        "_pid",
+        pq.pq_encode_lut_expr("_pv", books, round_decimals=_PQ_RD).alias(
+            "_cl"
+        ),
+    ).localCheckpoint(eager=True)
+    nbr = enriched.select(
+        F.col("_pid").alias("_nid"), F.col("_cl").alias("_ncl")
     )
-    luts = base.select(
-        F.col("_pid").alias("_qid"),
-        pq.pq_lut_expr("_pv", books).alias("_lut"),
+    qry = enriched.select(
+        F.col("_pid").alias("_qid"), F.col("_cl").alias("_qcl")
     )
     return (
-        out.join(codes, out["neighbor_id"] == codes["_nid"])
-        .join(luts, out["query_id"] == luts["_qid"])
+        out.join(nbr, out["neighbor_id"] == nbr["_nid"])
+        .join(qry, out["query_id"] == qry["_qid"])
         .select(
             "query_id",
             "neighbor_id",
             F.round(F.col("cos_sim"), 6).alias("cos_sim_r6"),
             "rk",
-            F.concat_ws("-", F.col("_codes").cast("array<string>")).alias(
-                "nbr_pq_codes"
-            ),
+            F.concat_ws(
+                "-", F.col("_ncl.codes").cast("array<string>")
+            ).alias("nbr_pq_codes"),
             F.round(
-                pq.pq_score_expr("_codes", "_lut", _PQ_M), _PQ_RD
+                pq.pq_score_expr("_ncl.codes", "_qcl.lut", _PQ_M), _PQ_RD
             ).alias("adc_cos_r6"),
         )
     )
