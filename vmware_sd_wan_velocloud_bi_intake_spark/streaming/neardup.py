@@ -259,7 +259,27 @@ def make_near_dup_ingest(
             "batches; keep stats_dir set (or rebuild the index)"
         )
 
+    # r14: per-stream hoisted pieces — built ONCE per ingest instead of
+    # once per micro-batch. Column expressions are immutable and reusable
+    # across batches (the _lsh_row_exprs argument in operators/dedup.py);
+    # the 2-worker pool overlaps the fingerprint guard job with driver-side
+    # plan construction and runs the independent index/summary writes
+    # concurrently (guide §2.6 — actions are only sequential because the
+    # driver calls them sequentially). foreachBatch serializes epochs, so
+    # one pool per ingest never sees two batches at once.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Window
+
+    from ..operators.text import normalize_text
+
+    _dedup_key_col = F.md5(normalize_text(F.col(text_col))).alias("_dedup_key")
+    _keep_window = Window.partitionBy("_dedup_key")
+    _pool = ThreadPoolExecutor(max_workers=2)
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import inheritable_thread_target
+
         from .ingestbase import (
             batch_fingerprint,
             check_knobs,
@@ -287,19 +307,37 @@ def make_near_dup_ingest(
         # restart would hide, then overwrite, committed partitions. The
         # shared guard (ingestbase) fails those loudly and lets true
         # replays (same id, same content) through.
-        fp = batch_fingerprint(batch_df, doc_id)
-        check_sequence(knobs_path, "neardup-knobs/v1", batch_id, fp)
+        #
+        # r14: the fingerprint is one tiny aggregation JOB while the
+        # dedup chain below is pure driver-side plan construction (zero
+        # jobs) — run the job on a pool thread so the two overlap, and
+        # await it (check_sequence + the empty guard) BEFORE the first
+        # side effect (compaction or a write). Semantics are unchanged:
+        # no write ever precedes the guards; an invalid batch still fails
+        # before touching the index, having merely wasted plan
+        # construction. inheritable_thread_target keeps job-group/
+        # description attribution on the pool thread.
+        fp_future = _pool.submit(
+            inheritable_thread_target(
+                lambda: batch_fingerprint(batch_df, doc_id)
+            )
+        )
         if (
             compact_summary_every
             and batch_id > 0
             and batch_id % compact_summary_every == 0
         ):
-            # before the summary read below: batches < batch_id are all
-            # committed (foreachBatch serializes epochs) — never this
-            # batch's own part, so replay exclusion is unaffected. The
-            # row tables (band rows, survivors) fold by concatenation —
-            # without it every batch's index read pays an O(batches)
-            # partition listing on a long-lived stream.
+            # compaction is a side effect → await the guards first (this
+            # is the rare every-Nth-batch path; the overlap matters on
+            # the common path). Must run before the summary/index reads
+            # below: batches < batch_id are all committed (foreachBatch
+            # serializes epochs) — never this batch's own part, so
+            # replay exclusion is unaffected. The row tables (band rows,
+            # survivors) fold by concatenation — without it every
+            # batch's index read pays an O(batches) partition listing on
+            # a long-lived stream.
+            fp = fp_future.result()
+            check_sequence(knobs_path, "neardup-knobs/v1", batch_id, fp)
             from ..sinks.compact import compact_rows_parts
 
             compact_summary_parts(spark, index_dir, batch_id)
@@ -309,26 +347,17 @@ def make_near_dup_ingest(
                 from ..operators.incstats import compact_stats_parts
 
                 compact_stats_parts(spark, stats_dir, batch_id)
-        # empty-batch guard (mirrors annindex/semdedup): an empty FIRST
-        # batch would otherwise dynamic-overwrite zero partitions, leaving
-        # index_dir/survivors_dir as _SUCCESS-only directories — the next
-        # batch's os.path.isdir(index_dir) then routes into a
-        # spark.read.parquet that fails schema inference
-        # (UNABLE_TO_INFER_SCHEMA) on EVERY replay, wedging the stream
-        # until someone deletes the directory. Record the head so replay
-        # and collision guards still see the batch, then skip all writes.
-        if fingerprint_is_empty(fp):
-            record_head(knobs_path, "neardup-knobs/v1", batch_id, fp)
-            return
+            if fingerprint_is_empty(fp):
+                record_head(knobs_path, "neardup-knobs/v1", batch_id, fp)
+                return
+            fp_checked = True
+        else:
+            fp_checked = False
         # ---- within-batch exact dedup: ONE window shuffle ---------------
         # min-id-per-content via a window over the content digest — one
         # exchange, where groupBy(digest) + two semi-join-backs cost
         # three. Same survivor rule (lowest id per normalized-content
         # md5, nulls grouped like exact_dedup_keys' null key).
-        from pyspark.sql import Window
-
-        from ..operators.text import normalize_text
-
         clash = {"_dedup_key", "_keep"} & set(batch_df.columns)
         if clash:
             raise ValueError(
@@ -337,12 +366,9 @@ def make_near_dup_ingest(
                 "would overwrite and then DROP them, silently losing "
                 "user data from the survivors table; rename them upstream"
             )
-        w = Window.partitionBy("_dedup_key")
         batch1 = (
-            batch_df.withColumn(
-                "_dedup_key", F.md5(normalize_text(F.col(text_col)))
-            )
-            .withColumn("_keep", F.min(doc_id).over(w))
+            batch_df.select("*", _dedup_key_col)
+            .withColumn("_keep", F.min(doc_id).over(_keep_window))
             .where(F.col(doc_id) == F.col("_keep"))
             .drop("_dedup_key", "_keep")
         )
@@ -416,6 +442,25 @@ def make_near_dup_ingest(
             novel = batch2.join(corpus_losers, doc_id, "left_anti")
         else:
             novel = batch2
+        # guards settled before the first write (the overlap window ends
+        # here; on the compaction path they were settled above)
+        if not fp_checked:
+            fp = fp_future.result()
+            check_sequence(knobs_path, "neardup-knobs/v1", batch_id, fp)
+            # empty-batch guard (mirrors annindex/semdedup): an empty
+            # FIRST batch would otherwise dynamic-overwrite zero
+            # partitions, leaving index_dir/survivors_dir as
+            # _SUCCESS-only directories — the next batch's
+            # os.path.isdir(index_dir) then routes into a
+            # spark.read.parquet that fails schema inference
+            # (UNABLE_TO_INFER_SCHEMA) on EVERY replay, wedging the
+            # stream until someone deletes the directory. Record the
+            # head so replay and collision guards still see the batch,
+            # then skip all writes (the plan built above dies unexecuted
+            # — zero jobs).
+            if fingerprint_is_empty(fp):
+                record_head(knobs_path, "neardup-knobs/v1", batch_id, fp)
+                return
         # ---- idempotent writes, keyed by the replayable batch id -------
         # per-WRITE dynamic overwrite (sinks/merge.py discipline): scoped
         # to each write, never mutates the session conf — a session-level
@@ -446,38 +491,57 @@ def make_near_dup_ingest(
                 .withColumn("_batch_id", F.lit(int(batch_id)))
                 .persist()
             )
-            (
-                rows.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch_id")
-                .parquet(index_dir)
-            )
-            # summary part from the SAME in-memory rows relation (the
-            # counts are deterministic) — not a read-back of what was
-            # just written: on object stores the listing+read round
-            # trip dominates small-batch latency for no extra safety
-            (
-                rows.groupBy("bucket")
-                .agg(F.count("*").cast("long").alias("n_members"))
-                .withColumn("_batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch_id")
-                .parquet(summary_dir)
-            )
-            if stats_dir is not None:
-                from ..operators.incstats import write_stats_part
 
-                # length_of: the text-length histogram rides every
-                # part, so snapshot gates get distributional drift
-                # rules (p50/p90 ratios) for free
-                write_stats_part(
-                    novel.drop("_batch_id"),
-                    [doc_id, text_col],
-                    stats_dir,
-                    batch_id,
-                    length_of=[text_col],
+            # r14: the index write, the summary part, and the stats part
+            # are INDEPENDENT sinks over already-persisted relations —
+            # run them concurrently instead of serially (guide §2.6).
+            # Each write is still its own batch-keyed idempotent dynamic
+            # overwrite, so the crash-window states are exactly the ones
+            # the replay discipline already covers (any subset of the
+            # three published); a failure in either thread propagates
+            # through .result() before the head is recorded. The summary
+            # part comes from the SAME in-memory rows relation (counts
+            # are deterministic) — not a read-back of what was just
+            # written: on object stores the listing+read round trip
+            # dominates small-batch latency for no extra safety.
+            def _write_index() -> None:
+                (
+                    rows.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(index_dir)
                 )
+
+            def _write_summary() -> None:
+                (
+                    rows.groupBy("bucket")
+                    .agg(F.count("*").cast("long").alias("n_members"))
+                    .withColumn("_batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(summary_dir)
+                )
+                if stats_dir is not None:
+                    from ..operators.incstats import write_stats_part
+
+                    # length_of: the text-length histogram rides every
+                    # part, so snapshot gates get distributional drift
+                    # rules (p50/p90 ratios) for free
+                    write_stats_part(
+                        novel.drop("_batch_id"),
+                        [doc_id, text_col],
+                        stats_dir,
+                        batch_id,
+                        length_of=[text_col],
+                    )
+
+            fi = _pool.submit(inheritable_thread_target(_write_index))
+            fs = _pool.submit(inheritable_thread_target(_write_summary))
+            try:
+                fi.result()
+            finally:
+                fs.result()
             record_head(knobs_path, "neardup-knobs/v1", batch_id, fp)
         finally:
             novel.unpersist()
