@@ -88,6 +88,13 @@ def make_semantic_dedup_ingest(
         "round_decimals": round_decimals,
         "retrain_threshold": retrain_threshold,
     }
+    # r14: pool for the one independent per-batch action (the neardup
+    # ingest's §2.6 pattern): the full-batch occupancy-profile job has no
+    # data dependency on the batch's writes, so it runs concurrently with
+    # them. foreachBatch serializes epochs, so one pool per ingest is safe
+    from concurrent.futures import ThreadPoolExecutor
+
+    _pool = ThreadPoolExecutor(max_workers=1)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         from ..functions.artifacts import read_json_artifact
@@ -275,14 +282,27 @@ def make_semantic_dedup_ingest(
         # twin is likelier to exist there), so a novel-only histogram
         # systematically shifts toward sparse cells as the corpus matures
         # and would trip the monitor on a perfectly stationary stream —
-        # the baseline is the full build batch for the same reason
-        batch_profile = cell_occupancy_profile(
-            sim.ivf_members(
-                batch_df,
-                cents,
-                vec_id=vec_id,
-                embedding=embedding,
-                round_decimals=round_decimals,
+        # the baseline is the full build batch for the same reason.
+        # r14: the profile is ONE aggregation job over (batch_df, cents)
+        # with no dependency on the two writes below — run all three
+        # concurrently (§2.6) and join before the drift verdict that
+        # consumes the profile. A profile failure now surfaces after the
+        # two writes instead of before them; that partial-publish state
+        # is the same crash window the batch's replay already rewrites
+        # byte-identically (the seed_baseline path pins the build case).
+        from pyspark import inheritable_thread_target
+
+        profile_future = _pool.submit(
+            inheritable_thread_target(
+                lambda: cell_occupancy_profile(
+                    sim.ivf_members(
+                        batch_df,
+                        cents,
+                        vec_id=vec_id,
+                        embedding=embedding,
+                        round_decimals=round_decimals,
+                    )
+                )
             )
         )
         novel = novel.persist()
@@ -294,6 +314,11 @@ def make_semantic_dedup_ingest(
                 embedding=embedding,
                 round_decimals=round_decimals,
             )
+
+            # the two writes stay SEQUENTIAL relative to each other: both
+            # materialize the persisted `novel` chain, and running them
+            # concurrently would compute it twice before the cache
+            # settles — only the profile job (independent input) overlaps
             (
                 novel.withColumn("_batch_id", F.lit(int(batch_id)))
                 .write.mode("overwrite")
@@ -308,6 +333,7 @@ def make_semantic_dedup_ingest(
                 .partitionBy("_batch_id")
                 .parquet(members_dir)
             )
+            batch_profile = profile_future.result()
             if building or seed_baseline:
                 # seed_baseline is the build batch REPLAYING across its
                 # own crash window: batch_profile is the same full-batch
