@@ -105,14 +105,27 @@ def train_bigram_lm(
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("n_big"))
     )
-    if materialize:
-        big_counts = big_counts.localCheckpoint(eager=True)
-    bigrams = big_counts.filter(F.col("n_big") >= min_count)
-    contexts = big_counts.groupBy("w1").agg(F.sum("n_big").alias("n_ctx"))
     toks = F.explode(F.split(text.normalize_text(F.col(text_col)), " "))
-    vocab_size = (
+    vocab_job = lambda: (  # noqa: E731 — named for the overlap below
         df.select(toks.alias("w")).agg(F.countDistinct("w")).collect()[0][0]
     )
+    if materialize:
+        # r14 (§2.6): the vocabulary count and the counts checkpoint are
+        # two independent jobs over the same input — run the vocab pass
+        # on a pool thread while the checkpoint materializes instead of
+        # paying two serial driver actions
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            vf = pool.submit(inheritable_thread_target(vocab_job))
+            big_counts = big_counts.localCheckpoint(eager=True)
+            vocab_size = vf.result()
+    else:
+        vocab_size = vocab_job()
+    bigrams = big_counts.filter(F.col("n_big") >= min_count)
+    contexts = big_counts.groupBy("w1").agg(F.sum("n_big").alias("n_ctx"))
     if not vocab_size:
         # an empty training corpus would make the smoothing denominator
         # (n_ctx + k·V) zero for unseen contexts — Spark's non-ANSI division

@@ -100,10 +100,30 @@ def quality_score(text: Column) -> Column:
           + 0.3·min(1, stopword_ratio·5)
     Deterministic double arithmetic (fixed operand order, integer inputs).
     """
-    toks = token_count(text).cast("double")
+    return quality_score_from(
+        text, token_count(text), punct_count(text), stopword_count(text, "en")
+    )
+
+
+def quality_score_from(
+    text: Column, n_toks: Column, n_punct: Column, n_sw_en: Column
+) -> Column:
+    """:func:`quality_score` over PRE-COMPUTED integer counts (r14).
+
+    The three regex-extraction counts are the expensive inputs and every
+    one of them is shared with another profile output column — a caller
+    that stages them once as real columns (txt_profile's staging rule)
+    passes them here instead of paying the regex once per consuming
+    expression. Arithmetic is term-for-term identical to
+    :func:`quality_score` (same operand order, same casts, counts are
+    exact integers), so the produced doubles are bit-identical.
+    """
+    toks = n_toks.cast("double")
     chars = F.greatest(F.length(text), F.lit(1)).cast("double")
-    punct = punct_count(text).cast("double")
-    swr = stopword_ratio(text)
+    punct = n_punct.cast("double")
+    swr = F.when(n_toks == 0, F.lit(0.0)).otherwise(
+        n_sw_en.cast("double") / n_toks.cast("double")
+    )
     len_term = F.least(F.lit(1.0), toks / F.lit(100.0))
     punct_term = F.lit(1.0) - F.least(F.lit(1.0), punct / chars * F.lit(5.0))
     sw_term = F.least(F.lit(1.0), swr * F.lit(5.0))
@@ -119,7 +139,17 @@ def predict_lang(text: Column) -> Column:
     heuristic keeps the operator fully expression-based and oracle-checkable.
     Ties break by fixed language order (en, es, de, fr).
     """
-    counts = {lang: stopword_count(text, lang) for lang in STOPWORDS}
+    return predict_lang_from(
+        {lang: stopword_count(text, lang) for lang in STOPWORDS}
+    )
+
+
+def predict_lang_from(counts: dict[str, Column]) -> Column:
+    """:func:`predict_lang` over PRE-COMPUTED per-language stopword counts
+    (r14) — same staging argument as :func:`quality_score_from`: the four
+    regex extractions are the cost, and the en count is shared with
+    n_stopwords/quality. Vote logic identical (greatest, then fixed
+    en/es/de/fr tie order)."""
     best = F.greatest(*counts.values())
     expr = F.when(best == 0, F.lit("unk"))
     for lang in ["en", "es", "de", "fr"]:

@@ -60,6 +60,16 @@ def txt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per consuming output column (the fused single-select form re-ran the
     # normalize regexp 4× and the split 5× per row; staged is ~30% faster
     # at sf0.1 with identical values).
+    # r14 (VERDICT r13 #4): the scalar regex COUNTS join the staged
+    # intermediates. token_count was evaluated 4× per row (n_tokens,
+    # avg_token_len, quality's length term, quality's stopword-ratio
+    # denominator), the en-stopword extraction 3× (n_stopwords, quality,
+    # predict_lang's vote), the es/de/fr extractions 2× each inside
+    # predict_lang's conditional branches (CaseWhen keeps codegen's
+    # subexpression elimination from unifying them), punct 2×. Staging
+    # them once per row and rebuilding the consumers from the staged
+    # integers (text.quality_score_from / predict_lang_from — identical
+    # operand order, so identical doubles) makes each regex run once.
     staged = (
         docs.select(
             "doc_id",
@@ -69,7 +79,16 @@ def txt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             text.normalize_text(t).alias("_norm"),
         )
         .select("*", F.split(F.col("_norm"), " ").alias("_toks"))
-        .select("*", text.bigrams_from(F.col("_toks")).alias("_bigrams"))
+        .select(
+            "*",
+            text.bigrams_from(F.col("_toks")).alias("_bigrams"),
+            text.token_count(t).alias("_ntok"),
+            text.punct_count(t).alias("_npun"),
+            *[
+                text.stopword_count(t, lang).alias(f"_sw_{lang}")
+                for lang in text.STOPWORDS
+            ],
+        )
     )
     # The PII chain is deliberately NOT staged like _norm/_toks: although
     # pii_count and md5(redact_pii) share the progressive redactions
@@ -84,6 +103,14 @@ def txt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # complete=False — the profile row set already covers every document,
     # so the score relation's own ≤1-token backfill join would be
     # redundant.
+    # r14 note (VERDICT r13 #4, part 2 — measured and NOT shipped): an
+    # eager narrow (doc_id, tokens) checkpoint feeding the rider's three
+    # passes (train counts, vocab statistic, score explode) collapses
+    # three tokenizations into one, but the extra serial action costs
+    # more than the saved regex at sf0.1 (interleaved A/B: mins
+    # 2.478 old / 2.709 staged on a clean window) — the same
+    # local-floor-vs-scale trade sim_ann_ivf already carries once;
+    # this vehicle is 14 jobs × ~0.2 s floor, not regex-bound.
     model = lm.train_bigram_lm(
         docs.where((F.col("doc_id") % _LM_TRAIN_MOD) == 0),
         min_count=_LM_MIN_COUNT,
@@ -97,21 +124,26 @@ def txt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("perplexity", 6).alias("lm_ppl_r6"),
     )
     norm, toks, g = F.col("_norm"), F.col("_toks"), F.col("_bigrams")
+    ntok, npun = F.col("_ntok"), F.col("_npun")
     return staged.select(
         "doc_id",
         "lang",
         "source",
-        text.token_count(t).alias("n_tokens"),
+        ntok.alias("n_tokens"),
         text.char_count(t).alias("n_chars_txt"),
-        text.punct_count(t).alias("n_punct"),
+        npun.alias("n_punct"),
         (
             (F.length(F.regexp_replace(t, r"\s+", "")).cast("double"))
-            / F.greatest(text.token_count(t), F.lit(1)).cast("double")
+            / F.greatest(ntok, F.lit(1)).cast("double")
         ).alias("avg_token_len"),
         text.bpe_token_count(t).alias("n_bpe"),
-        text.stopword_count(t, "en").alias("n_stopwords"),
-        text.quality_score(t).alias("quality"),
-        text.predict_lang(t).alias("lang_pred"),
+        F.col("_sw_en").alias("n_stopwords"),
+        text.quality_score_from(t, ntok, npun, F.col("_sw_en")).alias(
+            "quality"
+        ),
+        text.predict_lang_from(
+            {lang: F.col(f"_sw_{lang}") for lang in text.STOPWORDS}
+        ).alias("lang_pred"),
         text.fingerprint_from(norm).alias("fp16"),
         F.length(norm).alias("n_norm_chars"),
         text.pii_count(t).alias("n_pii"),
