@@ -148,7 +148,7 @@ def write_stats_parts_split(
     parts_dir: str,
     split: "F.Column",
     length_of: list[str] | None = None,
-) -> None:
+):
     """BACKFILL form: publish MANY batch-keyed parts from one pass.
 
     ``split`` is an expression assigning each row its part's
@@ -158,16 +158,20 @@ def write_stats_parts_split(
     full scan PER part here; the resulting parts table is identical
     (grouped aggregates ≡ per-group global aggregates), so
     ``merged_stats`` folds either spelling the same way.
+
+    Returns the written parts schema (``_batch_id`` included) — callers
+    that immediately fold what they just wrote pass it to
+    :func:`merged_stats` and skip the mergeSchema footer-read job (r14).
     """
     proj, aggs = _stats_aggs(df, columns, length_of)
+    out = proj.groupBy(split.cast("long").alias("_batch_id")).agg(*aggs)
     (
-        proj.groupBy(split.cast("long").alias("_batch_id"))
-        .agg(*aggs)
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_batch_id")
         .parquet(parts_dir)
     )
+    return out.schema
 
 
 def write_stats_part(
@@ -200,6 +204,7 @@ def merged_stats(
     columns: list[str],
     length_of: list[str] | None = None,
     include_ndv: bool = True,
+    schema=None,
 ) -> list[dict]:
     """Fold every part into profile-shaped rows (the dict form
     ``check_expectations`` consumes): counts SUM — exactly, independent
@@ -216,8 +221,17 @@ def merged_stats(
     # mergeSchema: a dir may mix parts written before a length_of upgrade
     # (no __histlen column — reads as NULL) with histogram-bearing ones;
     # without it the read either fails on UNRESOLVED_COLUMN or silently
-    # binds whichever schema the footer sample picked
-    parts = spark.read.option("mergeSchema", "true").parquet(parts_dir)
+    # binds whichever schema the footer sample picked.
+    # ``schema`` (r14): a caller that KNOWS the parts layout — it just
+    # wrote every part itself (inc_stats_merge's backfill-then-fold) —
+    # passes the writer's schema instead; a declared-schema read skips
+    # the footer-sampling/merge job the option runs per fold. Mixed-era
+    # dirs must keep the mergeSchema path.
+    parts = (
+        spark.read.schema(schema).parquet(parts_dir)
+        if schema is not None
+        else spark.read.option("mergeSchema", "true").parquet(parts_dir)
+    )
     aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
     for c in length_of or []:
         if f"__histlen_{c}" not in parts.columns:

@@ -778,7 +778,7 @@ def inc_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are split-INVARIANT, so a midpoint computed from the data would
     # buy nothing but one extra aggregate job per run.
     with micro_batch_confs(spark):
-        write_stats_parts_split(
+        parts_schema = write_stats_parts_split(
             docs,
             _INC_STATS_COLS,
             parts_dir,
@@ -794,6 +794,10 @@ def inc_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # written (real parts) but not folded here — ndv is estimator-
         # family (not SQL-replayable) and its merge is pytest-pinned
         include_ndv=False,
+        # r14 (VERDICT r13 #5): the fold reads back parts THIS call just
+        # wrote — the writer's schema makes the read declared instead of
+        # a mergeSchema footer-sampling job per run
+        schema=parts_schema,
     )
     # percentiles coalesce to 0.0 on the non-length rows (catalog outputs
     # avoid NULLs — the j12_full_outer convention; stat_col disambiguates)
