@@ -294,8 +294,18 @@ def main() -> None:
     # question ("did the host slow mid-run?") becomes answerable per pass
     # instead of only start-vs-end
     per_pass_sentinels: list[float] = []
-    for _ in range(N_RUNS):
+    # pass-1 walls, published separately (VERDICT r13 "What's wrong" #5):
+    # vehicles that memoize trained index artifacts per (application,
+    # sf_dir) — sim_ann_ivf/dedup_semantic centroids, the PQ codebooks —
+    # train on pass 1 only, so the min-of-N figure excludes training cost
+    # by construction. The first-pass wall is the training-INCLUSIVE
+    # number for every vehicle; the delta vs the min is visible per query
+    # instead of needing archaeology.
+    first_pass_queries: dict[str, float] = {}
+    for _pass_i in range(N_RUNS):
         _catalog_pass(spark, catalog, timings)
+        if _pass_i == 0:
+            first_pass_queries = dict(timings)
         per_pass_sentinels.append(_sentinel_once(spark))
 
     # a second probe AFTER the passes: host drift during the run (the box
@@ -417,6 +427,21 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": infer_sf(SF_DIR),
+                # scaling self-description (VERDICT r13 #3): the env
+                # contract is honored in session.py, but the artifact
+                # must say so itself — effective master and the
+                # scheduler's actual parallelism, so a flat per-query
+                # cpus ratio at sf0.1 (driver-action floors) is
+                # distinguishable from an ignored core count. The
+                # sentinel (a fixed 32-partition all-core fold) is the
+                # CPU-proportional canary: its cross-run ratio tracks
+                # the core count even where floor-bound queries don't.
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
+                # training-inclusive pass-1 walls (min-of-N excludes
+                # per-application trained-artifact memos — see the loop)
+                "first_pass_queries": first_pass_queries,
                 "sentinel_sec": sentinel,
                 "sentinel_end_sec": sentinel_end,
                 "sentinel_per_pass": per_pass_sentinels,
