@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..operators import bpe, classifier, dedup, lm, pq, similarity, spans, text
 from ..sources.tables import load_table
-from .base import Q, micro_batch_confs
+from .base import Q, micro_batch_confs, stage_checkpoint
 
 
 # --------------------------------------------------------------------------
@@ -1172,12 +1172,15 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("_pid"),
         similarity.as_double_array(F.col("embedding")).alias("_pv"),
     )
-    enriched = base.select(
-        "_pid",
-        pq.pq_encode_lut_expr("_pv", books, round_decimals=_PQ_RD).alias(
-            "_cl"
+    enriched = stage_checkpoint(
+        base.select(
+            "_pid",
+            pq.pq_encode_lut_expr("_pv", books, round_decimals=_PQ_RD).alias(
+                "_cl"
+            ),
         ),
-    ).localCheckpoint(eager=True)
+        "sim_ann_ivf_enriched",
+    )
     nbr = enriched.select(
         F.col("_pid").alias("_nid"), F.col("_cl").alias("_ncl")
     )
@@ -1638,9 +1641,13 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would re-run the whole shingle/minhash/bucket pipeline (and above
     # duplicate_components' small-graph cap the distributed loop
     # additionally ITERATES over it)
-    near = dedup.near_dup_pairs(
-        docs, "doc_id", "text", threshold=0.4, num_hashes=4, bands=2, shingle_n=3
-    ).localCheckpoint(eager=True)
+    near = stage_checkpoint(
+        dedup.near_dup_pairs(
+            docs, "doc_id", "text",
+            threshold=0.4, num_hashes=4, bands=2, shingle_n=3,
+        ),
+        "dedup_survivors_near",
+    )
     near_losers = near.select(F.col("doc_b").alias("doc_id")).distinct()
     # r12 rider: transitive duplicate CLUSTERS over the verified-pair
     # graph (operators.dedup.duplicate_components — hash-min + pointer
@@ -1970,11 +1977,14 @@ def txt_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # featurize — the guide's decide-with-small-rows shape; on a
     # cluster with executor churn swap in a reliable checkpoint/staging
     # table at the call site. Interleaved A/B at sf0.1: 1.35 -> 0.92 s.
-    feat = docs.select(
-        "doc_id",
-        classifier.text_features(F.col("text")).alias("features"),
-        F.col("source").rlike(_CLF_POS_PATTERN).cast("int").alias("label"),
-    ).localCheckpoint(eager=True)
+    feat = stage_checkpoint(
+        docs.select(
+            "doc_id",
+            classifier.text_features(F.col("text")).alias("features"),
+            F.col("source").rlike(_CLF_POS_PATTERN).cast("int").alias("label"),
+        ),
+        "txt_quality_clf_feat",
+    )
     w, b = classifier.train_logreg(
         feat, iters=_CLF_ITERS, lr=_CLF_LR, round_decimals=_CLF_RD
     )
