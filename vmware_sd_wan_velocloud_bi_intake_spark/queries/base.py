@@ -97,3 +97,30 @@ def stage_checkpoint(df: DataFrame, key: str) -> DataFrame:
             pass  # a stopped/replaced context has already dropped it
     _STAGED_CHECKPOINTS[key] = ck
     return ck
+
+
+def stage_checkpoints_concurrent(
+    named: list[tuple[str, DataFrame]],
+) -> list[DataFrame]:
+    """Stage SEVERAL independent relations for one vehicle, their eager
+    checkpoint jobs submitted concurrently (guide §2.6: actions are only
+    sequential because the driver calls them sequentially — independent
+    staging jobs overlap to the wall of the slowest instead of the sum).
+    Each entry gets the full :func:`stage_checkpoint` contract (eager
+    localCheckpoint, prior invocation's blocks dropped per key). Order of
+    the returned list matches the input. Thread count = len(named): these
+    are per-vehicle decision tables (2–4), not a fan-out."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    if len(named) == 1:
+        return [stage_checkpoint(named[0][1], named[0][0])]
+    with ThreadPoolExecutor(max_workers=len(named)) as pool:
+        futs = [
+            pool.submit(
+                inheritable_thread_target(lambda k=k, d=d: stage_checkpoint(d, k))
+            )
+            for k, d in named
+        ]
+        return [f.result() for f in futs]

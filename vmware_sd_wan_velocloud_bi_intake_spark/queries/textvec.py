@@ -10,7 +10,12 @@ from pyspark.sql import functions as F
 
 from ..operators import bpe, classifier, dedup, lm, pq, similarity, spans, text
 from ..sources.tables import load_table
-from .base import Q, micro_batch_confs, stage_checkpoint
+from .base import (
+    Q,
+    micro_batch_confs,
+    stage_checkpoint,
+    stage_checkpoints_concurrent,
+)
 
 
 # --------------------------------------------------------------------------
@@ -1172,14 +1177,24 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("_pid"),
         similarity.as_double_array(F.col("embedding")).alias("_pv"),
     )
-    enriched = stage_checkpoint(
-        base.select(
-            "_pid",
-            pq.pq_encode_lut_expr("_pv", books, round_decimals=_PQ_RD).alias(
-                "_cl"
+    # r14: the ANN search (`out`) and the PQ-index Arrow pass (`enriched`)
+    # are INDEPENDENT passes over the corpus — submit their staging jobs
+    # concurrently (guide §2.6) so the rider's encode pass overlaps the
+    # cell-restricted search instead of serializing behind it. The final
+    # plan then joins three staged relations; semantics unchanged.
+    out, enriched = stage_checkpoints_concurrent(
+        [
+            ("sim_ann_ivf_out", out),
+            (
+                "sim_ann_ivf_enriched",
+                base.select(
+                    "_pid",
+                    pq.pq_encode_lut_expr(
+                        "_pv", books, round_decimals=_PQ_RD
+                    ).alias("_cl"),
+                ),
             ),
-        ),
-        "sim_ann_ivf_enriched",
+        ]
     )
     nbr = enriched.select(
         F.col("_pid").alias("_nid"), F.col("_cl").alias("_ncl")
@@ -1636,17 +1651,41 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_keep = exact.select(
         F.col("keep_id").alias("doc_id"), "dedup_key", "dup_count"
     )
-    # materialize the verified pair list once: it has two consumers
-    # (the loser anti-join and the component rider) — left lazy, each
-    # would re-run the whole shingle/minhash/bucket pipeline (and above
+    # The vehicle makes THREE independent passes over the corpus: the
+    # near-dup LSH pipeline, the exact-dedup keys, and the span pass.
+    # The near pass must be materialized anyway (two consumers: the
+    # loser anti-join and the component rider — left lazy, each re-runs
+    # the whole shingle/minhash/bucket pipeline, and above
     # duplicate_components' small-graph cap the distributed loop
-    # additionally ITERATES over it)
-    near = stage_checkpoint(
-        dedup.near_dup_pairs(
-            docs, "doc_id", "text",
-            threshold=0.4, num_hashes=4, bands=2, shingle_n=3,
-        ),
-        "dedup_survivors_near",
+    # additionally ITERATES over it). r14: the OTHER two corpus passes
+    # are staged in the SAME concurrent submission (guide §2.6 — the
+    # three scans have no data dependency, so they overlap to the wall
+    # of the slowest instead of running serially; the former shape ran
+    # near as its own serial checkpoint action and left exact + spans to
+    # the final sink job, which could not start until near finished).
+    # Both newly staged relations are NARROW per-doc rows (ids + a
+    # digest + counters), so the checkpoint stores decision tables,
+    # never corpus text.
+    clean_full = spans.remove_duplicate_spans(
+        docs, "doc_id", "text", k=_SPAN_K, keep_span_stats=True
+    ).select(
+        "doc_id",
+        F.length("text").alias("clean_len"),
+        "n_dup_spans",
+        "span_tokens_cut",
+    )
+    near, exact_keep, clean = stage_checkpoints_concurrent(
+        [
+            (
+                "dedup_survivors_near",
+                dedup.near_dup_pairs(
+                    docs, "doc_id", "text",
+                    threshold=0.4, num_hashes=4, bands=2, shingle_n=3,
+                ),
+            ),
+            ("dedup_survivors_exact", exact_keep),
+            ("dedup_survivors_clean", clean_full),
+        ]
     )
     near_losers = near.select(F.col("doc_b").alias("doc_id")).distinct()
     # r12 rider: transitive duplicate CLUSTERS over the verified-pair
@@ -1675,19 +1714,12 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component_size",
     )
     surv = exact_keep.join(near_losers, "doc_id", "left_anti")
-    # span pass over the WHOLE corpus (owner election is corpus-wide — a
-    # survivor's passage may be owned by a dropped doc). ONE call carries
-    # stats AND the rebuilt text (keep_span_stats — the stats ride the
-    # rebuild's own per-doc aggregation); a separate duplicate_spans
-    # branch would re-run the whole shingle pipeline per consumer
-    clean = spans.remove_duplicate_spans(
-        docs, "doc_id", "text", k=_SPAN_K, keep_span_stats=True
-    ).select(
-        "doc_id",
-        F.length("text").alias("clean_len"),
-        "n_dup_spans",
-        "span_tokens_cut",
-    )
+    # the span pass covers the WHOLE corpus (owner election is
+    # corpus-wide — a survivor's passage may be owned by a dropped doc).
+    # ONE call carries stats AND the rebuilt text (keep_span_stats — the
+    # stats ride the rebuild's own per-doc aggregation); a separate
+    # duplicate_spans branch would re-run the whole shingle pipeline per
+    # consumer. Staged above, concurrent with the near pass.
     return (
         surv.join(clean, "doc_id", "left")
         .join(comp_full, "doc_id", "left")

@@ -171,14 +171,25 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec("l_quantity", 12)).alias("sum_qty"))
         .filter(F.col("sum_qty") > 150)
     )
+    # r14: `big` already holds SUM(l_quantity) per orderkey, and o_orderkey
+    # is unique in orders, so the textbook re-join back to lineitem + final
+    # 5-key re-aggregation recomputed exactly `sum_qty` — one whole lineitem
+    # scan, a fact-sized join, and a grouped aggregate removed (guide §2.4
+    # "remove shuffles outright"; §1.1 first-principles: one lineitem pass
+    # is the floor for this query). Row set and schema unchanged: the old
+    # GROUP BY keys were functionally determined by o_orderkey, so each
+    # group was one orderkey; equality pinned against the DuckDB oracle.
     q18 = (
-        orders.join(
-            big.select("big_orderkey"), orders.o_orderkey == F.col("big_orderkey")
-        )
+        orders.join(big, orders.o_orderkey == F.col("big_orderkey"))
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity", 12)).cast("double").alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("total_qty"),
+        )
     )
     return q18.crossJoin(F.broadcast(_q17_rider(spark, sf_dir)))
 
