@@ -202,6 +202,8 @@ GROUP BY a.cell
     assert stored["n_vectors"] == sum(want.values())
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): VERDICT r13 #2 move (annindex stream): extra random-corpus replication; the fixture replay stays default
+@pytest.mark.slow
 def test_streamed_ann_index_matches_replay_on_random_corpus(
     spark, tmp_path
 ):
@@ -285,6 +287,8 @@ JOIN v USING (vec_id)
     assert srows == orows
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): VERDICT r13 #2 move (annindex stream): the two-phase SQL replay keeps the oracle class default
+@pytest.mark.slow
 def test_degenerate_split_single_batch_agrees(spark, tmp_path):
     """No vec_id clears the midpoint: ONE file → one micro-batch → the
     whole table is the build batch; members labeled batch 0 and the

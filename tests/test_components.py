@@ -60,6 +60,8 @@ def test_components_match_union_find(spark, edges, cap):
     assert spark_components(spark, edges, cap) == union_find_components(edges)
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): VERDICT r13 #2 move (components random corpora): cross-arm equality on deterministic graphs stays default
+@pytest.mark.slow
 def test_components_random_graph_matches_union_find(spark):
     rng = random.Random(42)
     nodes = list(range(400))

@@ -134,6 +134,8 @@ def test_incremental_profile_feeds_the_gate_and_snapshot(spark, tmp_path):
     assert versioned.latest_version(root) == 1
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): streaming maintenance replication: batching invariance + merged_stats parity stay default
+@pytest.mark.slow
 def test_ingest_maintains_stats_parts(spark, tmp_path):
     """stats_dir wires incstats into the streaming ingest: each batch's
     NOVEL rows publish a part, merged stats always equal a fresh

@@ -211,6 +211,8 @@ def clustered(spark, emb):
     df.unpersist()
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): recall-quality property (not correctness); the encode/ADC equivalence tests stay default
+@pytest.mark.slow
 def test_residual_encoding_lifts_recall(spark, emb, clustered):
     """The faiss-default IVF-PQ refinement, measured: encoding
     x̂ − centroid(cell) beats encoding x̂ at identical m/ksub/nprobe on the

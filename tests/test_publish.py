@@ -211,6 +211,8 @@ def test_stream_snapshot_custom_names_no_collision(spark, tmp_path):
     assert got.count() == 10
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): release-story integration replication; the publish unit gates stay default
+@pytest.mark.slow
 def test_full_streaming_release_story(spark, tmp_path):
     """The complete r7+r8 composition, end to end through the real
     Structured Streaming engine: readStream → near-dup ingest maintaining

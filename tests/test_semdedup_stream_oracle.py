@@ -110,6 +110,8 @@ def test_streamed_semdedup_matches_replay_on_random_corpora(
     assert srows == orows
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): degenerate-split replication: the two-phase SQL replay + random-corpus[11] keep the semdedup oracle class in the default tier
+@pytest.mark.slow
 def test_degenerate_split_single_batch_agrees(spark, tmp_path):
     """No vec_id clears the midpoint: ONE file → one micro-batch → the
     build batch (and the oracle's training population) is the whole

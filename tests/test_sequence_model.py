@@ -57,19 +57,30 @@ def model_outages(seq: list[int]):
 STATE_SEQ = st.lists(st.sampled_from([0, 2, 3, 4]), min_size=1, max_size=60)
 
 
-@settings(
-    max_examples=30,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
-@given(seq=STATE_SEQ)
-def test_outage_summary_matches_reference_model(spark, seq):
-    rows = [(1, i, s) for i, s in enumerate(seq)]
+def test_outage_summary_matches_reference_model(spark):
+    """Randomized model check, BATCHED: 40 seeded random state sequences
+    (same distribution as the former hypothesis strategy, more examples)
+    ride ONE relation as distinct user_ids — qoe_outage_summary is
+    per-user by construction, so the whole sweep is a single collect
+    instead of one Spark action per example (r14 suite re-tiering:
+    54 s → ~4 s, identical per-sequence verification)."""
+    import random
+
+    rng = random.Random(20240815)
+    seqs = {
+        uid: [rng.choice([0, 2, 3, 4]) for _ in range(rng.randint(1, 60))]
+        for uid in range(40)
+    }
+    rows = [
+        (uid, i, s) for uid, seq in seqs.items() for i, s in enumerate(seq)
+    ]
     df = spark.createDataFrame(rows, "user_id int, pos int, state int")
-    got = qoe_outage_summary(df, "user_id", ["pos"]).collect()[0]
-    expected = model_outages(seq)
-    for k, v in expected.items():
-        assert got[k] == v, f"{k}: spark={got[k]} model={v} seq={seq}"
+    got = {r["user_id"]: r for r in qoe_outage_summary(df, "user_id", ["pos"]).collect()}
+    assert set(got) == set(seqs)
+    for uid, seq in seqs.items():
+        expected = model_outages(seq)
+        for k, v in expected.items():
+            assert got[uid][k] == v, f"{k}: spark={got[uid][k]} model={v} seq={seq}"
 
 
 @pytest.mark.parametrize(

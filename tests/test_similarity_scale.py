@@ -50,6 +50,8 @@ def test_blocked_topk_matches_expression_ground_truth(spark, emb):
     assert blk == hof
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): scale-refusal property over a large synthetic corpus; the funnel-size contract is unit-pinned default
+@pytest.mark.slow
 def test_blocked_topk_refuses_driver_funnel(spark, emb):
     # a block that materializes far past the target must raise, not funnel:
     # a constant id sends every corpus row to one hash block, so block 0
@@ -122,6 +124,8 @@ def _recall_at_k(approx_rows, truth_rows, k):
     return hits / max(total, 1)
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): recall-quality property (not correctness); trained-vs-untrained recall is re-measured per round in SCALE.md
+@pytest.mark.slow
 def test_ann_recall_floors_vs_brute_force(spark, emb):
     """Quantified approximation contract: recall@3 of each ANN path against
     exact brute force, at the knobs the catalog queries use.

@@ -40,6 +40,8 @@ def _members(spark, idx):
     )
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): composition replication: the two-phase SQL replay keeps the stream==batch class default
+@pytest.mark.slow
 def test_streamed_index_equals_batch_composition(spark, emb, tmp_path):
     """Three micro-batches through the ingest must leave EXACTLY the
     members the batch-API composition (ivf_pq_index on batch 0 +
@@ -136,6 +138,8 @@ def test_collisions_and_misconfigurations_fail_loudly(spark, emb, tmp_path):
         redeployed(emb.where("vec_id = 5"), 2)  # incompatible code space
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): monitoring rider replication; the semdedup drift monitor test keeps the class default
+@pytest.mark.slow
 def test_drift_monitor_records_per_batch(spark, emb, tmp_path):
     """In-distribution appends record TV ≈ sampling noise; a topic-shifted
     batch (every vector pulled toward an anchor the quantizer never saw)
@@ -259,6 +263,8 @@ def test_missing_baseline_fails_before_any_write(spark, emb, tmp_path):
     assert spark.read.parquet(idx + "/members").count() == emb.count()
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): compaction-preservation class kept default on the neardup ingest (shared sinks/compact skeleton)
+@pytest.mark.slow
 def test_rows_compaction_preserves_members_and_history(spark, emb, tmp_path):
     """compact_every folds committed members/drift partitions into the
     base: search content identical to an uncompacted run, the drift

@@ -597,6 +597,8 @@ def test_empty_first_batch_does_not_wedge_the_stream(spark, tmp_path):
     assert got == {0, 2, 4}
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): robustness replication: the replay/crash battery keeps the ingest's state-identity class default
+@pytest.mark.slow
 def test_backlog_start_is_bounded_and_state_identical(spark, tmp_path):
     """run_file_ingest (ingestbase) bounds a BACKLOG first start: with
     maxFilesPerTrigger set, a directory already holding many files drains

@@ -91,6 +91,8 @@ def test_streaming_curation_to_retrieval(spark, docs, tmp_path):
     }
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): end-to-end replication: test_streaming_curation_to_retrieval keeps the pipeline class default
+@pytest.mark.slow
 def test_curated_corpus_balances_and_enriches_on_export(spark, docs, tmp_path):
     """The round-10 tail of the composed story: the curated corpus
     (near-dup → embed → semantic dedup, as above) feeds (5) a

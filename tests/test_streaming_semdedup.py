@@ -153,6 +153,8 @@ def test_guards_fire(spark, emb, tmp_path):
         redeployed(emb.where("vec_id % 2 = 1"), 1)
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): compaction-preservation class kept default on the neardup ingest (shared sinks/compact skeleton)
+@pytest.mark.slow
 def test_rows_compaction_preserves_survivors(spark, emb, tmp_path):
     import os
 
