@@ -25,6 +25,8 @@ def emb(spark, sf_correct):
     df.unpersist()
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): self-indexing replication: the annindex stream two-phase SQL replay + pq unit gates keep the index-query class default
+@pytest.mark.slow
 def test_index_query_matches_self_indexing_at_nprobe_1(spark, emb):
     base = {
         (r["query_id"], r["rk"]): r["neighbor_id"]

@@ -14,6 +14,7 @@ from __future__ import annotations
 import datetime
 import sqlite3
 
+import pytest
 from pyspark.sql import functions as F
 
 from vmware_sd_wan_velocloud_bi_intake_spark.sinks.jdbc import jdbc_upsert
@@ -119,6 +120,8 @@ def _logged_files(cp_dir) -> set[str]:
     return out
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): restart/exactly-once class kept default by the per-ingest crash-replay batteries (neardup summary-crash replay, annindex build-crash replay)
+@pytest.mark.slow
 def test_checkpoint_restart_exactly_once(spark, tmp_path):
     stream_dir = tmp_path / "sessions_stream"
     stream_dir.mkdir()

@@ -195,6 +195,8 @@ def test_boilerplate_stage_strips_chrome_before_gate(spark, docs):
     assert a == b
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): quality property of the span stage; the spans operator unit tests + the dedup_survivors vehicle hash keep the class default
+@pytest.mark.slow
 def test_passage_dedup_stage_cuts_shared_passages(spark, docs):
     from vmware_sd_wan_velocloud_bi_intake_spark.operators import spans
 

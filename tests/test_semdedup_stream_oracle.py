@@ -57,7 +57,13 @@ import pytest
 
 @pytest.mark.parametrize(
     "seed",
-    [11, pytest.param(29, marks=pytest.mark.slow)],  # two-tier rule
+    [
+        # r14 re-tier (VERDICT r13 #2): both random-corpus seeds are slow
+        # now — the deterministic two-phase SQL replay below keeps the
+        # semdedup stream-oracle class in the default tier
+        pytest.param(11, marks=pytest.mark.slow),
+        pytest.param(29, marks=pytest.mark.slow),
+    ],
 )
 def test_streamed_semdedup_matches_replay_on_random_corpora(
     spark, tmp_path, seed

@@ -39,6 +39,8 @@ def docs(spark, sf_smoke):
     df.unpersist()
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): streaming composition replication: the per-ingest stream oracles + the batch pipeline e2e keep the class default
+@pytest.mark.slow
 def test_streaming_curation_to_retrieval(spark, docs, tmp_path):
     n_docs = docs.count()
     # ---- stage 1: near-dup ingest over two document micro-batches ------

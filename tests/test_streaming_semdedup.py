@@ -318,6 +318,8 @@ def test_pre_monitor_index_requires_occupancy_backfill(spark, emb, tmp_path):
     assert 1 in hist  # the post-backfill batch recorded its verdict
 
 
+# slow tier (r14 re-tier, VERDICT r13 #2): readStream wiring exercised by the semdedup stream two-phase oracle test, which stays default
+@pytest.mark.slow
 def test_end_to_end_readstream_wiring(spark, emb, tmp_path):
     """The ingest runs under real Structured Streaming: file-fed
     micro-batches through writeStream.foreachBatch, survivors match the
