@@ -14,6 +14,13 @@ Usage:
 Plans are captured PRE-execution (AQE initial plan) at sf0.001 by
 default — deterministic for a fixed fixture set and Spark version, and
 the same capture mode as tests/plans_snapshot.json.
+
+Caveat for checkpoint-staged vehicles (sim_ann_ivf, txt_quality_clf,
+dedup_survivors, a22 if staged): building the DataFrame executes their
+eager staging jobs during capture, and the dumped plan begins at the
+staged relation (`Scan ExistingRDD`), not the full logical tree — the
+staged subtree's shape is visible in the PRE-staging rounds' dumps and
+in the operator source.
 """
 
 from __future__ import annotations

@@ -98,10 +98,15 @@ def train_logreg(
     under ``small_n_cap`` the whole GD loop runs driver-side on the
     collected matrix with the IDENTICAL quantized contract — gradients
     and updates round through ``spark_round_array`` (= Spark ``F.round``)
-    each step, so both arms depend only on rounded values and produce
-    bit-identical weights (the same argument that lets the DuckDB oracle
-    replay this trainer; ulp-level sum-order differences sit below the
-    rounding quantum, asserted cross-arm in tests/test_classifier.py).
+    each step, so both arms depend only on rounded values and agree under
+    the same BELOW-THE-QUANTUM contract as partitioning invariance: the
+    np.exp / numpy-mean vs JVM Math.exp / partitioned-avg differences are
+    ulp-level, ~1e-9 under the ``round_decimals`` quantum, so they cannot
+    move a rounded value unless an intermediate lands within ulps of a
+    HALF_UP boundary (the same argument that lets the DuckDB oracle
+    replay this trainer; asserted cross-arm on the fixture and seeded
+    corpora in tests/test_classifier.py — a probabilistic, not absolute,
+    guarantee, exactly like the oracle replay itself).
     Above the cap — or with ``small_n_cap=0``, which tests use to force
     it — the distributed loop runs unchanged; featurization and scoring
     stay distributed in both arms.
